@@ -1,0 +1,22 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware. Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+WATERBOX = REFERENCE / "examples" / "waterbox"
+
+
+@pytest.fixture(scope="session")
+def waterbox_dir():
+    if not WATERBOX.exists():
+        pytest.skip("reference waterbox example not mounted")
+    return WATERBOX
