@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark: Martini waterbox steps/sec on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "waterbox_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": R, ...}
+
+Baseline note: the mounted reference (LLNL/ddcMD) canNOT be built or run
+here -- its `util/` and `recbis/` submodule sources are missing (broken
+symlinks) and no MPI exists in the image -- and the repo publishes no
+numbers (BASELINE.md).  `vs_baseline` is therefore computed against a
+DOCUMENTED ESTIMATE of CPU-ddcMD on this workload:
+  6173 beads * ~80 pairs/bead / step, C code at ~50M pair-interactions/s
+  per core incl. neighbor maintenance => ~100 steps/s single-core.
+BASELINE.json's stated target is >=5x CPU-ddcMD per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_WATERBOX = "/root/reference/examples/waterbox"
+BASELINE_STEPS_PER_SEC = 100.0  # estimated CPU-ddcMD (see docstring)
+
+
+def main():
+    import jax
+
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.simulate import Simulation
+
+    db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
+                 os.path.join(REFERENCE_WATERBOX, "snapshot.mem", "restart"),
+                 REFERENCE_WATERBOX)
+    sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp")
+    dt_fs = sim.sysdef.cfg.dt * 1e3
+
+    sim.first_energy()
+    # warmup: compile + one chunk
+    sim.run(40, print_fn=lambda s: None)
+    jax.block_until_ready(sim.ss.state.r)
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "2000"))
+    t0 = time.perf_counter()
+    sim.run(n_steps, print_fn=lambda s: None)
+    jax.block_until_ready(sim.ss.state.r)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / elapsed
+    ns_per_day = steps_per_sec * dt_fs * 86400.0 / 1e6
+    out = {
+        "metric": "waterbox_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "ns_per_day": round(ns_per_day, 1),
+        "n_steps": n_steps,
+        "n_particles": sim.sysdef.state.n_local,
+        "device": str(jax.devices()[0]),
+        "baseline_note": "estimated CPU-ddcMD ~100 steps/s; reference binary unbuildable from mount (missing util/ and recbis/ sources, no MPI)",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,244 @@
+"""SYSTEM assembly: deck + collection -> runnable simulation pieces.
+
+Mirrors the reference init order (system_init, /root/reference/src/system.c,
+simulate_init /root/reference/src/simulate.c:104-297): species, groups,
+box, collection, potentials, neighbor config, integrator parameters.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.collection import CollectionData, read_collection
+from ..nbr.celllist import CellGrid
+from ..objects import DeckError, ObjectDB
+from ..objects import units as U
+from .box import Box
+from .groups import Group, GroupTable, group_from_deck
+from .species import Species, species_from_deck
+from .state import State
+
+
+@dataclass
+class SimulateConfig:
+    name: str
+    dt: float                  # internal ps
+    maxloop: int
+    loop: int
+    time: float                # internal ps
+    printrate: int
+    snapshotrate: int
+    checkpointrate: int
+    deltaloop: int | None
+    nLoopDigits: int
+    gidFormat: str
+    integrator_name: str
+    system_name: str
+    printinfo_name: str | None
+    ddc_update_rate: int
+    heap_size: int = 0
+
+
+@dataclass
+class SystemDef:
+    """Host-side assembled system (everything needed to build device fns)."""
+
+    db: ObjectDB
+    cfg: SimulateConfig
+    species: list[Species]
+    groups: list[Group]
+    group_table: GroupTable
+    potentials: list               # list of (type, parms) pairs
+    box: Box
+    state: State
+    collection: CollectionData
+    neighbor_deltaR: float         # skin, internal
+    rcut_max: float                # max potential cutoff, internal
+    integrator_type: str
+    integrator_parms: dict
+    n_constraints: int = 0
+    molecules: object | None = None
+    random_seed: int = 0
+
+
+def _find_simulate(db: ObjectDB) -> SimulateConfig:
+    sims = db.by_class("SIMULATE")
+    if not sims:
+        raise DeckError("no SIMULATE object in deck")
+    sim = sims[0]
+    return SimulateConfig(
+        name=sim.name,
+        dt=sim.get_with_units("dt", "1.0", "t"),
+        maxloop=sim.get_int("maxloop", 0),
+        loop=sim.get_int("loop", 0),
+        time=U.parse_with_units(" ".join(sim.raw("time", "0.0")), "t"),
+        printrate=sim.get_int("printrate", 1),
+        snapshotrate=sim.get_int("snapshotrate", 0),
+        checkpointrate=sim.get_int("checkpointrate", 0),
+        deltaloop=sim.get_int("deltaloop", 0) or None,
+        nLoopDigits=sim.get_int("nLoopDigits", 6),
+        gidFormat=sim.get_str("gidFormat", "dec"),
+        integrator_name=sim.get_str("integrator", "nglf"),
+        system_name=sim.get_str("system", "system"),
+        printinfo_name=sim.get_str("printinfo", "") or None,
+        ddc_update_rate=_ddc_update_rate(db, sim),
+    )
+
+
+def _ddc_update_rate(db: ObjectDB, sim) -> int:
+    name = sim.get_str("ddc", "")
+    if name:
+        ddc = db.find(name, "DDC")
+        if ddc is not None:
+            return ddc.get_int("updateRate", 20)
+    return 20
+
+
+def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
+                 pad_multiple: int = 128) -> SystemDef:
+    cfg = _find_simulate(db)
+    sysobj = db.get(cfg.system_name, "SYSTEM")
+
+    # --- box (h possibly merged in from restart) ---------------------------
+    boxobj = db.get(sysobj.get_str("box", "box"), "BOX")
+    pbc = boxobj.get_int("pbc", 7)
+    hvals = boxobj.get_with_unitsv("h", "", "l") if boxobj.has("h") else None
+
+    # --- collection ----------------------------------------------------------
+    colname = sysobj.get_str("collection", "collection")
+    colobj = db.find(colname, "COLLECTION")
+    if colobj is None or not colobj.has("files"):
+        raise DeckError("COLLECTION with files= required (restart must be compiled in)")
+    col = read_collection(colobj.get_str("files"), base_dir)
+    if hvals is None:
+        hvals = [v * U.ANG_TO_LENGTH for v in col.header.get_floatv("h")]
+    box = Box.from_h(np.asarray(hvals).reshape(3, 3), pbc=pbc, dtype=dtype)
+
+    # --- species -------------------------------------------------------------
+    sp_names_decl = sysobj.get_strv("species")
+    if not sp_names_decl:
+        # bio decks declare species implicitly through MOLECULECLASS
+        seen = []
+        for s in col.species_names:
+            if s not in seen:
+                seen.append(s)
+        sp_names_decl = seen
+    species = species_from_deck(db, sp_names_decl)
+    sp_index = {s.name: s.index for s in species}
+
+    # --- groups ----------------------------------------------------------------
+    grp_names = sysobj.get_strv("groups")
+    if not grp_names:
+        grp_names = sorted(set(col.group_names))
+    groups = [group_from_deck(db, n, i) for i, n in enumerate(grp_names)]
+    grp_index = {g.name: g.index for g in groups}
+    group_table = GroupTable.build(groups)
+
+    # --- per-particle arrays ------------------------------------------------------
+    try:
+        sidx = np.array([sp_index[s] for s in col.species_names], dtype=np.int32)
+    except KeyError as e:
+        raise DeckError(f"collection references unknown species {e}") from None
+    try:
+        gidx = np.array([grp_index[g] for g in col.group_names], dtype=np.int32)
+    except KeyError as e:
+        raise DeckError(f"collection references unknown group {e}") from None
+    mass = np.array([species[i].mass for i in sidx])
+    charge = np.array([species[i].charge for i in sidx])
+
+    state = State.create(col.r, col.v, charge, mass, sidx, gidx, col.gid,
+                         dtype=dtype, pad_multiple=pad_multiple)
+
+    # --- potentials ---------------------------------------------------------------
+    potentials = []
+    rcut_max = 0.0
+    for pname in sysobj.get_strv("potential"):
+        pobj = db.get(pname, "POTENTIAL")
+        ptype = pobj.get_str("type").upper()
+        if ptype == "MARTINI":
+            from ..potentials.martini import compile_martini
+
+            parms = compile_martini(db, pname)
+            rcut_max = max(rcut_max, parms.rcut)
+            potentials.append(("MARTINI", pname, parms))
+        elif ptype == "PAIR":
+            from ..potentials.pair import compile_pair
+
+            parms = compile_pair(db, pname, species)
+            rcut_max = max(rcut_max, parms.rcut)
+            potentials.append(("PAIR", pname, parms))
+        elif ptype == "EAM":
+            from ..potentials.eam import compile_eam
+
+            parms = compile_eam(db, pname, species)
+            rcut_max = max(rcut_max, parms.rcut)
+            potentials.append(("EAM", pname, parms))
+        elif ptype == "RESTRAINT":
+            from ..potentials.restraint import compile_restraint
+
+            parms = compile_restraint(db, pname)
+            if parms is not None:
+                potentials.append(("RESTRAINT", pname, parms))
+        elif ptype in ("NONE", "ZEROPOTENTIAL"):
+            potentials.append(("NONE", pname, None))
+        else:
+            raise DeckError(f"POTENTIAL type {ptype} not implemented yet")
+
+    # Martini species need their LJ type index instead of species index for
+    # the nonbond table lookup; build the map here.
+    martini = next((p for p in potentials if p[0] == "MARTINI"), None)
+    if martini is not None:
+        parms = martini[2]
+        tmap = np.zeros(len(species), dtype=np.int32)
+        for s in species:
+            if s.name in parms.species_to_type:
+                tmap[s.index] = parms.species_to_type[s.name]
+            else:
+                raise DeckError(f"species {s.name} has no MMFF atom type")
+        parms.species_lj_type = tmap  # attached for force-builder use
+
+    # --- neighbor config ----------------------------------------------------------
+    nbrobj = db.find(sysobj.get_str("neighbor", "nbr"), "NEIGHBOR")
+    deltaR = nbrobj.get_with_units("deltaR", "4.0", "l") if nbrobj else 0.4
+
+    # --- integrator ------------------------------------------------------------------
+    iobj = db.get(cfg.integrator_name, "INTEGRATOR")
+    itype = iobj.get_str("type").upper()
+    iparms = dict(
+        T=iobj.get_with_units("T", "310", "T"),
+        P0=iobj.get_with_units("P0", "0.0", "pressure"),
+        beta=iobj.get_with_units("beta", "0.0", "1/pressure"),
+        tauBarostat=iobj.get_with_units("tauBarostat", "0.0", "t"),
+        isotropic=bool(iobj.get_int("isotropic", 0)),
+    )
+
+    n_constraints = sysobj.get_int("nConstraints", 0)
+
+    # --- random seed ---------------------------------------------------------------
+    seed = 0
+    rname = sysobj.get_str("random", "")
+    if rname:
+        robj = db.find(rname, "RANDOM")
+        if robj is not None:
+            seed = robj.get_int("seed", 0)
+            if robj.get_int("randomizeSeed", 0):
+                seed = int.from_bytes(os.urandom(4), "little")
+
+    return SystemDef(
+        db=db, cfg=cfg, species=species, groups=groups, group_table=group_table,
+        potentials=potentials, box=box, state=state, collection=col,
+        neighbor_deltaR=deltaR, rcut_max=rcut_max,
+        integrator_type=itype, integrator_parms=iparms,
+        n_constraints=n_constraints, random_seed=seed,
+    )
+
+
+def plan_grid(sysdef: SystemDef, density_safety: float = 2.0) -> CellGrid:
+    L = np.asarray(sysdef.box.lengths, dtype=np.float64)
+    return CellGrid.plan(L, sysdef.rcut_max, sysdef.neighbor_deltaR,
+                         sysdef.state.n_local, sysdef.state.n_pad,
+                         density_safety=density_safety)

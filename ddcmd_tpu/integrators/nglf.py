@@ -1,0 +1,133 @@
+"""NGLF integrator family: velocity-Verlet/leapfrog with GROUP kicks.
+
+Canonical step (reference nglf, /root/reference/src/nglf.c:67-112):
+
+  1. per-particle GROUP velocityUpdate(FRONT, 0.5 dt)   [half kick]
+  2. r += dt v ; backInBox                              [drift]
+  3. ddcenergy  (neighbor update + forces)
+  4. GROUP velocityUpdate(BACK, 0.5 dt)                 [half kick]
+  5. kinetic_terms
+
+On TPU the whole step is ONE jitted pure function over the (State, Box)
+pytree; the neighbor list is an explicit argument rebuilt at the deck's
+`ddc.updateRate` cadence / displacement trigger by the driver
+(simulateMaster analog, run/simulate.py).
+
+NGLFCONSTRAINT (without constraint groups) adds the start-of-step
+Berendsen-style barostat (changeVolume,
+/root/reference/src/nglfconstraint.c:64-85,510-575): semi-anisotropic
+lambda = cbrt(1 + (P - P0) beta dt / tau) from the molecular pressure
+tensor, h <- lambda h, positions affinely rescaled.  Constraint
+projections (per-residue SHAKE/RATTLE-style solves) live in
+constraints.py and are applied when the topology has CONSPAIR groups.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.energy import EnergyInfo, kinetic_terms
+from ..core.groups import velocity_update
+from ..objects import units as U
+
+
+@struct.dataclass
+class StepState:
+    """Everything that evolves across steps (a single pytree)."""
+
+    state: object            # core.state.State
+    box: object              # core.box.Box
+    energy: EnergyInfo
+    loop: jnp.ndarray        # int32
+    time: jnp.ndarray        # f32, internal ps
+
+
+def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
+                   barostat=None, n_global: int, n_constraints: int = 0,
+                   constraint_fn: Callable | None = None,
+                   molecular_virial_fn: Callable | None = None):
+    """Build the jittable MD step.
+
+    force_fn(state, box, nbr_idx) -> (f (N,3), e_pot, virial (3,3), pe (N,))
+    barostat: None or dict(P0=..., beta=..., tau=..., T=..., isotropic=bool)
+    constraint_fn(state, dt, mode) -> state with projected velocities
+    molecular_virial_fn(state, box, virial) -> corrected molecular virial
+    """
+
+    def step(ss: StepState, nbr_idx, key) -> StepState:
+        state, box = ss.state, ss.box
+        half = 0.5 * dt
+
+        # --- barostat (nglfconstraint.c:518-527) -------------------------
+        if barostat is not None:
+            virial = ss.energy.virial
+            if molecular_virial_fn is not None:
+                virial = molecular_virial_fn(state, box, virial)
+            nmol = barostat.get("n_molecules", n_global)
+            kT = barostat["T"] * U.kB
+            vol = box.volume
+            p_tensor = (virial + nmol * kT * jnp.eye(3, dtype=virial.dtype)) / vol
+            p_tensor = p_tensor - barostat["P0"] * jnp.eye(3, dtype=virial.dtype)
+            btt = barostat["beta"] * dt / barostat["tau"]
+            if barostat.get("isotropic"):
+                p_iso = jnp.trace(p_tensor) / 3.0
+                lam_xyz = jnp.cbrt(1.0 + p_iso * btt) * jnp.ones(3, dtype=virial.dtype)
+            else:
+                # semi-anisotropic: Pxx=Pyy averaged, Pzz separate
+                pxx = 0.5 * (p_tensor[0, 0] + p_tensor[1, 1])
+                pzz = p_tensor[2, 2]
+                lam = jnp.cbrt(1.0 + jnp.stack([pxx, pxx, pzz]) * btt)
+                lam_xyz = lam
+            box = box.scale(lam_xyz)
+            state = state.replace(r=state.r * lam_xyz[None, :])
+
+        mask = state.mask
+        coeffs = group_table  # (a, c_on, noise, vcm) already per-dt
+
+        # --- front half kick ---------------------------------------------
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 0))
+        v = velocity_update("front", state.v, state.f, state.mass, state.group,
+                            coeffs, half, k1, mask)
+        if constraint_fn is not None:
+            v = constraint_fn(state.replace(v=v), dt, "front").v
+        state = state.replace(v=v)
+
+        # --- drift + wrap --------------------------------------------------
+        r = state.r + dt * state.v
+        r = box.back_in_box(r)
+        state = state.replace(r=r)
+
+        # --- forces ---------------------------------------------------------
+        f, e_pot, virial, pe = force_fn(state, box, nbr_idx)
+        state = state.replace(f=f, pe=pe)
+
+        # --- back half kick -------------------------------------------------
+        v = velocity_update("back", state.v, state.f, state.mass, state.group,
+                            coeffs, half, k2, mask)
+        if constraint_fn is not None:
+            v = constraint_fn(state.replace(v=v), dt, "back").v
+        state = state.replace(v=v)
+
+        # --- accounting ------------------------------------------------------
+        rk, tion = kinetic_terms(state.v, state.mass, state.fmask)
+        energy = EnergyInfo(eion=e_pot, rk=rk, virial=virial, tion=tion,
+                            number=jnp.sum(state.fmask))
+        return StepState(state=state, box=box, energy=energy,
+                         loop=ss.loop + 1, time=ss.time + dt)
+
+    return step
+
+
+def first_energy_call(ss: StepState, force_fn, nbr_idx) -> StepState:
+    """firstEnergyCall analog (/root/reference/src/masters.c:579-612)."""
+    f, e_pot, virial, pe = force_fn(ss.state, ss.box, nbr_idx)
+    state = ss.state.replace(f=f, pe=pe)
+    rk, tion = kinetic_terms(state.v, state.mass, state.fmask)
+    energy = EnergyInfo(eion=e_pot, rk=rk, virial=virial, tion=tion,
+                        number=jnp.sum(state.fmask))
+    return StepState(state=state, box=ss.box, energy=energy, loop=ss.loop, time=ss.time)

@@ -1,0 +1,212 @@
+"""Reading/writing particle collections (atoms# shard files).
+
+Mirrors the reference's pio + collection_read/collection_write formats
+(/root/reference/src/collection_read.c:39-73,
+/root/reference/src/collection_write.c:60-160) so existing snapshots
+restart unchanged:
+
+  * `files=dir/atoms#` names a family of shards atoms#000000, atoms#000001...
+  * each shard may start with a FILEHEADER object (rank 0's shard always
+    does) describing datatype/fields/h-matrix;
+  * VARRECORDASCII: newline-delimited whitespace-split records;
+  * FIXRECORDASCII: fixed recordLength byte records (leading checksum field);
+  * fields per the header's field_names/field_types (u=uint, s=string,
+    f=float); lengths/velocities are in checkpoint units Ang, Ang/fs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..objects import DeckError, ObjectDB, read_fileheader
+from ..objects import units as U
+
+
+@dataclass
+class CollectionData:
+    """Host-side particle data in INTERNAL units (nm, nm/ps)."""
+
+    gid: np.ndarray            # (n,) uint64
+    species_names: list[str]   # per particle
+    group_names: list[str]     # per particle
+    class_names: list[str]     # per particle (ATOM, ...)
+    r: np.ndarray              # (n,3) nm
+    v: np.ndarray              # (n,3) nm/ps
+    header: object | None = None
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def n(self) -> int:
+        return len(self.gid)
+
+
+def shard_paths(files_value: str, base_dir: str | os.PathLike = ".") -> list[str]:
+    """Expand `files=snapshot.mem/atoms#` into the existing shard list."""
+    pattern = os.path.join(base_dir, files_value)
+    if "#" in pattern:
+        paths = sorted(glob.glob(pattern.replace("#", "#[0-9]*")))
+        if not paths and os.path.exists(pattern):
+            paths = [pattern]
+    else:
+        paths = [pattern]
+    if not paths:
+        raise FileNotFoundError(f"no collection shards match {pattern!r}")
+    return paths
+
+
+def _parse_records(tokens_rows, field_names, field_types):
+    cols: dict[str, list] = {name: [] for name in field_names}
+    for row in tokens_rows:
+        if len(row) < len(field_names):
+            if not row:
+                continue
+            raise DeckError(f"short record: {row!r}")
+        for name, ftype, tok in zip(field_names, field_types, row):
+            if ftype.startswith("f"):
+                cols[name].append(float(tok))
+            else:
+                # integer fields stay as raw tokens; base (dec/hex per the
+                # header's field_format) is resolved by the caller
+                cols[name].append(tok)
+    return cols
+
+
+def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
+                    gid_hex: bool | None = None) -> CollectionData:
+    paths = shard_paths(files_value, base_dir)
+    header, _ = read_fileheader(paths[0])
+    datatype = header.get_str("datatype", "VARRECORDASCII")
+    field_names = header.get_strv("field_names")
+    field_types = header.get_strv("field_types")
+    if len(field_names) != len(field_types):
+        raise DeckError("field_names/field_types length mismatch")
+
+    rows: list[list[str]] = []
+    for p in paths:
+        with open(p, "rb") as f:
+            blob = f.read()
+        text = blob.decode("utf-8", errors="replace")
+        off = 0
+        if text.lstrip().split(None, 2)[1:2] == ["FILEHEADER"]:
+            _, off = read_fileheader(p)
+        body = text[off:]
+        if datatype in ("VARRECORDASCII", "FIXRECORDASCII", "ASCII"):
+            for line in body.splitlines():
+                line = line.strip()
+                if line:
+                    rows.append(line.split())
+        else:
+            raise NotImplementedError(f"collection datatype {datatype} (binary) not yet supported")
+
+    cols = _parse_records(rows, field_names, field_types)
+
+    nrecord = header.get_int("nrecord", -1)
+    n = len(rows)
+    if nrecord >= 0 and n != nrecord:
+        raise DeckError(f"expected {nrecord} records, parsed {n}")
+
+    # id column may be written in hex (deck gidFormat=hex); the header's
+    # field_format records it (reference writes fmt with gidFormat(),
+    # collection_write.c:69).
+    if gid_hex is None:
+        gid_hex = False
+        fmt_toks = header.get_strv("field_format")
+        if fmt_toks and "id" in field_names:
+            i = field_names.index("id")
+            if i < len(fmt_toks):
+                gid_hex = fmt_toks[i].rstrip().endswith("x")
+    base = 16 if gid_hex else 10
+    gid = np.asarray([int(str(t), base) for t in cols.get("id", ["0"] * n)],
+                     dtype=np.uint64)
+
+    cAng = U.ANG_TO_LENGTH  # file lengths are Ang (checkpoint units)
+    cVel = U.ANG_FS_TO_VEL
+    r = np.stack([np.asarray(cols[k], dtype=np.float64) * cAng for k in ("rx", "ry", "rz")], axis=1)
+    if "vx" in cols:
+        v = np.stack([np.asarray(cols[k], dtype=np.float64) * cVel for k in ("vx", "vy", "vz")], axis=1)
+    else:
+        v = np.zeros_like(r)
+
+    known = {"id", "checksum", "class", "type", "group", "rx", "ry", "rz", "vx", "vy", "vz"}
+    extra = {k: cols[k] for k in cols if k not in known}
+
+    return CollectionData(
+        gid=gid,
+        species_names=list(cols.get("type", ["?"] * n)),
+        group_names=list(cols.get("group", ["?"] * n)),
+        class_names=list(cols.get("class", ["ATOM"] * n)),
+        r=r,
+        v=v,
+        header=header,
+        extra=extra,
+    )
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+_HEADER_TEMPLATE = """particle FILEHEADER {{type=MULTILINE; datatype={datatype}; checksum=NONE;
+loop={loop}; time={time:.6f};
+nfiles={nfiles}; nrecord={nrecord}; nfields={nfields};
+field_names={field_names};
+field_types={field_types};
+field_units={field_units};
+field_format={field_format};
+h= {h};
+groups = {groups} ;
+species = {species} ;
+types = {types} ;
+}}
+
+"""
+
+
+def write_collection(path: str, *, gid, species_names, group_names, class_names,
+                     r, v, h, loop: int = 0, time_fs: float = 0.0,
+                     group_list=(), species_list=(), type_list=("ATOM",),
+                     gid_format: str = "dec") -> None:
+    """Write one VARRECORDASCII shard compatible with collection_read.
+
+    `r` in internal nm (written as Ang), `v` in nm/ps (written as Ang/fs),
+    `h` internal (3,3) (written as Ang). Mirrors collection_writeBLOCK
+    (/root/reference/src/collection_write.c:86-160) minus the checksum
+    column (checksum=NONE as in the committed waterbox snapshot).
+    """
+    n = len(gid)
+    r = np.asarray(r, dtype=np.float64) * U.LENGTH_TO_ANG
+    v = np.asarray(v, dtype=np.float64) * (1.0 / U.ANG_FS_TO_VEL)
+    h = np.asarray(h, dtype=np.float64).reshape(3, 3) * U.LENGTH_TO_ANG
+    hstr = "\n".join("    %.6g %22.14g %22.14g" % tuple(row) for row in h).lstrip()
+
+    header = _HEADER_TEMPLATE.format(
+        datatype="VARRECORDASCII",
+        loop=loop,
+        time=time_fs,
+        nfiles=1,
+        nrecord=n,
+        nfields=10,
+        field_names="id class type group rx ry rz vx vy vz",
+        field_types="u s s s f f f f f f",
+        field_units="1 1 1 1 Ang Ang Ang Ang/fs Ang/fs Ang/fs",
+        field_format=("%14x" if gid_format == "hex" else "%14d")
+        + " %s %s %s %21.13e %21.13e %21.13e %21.13e %21.13e %21.13e",
+        h=hstr,
+        groups=" ".join(group_list) or "group",
+        species=" ".join(species_list) or " ".join(sorted(set(species_names))),
+        types=" ".join(type_list),
+    )
+    gid = np.asarray(gid, dtype=np.uint64)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(header)
+        for i in range(n):
+            gid_s = ("%14x" % int(gid[i])) if gid_format == "hex" else ("%14d" % int(gid[i]))
+            f.write("%s %s %12s %s  %21.13e %21.13e %21.13e %21.13e %21.13e %21.13e\n" % (
+                gid_s, class_names[i], species_names[i], group_names[i],
+                r[i, 0], r[i, 1], r[i, 2], v[i, 0], v[i, 1], v[i, 2]))

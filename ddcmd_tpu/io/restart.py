@@ -1,0 +1,66 @@
+"""Checkpoint write: snapshot dir + atoms# shards + restart object file.
+
+Reference: writeRestart (/root/reference/src/io.c:58-114).  Properties
+kept: the restart file is itself an object deck that participates in
+config compilation; atomic `restart` symlink; self-describing atoms#
+FILEHEADER.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..objects import units as U
+from .collection import write_collection
+
+
+def write_checkpoint(sim, run_dir: str = ".") -> str:
+    """Write snapshot.<loop>/ with atoms#000000 + restart, update symlink."""
+    sd = sim.sysdef
+    ss = sim.ss
+    loop = int(ss.loop)
+    # host-side f64 time: loop count is exact, device time is f32
+    time_fs = (sd.cfg.time + (loop - sd.cfg.loop) * sd.cfg.dt) * U.TIME_TO_FS
+    ndig = max(sd.cfg.nLoopDigits, 6)
+    snapdir = os.path.join(run_dir, f"snapshot.{loop:0{ndig}d}")
+    os.makedirs(snapdir, exist_ok=True)
+
+    state = ss.state
+    n = state.n_local
+    r = np.asarray(state.r[:n], dtype=np.float64)
+    v = np.asarray(state.v[:n], dtype=np.float64)
+    gid = state.gid64()
+    col = sd.collection
+    h = np.asarray(ss.box.h, dtype=np.float64)
+
+    write_collection(
+        os.path.join(snapdir, "atoms#000000"),
+        gid=gid,
+        species_names=col.species_names,
+        group_names=col.group_names,
+        class_names=col.class_names,
+        r=r, v=v, h=h, loop=loop, time_fs=time_fs,
+        group_list=[g.name for g in sd.groups],
+        species_list=[s.name for s in sd.species],
+        gid_format="hex" if sd.cfg.gidFormat == "hex" else "dec",
+    )
+
+    hang = h * U.LENGTH_TO_ANG
+    hstr = "\n".join("     %22.14g %22.14g %22.14g" % tuple(row) for row in hang)
+    with open(os.path.join(snapdir, "restart"), "w") as f:
+        f.write(f"simulate SIMULATE {{ loop={loop}; time={time_fs:.6f} ;}}\n")
+        f.write(f"box BOX {{\nh={hstr} ;\n}}\n")
+        f.write(f"collection COLLECTION {{ mode=VARRECORDASCII; size={n};"
+                f" files={os.path.basename(snapdir)}/atoms#;}}\n")
+
+    # atomic restart symlink (io.c:106-110)
+    link = os.path.join(run_dir, "restart")
+    tmp = link + ".tmp"
+    target = os.path.join(os.path.basename(snapdir), "restart")
+    if os.path.islink(tmp) or os.path.exists(tmp):
+        os.remove(tmp)
+    os.symlink(target, tmp)
+    os.replace(tmp, link)
+    return snapdir

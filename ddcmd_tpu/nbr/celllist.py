@@ -1,0 +1,183 @@
+"""Cell list + padded neighbor list, TPU-native.
+
+Replaces the reference's GEOM cell grid + FAT/SKINNY neighbor tables
+(/root/reference/src/geom.h:24-110, /root/reference/src/neighbor.h:11-41)
+and mirrors the *GPU* design (fixed-size neighbor "pages" + overflow
+check, /root/reference/src/nlistGPU.cu:206,378) which is already the
+static-shape form XLA wants:
+
+  * particles are binned into a static cell grid (cell edge >= list
+    radius), ordered by a device sort;
+  * per-particle neighbor candidates come from the 27-cell stencil;
+  * candidates within rcut+skin are compacted into a fixed (N, K)
+    index matrix with a validity mask; overflow raises a flag and the
+    host re-builds with a larger K (the reference's allocPages/
+    checkbounds pattern);
+  * the (N, K) list is FULL (each pair appears from both sides), so
+    force accumulation is a pure gather+sum -- no scatter on the hot
+    path (Newton's 3rd law costs 2x FLOPs but removes all atomics,
+    the right trade on TPU).
+
+Rebuild cadence is driven by the caller (deck `ddc.updateRate` /
+displacement trigger, /root/reference/src/ddcUpdateAll.c:48-71).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CellGrid:
+    """Static grid metadata (python ints -> shapes are compile-time)."""
+
+    ncells: tuple[int, int, int]
+    cell_capacity: int
+    max_neighbors: int          # K
+    rlist: float                # rcut + skin, internal units
+
+    @property
+    def ncell_total(self) -> int:
+        nx, ny, nz = self.ncells
+        return nx * ny * nz
+
+    @classmethod
+    def plan(cls, box_lengths, rcut: float, skin: float, n_particles: int,
+             n_pad: int, density_safety: float = 2.0,
+             max_neighbors: int | None = None) -> "CellGrid":
+        L = np.asarray(box_lengths, dtype=np.float64)
+        rlist = rcut + skin
+        ncells = tuple(max(1, int(math.floor(l / rlist))) for l in L)
+        vol = float(np.prod(L))
+        density = n_particles / vol
+        cell_vol = vol / (ncells[0] * ncells[1] * ncells[2])
+        cap = int(density * cell_vol * density_safety) + 8
+        cap = ((cap + 7) // 8) * 8
+        if max_neighbors is None:
+            nsphere = density * 4.0 / 3.0 * math.pi * rlist ** 3 * 1.6
+            max_neighbors = ((int(nsphere) + 127) // 128) * 128
+        return cls(ncells=ncells, cell_capacity=cap,
+                   max_neighbors=max_neighbors, rlist=rlist)
+
+
+def _cell_index(r, box_lengths, ncells):
+    """Cell coordinates for origin-centered positions."""
+    n = jnp.asarray(ncells)
+    s = r / box_lengths + 0.5                      # [0,1)
+    c = jnp.floor(s * n).astype(jnp.int32)
+    c = jnp.clip(c, 0, n - 1)
+    return c
+
+
+def _flat_cell(c3, ncells):
+    nx, ny, nz = ncells
+    return (c3[..., 0] * ny + c3[..., 1]) * nz + c3[..., 2]
+
+
+def _stencil_for(ncells) -> np.ndarray:
+    """Unique neighbor-cell offsets. When an axis has <3 cells the -1/+1
+    offsets alias under wrap and would double-count pairs, so collapse
+    them (static: ncells is compile-time)."""
+    axes = []
+    for n in ncells:
+        if n >= 3:
+            axes.append((-1, 0, 1))
+        elif n == 2:
+            axes.append((0, 1))
+        else:
+            axes.append((0,))
+    return np.array([(i, j, k) for i in axes[0] for j in axes[1] for k in axes[2]],
+                    dtype=np.int32)
+
+
+def build_cell_table(r, fmask, box_lengths, grid: CellGrid):
+    """Bin particles. Returns (table (ncell_total+1, cap) int32 particle ids,
+    padded with n_pad sentinel; cell3 (N,3) cell coords; overflow flag)."""
+    n_pad = r.shape[0]
+    sentinel = n_pad
+    c3 = _cell_index(r, box_lengths, grid.ncells)
+    cid = _flat_cell(c3, grid.ncells)
+    # invalid (padded) particles go to the trash cell
+    cid = jnp.where(fmask > 0, cid, grid.ncell_total)
+
+    order = jnp.argsort(cid)                       # stable
+    sorted_cid = cid[order]
+    # rank within cell: position - first occurrence of this cid
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(n_pad, dtype=jnp.int32) - first.astype(jnp.int32)
+
+    cap = grid.cell_capacity
+    table = jnp.full(((grid.ncell_total + 1) * cap,), sentinel, dtype=jnp.int32)
+    ok = rank < cap
+    flat = jnp.where(ok, sorted_cid * cap + rank, (grid.ncell_total + 1) * cap)
+    table = table.at[flat].set(order.astype(jnp.int32), mode="drop")
+    overflow = jnp.any(~ok & (sorted_cid < grid.ncell_total))
+    return table.reshape(grid.ncell_total + 1, cap), c3, overflow
+
+
+def build_neighbor_list(r, fmask, box_lengths, grid: CellGrid, row_mask=None):
+    """Full (N, K) neighbor index list within rlist. Returns
+    (nbr_idx, nbr_count, overflow).  nbr_idx padded with n_pad sentinel.
+    Positions must be wrapped (origin-centered).
+
+    fmask: particles that may appear as NEIGHBORS (binned into cells).
+    row_mask: particles whose own rows are built (defaults to fmask);
+    the sharded path passes local+ghost as fmask but local-only rows."""
+    n_pad = r.shape[0]
+    sentinel = n_pad
+    if row_mask is None:
+        row_mask = fmask
+    table, c3, cell_overflow = build_cell_table(r, fmask, box_lengths, grid)
+
+    ncells = jnp.asarray(grid.ncells)
+    stencil = jnp.asarray(_stencil_for(grid.ncells))
+    n_stencil = stencil.shape[0]
+    # (N, S, 3) neighbor cell coords with periodic wrap
+    nc3 = (c3[:, None, :] + stencil[None, :, :]) % ncells
+    ncid = _flat_cell(nc3, grid.ncells)            # (N, S)
+    cand = table[ncid].reshape(n_pad, n_stencil * grid.cell_capacity)  # (N, C)
+
+    # distances (min image, orthorhombic)
+    r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=r.dtype)], axis=0)
+    dr = r[:, None, :] - r_ext[cand]
+    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    d2 = jnp.sum(dr * dr, axis=-1)
+
+    i_idx = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
+    valid = (cand != sentinel) & (cand != i_idx) & (d2 < grid.rlist ** 2) \
+        & (row_mask[:, None] > 0)
+
+    K = grid.max_neighbors
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    count = jnp.where(valid.shape[1] > 0, pos[:, -1] + 1, 0)
+    slot = jnp.where(valid & (pos < K), pos, K)
+    out = jnp.full((n_pad, K + 1), sentinel, dtype=jnp.int32)
+    out = out.at[i_idx, slot].set(cand, mode="drop")
+    nbr_idx = out[:, :K]
+    overflow = cell_overflow | jnp.any(count > K)
+    return nbr_idx, count, overflow
+
+
+def neighbor_displacements(r, nbr_idx, box_lengths):
+    """Gather dr_ij = r_i - r_j with min image; (N,K,3), plus valid mask."""
+    n_pad = r.shape[0]
+    sentinel = n_pad
+    r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=r.dtype)], axis=0)
+    dr = r[:, None, :] - r_ext[nbr_idx]
+    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    mask = (nbr_idx != sentinel)
+    return dr, mask
+
+
+def max_displacement2(r, r0, fmask, box_lengths):
+    """max_i |r_i - r_i0|^2 for the verlet-skin rebuild trigger
+    (neighborCheck, /root/reference/src/neighbor.c:117-199)."""
+    dr = r - r0
+    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    d2 = jnp.sum(dr * dr, axis=-1) * fmask
+    return jnp.max(d2)

@@ -1,0 +1,185 @@
+"""Spatial domain decomposition over a jax.sharding.Mesh: 1D slabs.
+
+TPU-native re-design of the reference's DDC layer
+(/root/reference/src/ddc.c, ddcSendRecv.c, ddcUpdate.c, ddcAssignment.c):
+
+  * domains = equal x-slabs over a 1D device mesh (the reference's
+    CUBIC lattice domain special case; recursive bisection comes later);
+  * halo exchange (ddcUpdate positions / ddcSendRecvTables) =
+    fixed-capacity packed buffers moved with lax.ppermute over ICI
+    neighbors, one hop left + one hop right;
+  * particle migration (ddcAssignment/ddcExchangeParticles) = the same
+    fixed-capacity ppermute at the rebuild cadence, assuming <= 1 slab
+    hop per rebuild (enforced by an overflow flag, mirroring the
+    reference's lazy re-bisect trigger, bisectionCalc.c:118-133);
+  * global scalars (energy/virial/temperature) = psum
+    (MPI_Allreduce analog, /root/reference/src/energyInfo.c:9);
+  * forces use the SAME cell-list + potential kernels as single chip,
+    applied to local+ghost arrays -- no scatter, Newton-3 by double
+    evaluation, identical physics.
+
+Everything below runs inside shard_map; per-device shapes are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "slab"
+
+
+# ---------------------------------------------------------------------------
+# compaction / packing primitives
+# ---------------------------------------------------------------------------
+
+def compact_rows(arrays: dict, mask, out_cap: int, fill=0.0):
+    """Pack rows where mask is True to the front of (out_cap, ...) buffers.
+
+    Returns (packed dict, count, overflow).  Static shapes; overflow set
+    when more than out_cap rows are selected (extras dropped).
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.where(n > 0, pos[-1] + 1, 0)
+    slot = jnp.where(mask & (pos < out_cap), pos, out_cap)
+    out = {}
+    for k, a in arrays.items():
+        buf = jnp.full((out_cap + 1,) + a.shape[1:],
+                       jnp.asarray(fill, a.dtype), dtype=a.dtype)
+        out[k] = buf.at[slot].set(a, mode="drop")[:out_cap]
+    overflow = count > out_cap
+    return out, jnp.minimum(count, out_cap), overflow
+
+
+def _ppermute(x, shift: int, n_dev: int):
+    """Send to device (i + shift) mod n_dev along AXIS."""
+    perm = [(i, (i + shift) % n_dev) for i in range(n_dev)]
+    return jax.lax.ppermute(x, AXIS, perm)
+
+
+# ---------------------------------------------------------------------------
+# slab geometry
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SlabPlan:
+    n_dev: int
+    local_cap: int       # max owned particles per device
+    halo_cap: int        # max ghosts per side
+    migrate_cap: int     # max migrants per side per rebuild
+    rlist: float
+
+
+def slab_bounds(box_lx, n_dev: int, dev_idx):
+    """[lo, hi) of slab dev_idx in origin-centered global coordinates."""
+    w = box_lx / n_dev
+    lo = -0.5 * box_lx + w * dev_idx
+    return lo, lo + w
+
+
+# ---------------------------------------------------------------------------
+# halo exchange + migration (inside shard_map; shapes are per-device)
+# ---------------------------------------------------------------------------
+
+def halo_exchange(fields: dict, valid_mask, box_lx, plan: SlabPlan):
+    """Collect ghosts from both neighbors.
+
+    fields: per-particle arrays (local_cap, ...), must include 'r'.
+    Returns (ghost fields dict (2*halo_cap, ...), ghost_valid mask, overflow).
+    """
+    me = jax.lax.axis_index(AXIS)
+    lo, hi = slab_bounds(box_lx, plan.n_dev, me.astype(fields["r"].dtype))
+    x = fields["r"][:, 0]
+
+    send_right_mask = valid_mask & (x >= hi - plan.rlist)
+    send_left_mask = valid_mask & (x < lo + plan.rlist)
+
+    right, n_r, ov_r = compact_rows(fields, send_right_mask, plan.halo_cap)
+    left, n_l, ov_l = compact_rows(fields, send_left_mask, plan.halo_cap)
+
+    # ghosts from the left neighbor are what it sent right, and vice versa
+    from_left = {k: _ppermute(v, +1, plan.n_dev) for k, v in right.items()}
+    n_from_left = _ppermute(n_r, +1, plan.n_dev)
+    from_right = {k: _ppermute(v, -1, plan.n_dev) for k, v in left.items()}
+    n_from_right = _ppermute(n_l, -1, plan.n_dev)
+
+    ghosts = {k: jnp.concatenate([from_left[k], from_right[k]], axis=0)
+              for k in fields}
+    idx = jnp.arange(plan.halo_cap)
+    gmask = jnp.concatenate([idx < n_from_left, idx < n_from_right])
+    overflow = ov_r | ov_l
+    return ghosts, gmask, overflow
+
+
+def migrate(fields: dict, valid_mask, box_lx, plan: SlabPlan):
+    """Move particles whose x left this slab to the neighbor that owns it.
+
+    Assumes at most one slab hop per call (flagged otherwise).  Returns
+    (new fields, new valid mask, count, overflow)."""
+    me = jax.lax.axis_index(AXIS)
+    x = fields["r"][:, 0]
+    dtype = fields["r"].dtype
+    w = box_lx / plan.n_dev
+    dest = jnp.floor((x / box_lx + 0.5) * plan.n_dev).astype(jnp.int32)
+    dest = jnp.clip(dest, 0, plan.n_dev - 1)
+
+    stay = valid_mask & (dest == me)
+    go_right = valid_mask & (dest == (me + 1) % plan.n_dev) & (plan.n_dev > 1)
+    go_left = valid_mask & (dest == (me - 1) % plan.n_dev) & (plan.n_dev > 1)
+    lost = valid_mask & ~(stay | go_right | go_left)   # >1 hop: flag
+
+    right, n_r, ov_r = compact_rows(fields, go_right, plan.migrate_cap)
+    left, n_l, ov_l = compact_rows(fields, go_left, plan.migrate_cap)
+    from_left = {k: _ppermute(v, +1, plan.n_dev) for k, v in right.items()}
+    n_from_left = _ppermute(n_r, +1, plan.n_dev)
+    from_right = {k: _ppermute(v, -1, plan.n_dev) for k, v in left.items()}
+    n_from_right = _ppermute(n_l, -1, plan.n_dev)
+
+    # merged candidate pool: kept + received (static size), then re-pack
+    idx = jnp.arange(plan.migrate_cap)
+    pool = {k: jnp.concatenate(
+        [fields[k], from_left[k], from_right[k]], axis=0) for k in fields}
+    pool_mask = jnp.concatenate([stay, idx < n_from_left, idx < n_from_right])
+    packed, count, ov_pack = compact_rows(pool, pool_mask, plan.local_cap)
+    overflow = ov_r | ov_l | ov_pack | jnp.any(lost)
+    new_mask = jnp.arange(plan.local_cap) < count
+    return packed, new_mask, count, overflow
+
+
+# ---------------------------------------------------------------------------
+# sharded initial distribution (host side)
+# ---------------------------------------------------------------------------
+
+def distribute(arrays: dict, box_lx: float, plan: SlabPlan):
+    """Split host arrays by x-slab into flat (n_dev*local_cap, ...) buffers
+    (sharded on axis 0 -> per-device shape is exactly (local_cap, ...))."""
+    x = np.asarray(arrays["r"])[:, 0]
+    dest = np.clip(np.floor((x / box_lx + 0.5) * plan.n_dev).astype(int),
+                   0, plan.n_dev - 1)
+    out = {}
+    counts = np.zeros(plan.n_dev, dtype=np.int32)
+    for d in range(plan.n_dev):
+        counts[d] = int((dest == d).sum())
+        if counts[d] > plan.local_cap:
+            raise ValueError(f"slab {d} needs {counts[d]} > cap {plan.local_cap}")
+    for k, a in arrays.items():
+        a = np.asarray(a)
+        buf = np.zeros((plan.n_dev, plan.local_cap) + a.shape[1:], dtype=a.dtype)
+        for d in range(plan.n_dev):
+            sel = a[dest == d]
+            buf[d, : len(sel)] = sel
+        out[k] = buf.reshape((plan.n_dev * plan.local_cap,) + a.shape[1:])
+    mask = (np.arange(plan.local_cap)[None, :] < counts[:, None]).reshape(-1)
+    return out, mask, counts
+
+
+def collect(fields: dict, mask, plan: SlabPlan) -> dict:
+    """Gather flat sharded buffers back to host, dropping invalid rows."""
+    m = np.asarray(mask)
+    return {k: np.asarray(v)[m] for k, v in fields.items()}

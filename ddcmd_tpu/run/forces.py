@@ -1,0 +1,77 @@
+"""Force orchestration: one fused force function from all potentials.
+
+ddcenergy analog (/root/reference/src/ddcenergy.c:160-238): evaluate
+every POTENTIAL on the current state and accumulate force/energy/virial.
+Here all terms fuse into one jitted function (XLA fuses the elementwise
+chains into the neighbor gathers).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.system import SystemDef
+from ..potentials.martini import martini_device_tables, martini_nonbond
+from ..potentials.pair import pair_device_tables, pair_lj
+
+
+def build_force_fn(sysdef: SystemDef, dtype=jnp.float32):
+    """Returns force_fn(state, box, nbr_idx) -> (f, e_pot, virial, pe)."""
+    terms = []
+    for ptype, name, parms in sysdef.potentials:
+        if ptype == "MARTINI":
+            tables = martini_device_tables(parms, dtype=dtype)
+            tmap = jnp.asarray(parms.species_lj_type)
+
+            def martini_term(state, box, nbr_idx, tables=tables, tmap=tmap):
+                tidx = tmap[state.species]
+                f, e, virial, pe, _ = martini_nonbond(
+                    state.r, state.q, tidx, state.fmask, nbr_idx,
+                    box.lengths, tables)
+                return f, e, virial, pe
+
+            terms.append(martini_term)
+        elif ptype == "PAIR":
+            tables = pair_device_tables(parms, dtype=dtype)
+
+            def pair_term(state, box, nbr_idx, tables=tables):
+                return pair_lj(state.r, state.species, state.fmask, nbr_idx,
+                               box.lengths, tables)
+
+            terms.append(pair_term)
+        elif ptype == "RESTRAINT":
+            from ..potentials.restraint import restraint_eval
+
+            # map restrained gids -> state rows (host, once)
+            gid64 = sysdef.state.gid64()
+            row_of = {int(g): i for i, g in enumerate(gid64)}
+            rows = jnp.asarray([row_of[int(g)] for g in parms.gids], dtype=jnp.int32)
+            r0 = jnp.asarray(parms.r0, dtype=dtype)
+            kb = jnp.asarray(parms.kb, dtype=dtype)
+            am = jnp.asarray(parms.axis_mask, dtype=dtype)
+
+            def restraint_term(state, box, nbr_idx, rows=rows, r0=r0, kb=kb, am=am):
+                return restraint_eval(state.r, state.fmask, box.lengths, rows, r0, kb, am)
+
+            terms.append(restraint_term)
+        elif ptype == "NONE":
+            continue
+        else:
+            raise NotImplementedError(f"force term {ptype}")
+
+    def force_fn(state, box, nbr_idx):
+        n_pad = state.n_pad
+        f = jnp.zeros((n_pad, 3), dtype=dtype)
+        pe = jnp.zeros((n_pad,), dtype=dtype)
+        e = jnp.zeros((), dtype=dtype)
+        virial = jnp.zeros((3, 3), dtype=dtype)
+        for term in terms:
+            tf, te, tv, tpe = term(state, box, nbr_idx)
+            f = f + tf
+            e = e + te
+            virial = virial + tv
+            pe = pe + tpe
+        return f, e, virial, pe
+
+    return force_fn

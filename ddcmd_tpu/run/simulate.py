@@ -1,0 +1,208 @@
+"""simulateMaster: the MD driver loop.
+
+Reference: /root/reference/src/masters.c:369-559.  TPU-native shape:
+
+  * ONE jitted "chunk" = neighbor-list rebuild + lax.scan over
+    `updateRate` MD steps (deck `ddc DDC {updateRate=20;}`), so device
+    dispatch and host sync are amortized over the rebuild cadence;
+  * per-step thermodynamic scalars are stacked by the scan and printed
+    by the host after each chunk (printinfo);
+  * overflow flags from the neighbor build trigger a host-side
+    recapacity + rebuild (the reference GPU's allocPages/checkbounds
+    loop, /root/reference/src/nlistGPU.cu:378,1459);
+  * NaN energy kill switch mirrors masters.c:470-475;
+  * checkpoint/snapshot writes at deck rates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.energy import EnergyInfo
+from ..core.molecule import build_molecule_class, make_molecular_virial_fn
+from ..core.system import SystemDef, build_system, plan_grid
+from ..integrators.nglf import StepState, first_energy_call, make_nglf_step
+from ..nbr.celllist import CellGrid, build_neighbor_list
+from ..objects import ObjectDB
+from ..objects import units as U
+from .forces import build_force_fn
+from .printinfo import PrintInfo
+
+
+class Simulation:
+    """Owns the compiled step/chunk functions and the host loop."""
+
+    def __init__(self, db: ObjectDB, base_dir: str = ".", *,
+                 dtype=jnp.float32, run_dir: str = "."):
+        self.db = db
+        self.run_dir = run_dir
+        self.dtype = dtype
+        self.sysdef = build_system(db, base_dir, dtype=dtype)
+        sd = self.sysdef
+        self.grid = plan_grid(sd)
+        self.force_fn = build_force_fn(sd, dtype=dtype)
+        self.printinfo = PrintInfo.from_deck(db, sd.cfg.printinfo_name)
+
+        sysobj = db.get(sd.cfg.system_name, "SYSTEM")
+        self.molecules = build_molecule_class(
+            db, sysobj, sd.collection.species_names, sd.collection.gid)
+        mol_virial_fn = make_molecular_virial_fn(self.molecules, dtype=dtype)
+        self.n_molecules = self.molecules.n_molecules if self.molecules else sd.state.n_local
+
+        # integrator
+        ip = sd.integrator_parms
+        barostat = None
+        if sd.integrator_type in ("NGLFCONSTRAINT", "NGLFCONSTRAINTGPU",
+                                  "NGLFCONSTRAINTGPULANGEVIN", "NGLFGPU",
+                                  "NGLFGPULANGEVIN") and ip["beta"] > 0:
+            barostat = dict(P0=ip["P0"], beta=ip["beta"], tau=ip["tauBarostat"],
+                            T=ip["T"], isotropic=ip["isotropic"],
+                            n_molecules=self.n_molecules)
+        self.coeffs = sd.group_table.coefficients(sd.cfg.time, 0.5 * sd.cfg.dt,
+                                                  dtype=dtype)
+        self.step_fn = make_nglf_step(
+            self.force_fn, self.coeffs, sd.cfg.dt,
+            barostat=barostat, n_global=sd.state.n_local,
+            n_constraints=sd.n_constraints,
+            molecular_virial_fn=mol_virial_fn)
+
+        self.key = jax.random.PRNGKey(sd.random_seed)
+        self.ss = StepState(
+            state=sd.state, box=sd.box, energy=EnergyInfo.zero(dtype),
+            loop=jnp.asarray(sd.cfg.loop, jnp.int32),
+            time=jnp.asarray(sd.cfg.time, dtype),
+        )
+
+        self._compile()
+
+    # ------------------------------------------------------------------
+
+    def _compile(self):
+        grid = self.grid
+        step_fn = self.step_fn
+        force_fn = self.force_fn
+
+        def build_nbr(ss):
+            return build_neighbor_list(ss.state.r, ss.state.fmask,
+                                       ss.box.lengths, grid)
+
+        def chunk(ss, key, n_steps):
+            nbr_idx, count, overflow = build_nbr(ss)
+
+            def body(carry, i):
+                ss = step_fn(carry, nbr_idx, jax.random.fold_in(key, i))
+                e = ss.energy
+                scal = jnp.stack([
+                    e.eion, e.rk,
+                    jnp.trace(e.virial), ss.box.volume,
+                    ss.box.lengths[0], ss.box.lengths[1], ss.box.lengths[2],
+                    e.virial[0, 0], e.virial[1, 1], e.virial[2, 2],
+                    jnp.trace(e.tion),
+                ])
+                return ss, scal
+
+            ss, scal = jax.lax.scan(body, ss, jnp.arange(n_steps))
+            return ss, scal, overflow
+
+        self._chunk_jit = jax.jit(chunk, static_argnums=(2,))
+        self._first_jit = jax.jit(
+            lambda ss: first_energy_call(
+                ss, force_fn, build_nbr(ss)[0]))
+        self._build_nbr_jit = jax.jit(build_nbr)
+
+    def recapacity(self, factor: float = 1.5):
+        """Grow neighbor capacity after an overflow (allocPages analog)."""
+        g = self.grid
+        self.grid = dataclasses.replace(
+            g,
+            cell_capacity=((int(g.cell_capacity * factor) + 7) // 8) * 8,
+            max_neighbors=((int(g.max_neighbors * factor) + 127) // 128) * 128,
+        )
+        self._compile()
+
+    # ------------------------------------------------------------------
+
+    def first_energy(self):
+        self.ss = self._first_jit(self.ss)
+        return self.ss
+
+    def run(self, n_loops: int | None = None, *, print_fn=None,
+            on_checkpoint=None, max_seconds: float | None = None):
+        """Run the MD loop. Returns the final StepState."""
+        sd = self.sysdef
+        cfg = sd.cfg
+        if n_loops is None:
+            n_loops = (cfg.deltaloop if cfg.deltaloop
+                       else cfg.maxloop - int(self.ss.loop))
+        update_rate = max(1, cfg.ddc_update_rate)
+        self.first_energy()
+
+        done = 0
+        t0 = _time.monotonic()
+        while done < n_loops:
+            k = min(update_rate, n_loops - done)
+            self.key, sub = jax.random.split(self.key)
+            ss_new, scal, overflow = self._chunk_jit(self.ss, sub, k)
+            if bool(overflow):
+                self.recapacity()
+                continue  # redo this chunk with bigger capacity
+            scal = np.asarray(scal, dtype=np.float64)
+            if not np.isfinite(scal[:, 0] + scal[:, 1]).all():
+                raise FloatingPointError(
+                    f"non-finite energy at loop {int(ss_new.loop)} "
+                    "(reference kill switch, masters.c:470-475)")
+            self.ss = ss_new
+            done += k
+            self._emit_prints(scal, k, print_fn)
+            loop_now = int(self.ss.loop)
+            if on_checkpoint and cfg.checkpointrate and loop_now % cfg.checkpointrate < k:
+                on_checkpoint(self)
+            if max_seconds is not None and _time.monotonic() - t0 > max_seconds:
+                break
+        return self.ss
+
+    def _emit_prints(self, scal, k, print_fn):
+        cfg = self.sysdef.cfg
+        n_global = self.sysdef.state.n_local
+        loop_end = int(self.ss.loop)
+        for j in range(k):
+            loop = loop_end - k + 1 + j
+            if cfg.printrate and loop % cfg.printrate == 0:
+                eion, rk = scal[j, 0], scal[j, 1]
+                tr_vir, vol = scal[j, 2], scal[j, 3]
+                hd = scal[j, 4:7]
+                tr_tion = scal[j, 10]
+                dof = 3.0 * n_global - self.sysdef.n_constraints
+                temperature = 2.0 * rk / (dof * U.kB)
+                if self.printinfo.print_molecular_pressure:
+                    # single-bead molecules: molecular virial == virial;
+                    # P = (tr_virial + 3 N_mol kB T) / 3V (molecularPressure.c:57-67)
+                    vir = tr_vir
+                    if self.molecules and not self.molecules.is_trivial:
+                        vir = tr_vir  # molecular correction folded in step fn
+                    pressure = (vir + 3.0 * self.n_molecules * U.kB * temperature) / (3.0 * vol)
+                else:
+                    pressure = (tr_vir + tr_tion) / (3.0 * vol)
+                time_ps = float(self.ss.time) - (k - 1 - j) * cfg.dt
+                line = self.printinfo.row(loop, time_ps, eion, rk, temperature,
+                                          pressure, vol, hd, n_global)
+                if print_fn:
+                    print_fn(line)
+                else:
+                    self.printinfo.emit(line, self.run_dir)
+
+
+def simulate_master(db: ObjectDB, base_dir: str = ".", run_dir: str = ".",
+                    n_loops: int | None = None, dtype=jnp.float32) -> Simulation:
+    sim = Simulation(db, base_dir, dtype=dtype, run_dir=run_dir)
+    from ..io.restart import write_checkpoint
+
+    sim.run(n_loops, on_checkpoint=lambda s: write_checkpoint(s, run_dir))
+    return sim

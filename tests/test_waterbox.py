@@ -1,0 +1,96 @@
+"""End-to-end waterbox tests: the reference's de-facto fixture
+(/root/reference/examples/waterbox) driven through the full stack."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddcmd_tpu.objects import ObjectDB
+from ddcmd_tpu.objects import units as U
+from ddcmd_tpu.run.cli import load_db
+from ddcmd_tpu.run.simulate import Simulation
+from ddcmd_tpu.transforms.thermalize import thermalize_velocities
+
+
+def waterbox_db(waterbox_dir):
+    return load_db([str(waterbox_dir / "object.data")],
+                   str(waterbox_dir / "snapshot.mem" / "restart"),
+                   str(waterbox_dir))
+
+
+@pytest.fixture(scope="module")
+def wb_db(waterbox_dir):
+    return waterbox_db(waterbox_dir)
+
+
+def test_waterbox_nvt_npt_runs(wb_db, waterbox_dir, tmp_path):
+    sim = Simulation(wb_db, str(waterbox_dir), run_dir=str(tmp_path))
+    lines = []
+    sim.run(12, print_fn=lines.append)
+    assert int(sim.ss.loop) == 12
+    e = sim.ss.energy
+    assert np.isfinite(float(e.eion)) and np.isfinite(float(e.rk))
+    # Langevin from v=0: temperature must rise toward 310K
+    T = float(e.temperature(sim.sysdef.state.n_local))
+    assert 10.0 < T < 400.0
+    # Epot/bead in the physical ballpark for Martini water (kJ/mol)
+    epot_per_bead = float(e.eion) / sim.sysdef.state.n_local
+    assert -40.0 < epot_per_bead < -15.0
+    assert len(lines) == 12
+
+
+def test_waterbox_nve_energy_conservation(waterbox_dir):
+    """NVE drift check in f64 (BASELINE.md's matching-energy-drift metric).
+
+    Swap Langevin groups for FREE, disable the barostat, thermalize to
+    310K, run 100 x 20fs steps: total energy must be conserved."""
+    db = waterbox_db(waterbox_dir)
+    for gname in ("group", "free"):
+        db.get(gname, "GROUP").keywords["type"] = ["FREE"]
+    nglf = db.get("nglf", "INTEGRATOR")
+    nglf.keywords["type"] = ["NGLF"]
+    nglf.keywords["beta"] = ["0.0"]
+
+    sim = Simulation(db, str(waterbox_dir), dtype=jnp.float64)
+    sd = sim.sysdef
+    n = sd.state.n_local
+    mass = np.asarray(sd.state.mass[:n], dtype=np.float64)
+    v = thermalize_velocities(mass, 310.0, seed=42)
+    v_pad = np.zeros((sd.state.n_pad, 3))
+    v_pad[:n] = v
+    sim.ss = sim.ss.replace(state=sim.ss.state.replace(
+        v=jnp.asarray(v_pad, dtype=jnp.float64)))
+
+    sim.first_energy()
+    e0 = float(sim.ss.energy.eion) + float(sim.ss.energy.rk)
+    sim.run(100, print_fn=lambda s: None)
+    e1 = float(sim.ss.energy.eion) + float(sim.ss.energy.rk)
+    drift = abs(e1 - e0) / n  # kJ/mol per bead over 2 ps
+    assert drift < 5e-3, f"NVE energy drift too large: {drift} kJ/mol/bead"
+
+
+def test_waterbox_checkpoint_roundtrip(wb_db, waterbox_dir, tmp_path):
+    from ddcmd_tpu.io.restart import write_checkpoint
+
+    sim = Simulation(wb_db, str(waterbox_dir), run_dir=str(tmp_path))
+    sim.run(5, print_fn=lambda s: None)
+    snapdir = write_checkpoint(sim, str(tmp_path))
+    assert os.path.islink(tmp_path / "restart")
+
+    db2 = load_db([str(waterbox_dir / "object.data")],
+                  str(tmp_path / "restart"), str(waterbox_dir))
+    # collection files path is relative to run dir now
+    sim2 = Simulation(db2, str(tmp_path), run_dir=str(tmp_path))
+    assert int(sim2.ss.loop) == 5
+    n = sim.sysdef.state.n_local
+    r1 = np.asarray(sim.ss.state.r[:n])
+    r2 = np.asarray(sim2.ss.state.r[:n])
+    # written in %21.13e Ang: expect agreement to ~1e-6 nm
+    assert np.abs(r1 - r2).max() < 1e-5
+    v1 = np.asarray(sim.ss.state.v[:n])
+    v2 = np.asarray(sim2.ss.state.v[:n])
+    assert np.abs(v1 - v2).max() < 1e-5
