@@ -36,14 +36,16 @@ def main():
     sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp")
     dt_fs = sim.sysdef.cfg.dt * 1e3
 
+    n_steps = int(os.environ.get("BENCH_STEPS", "4000"))
+    dispatch = int(os.environ.get("BENCH_DISPATCH", "1600"))
+
     sim.first_energy()
-    # warmup: compile + one chunk
-    sim.run(40, print_fn=lambda s: None)
+    # warmup: compile the dispatch-sized program + run one of them
+    sim.run(dispatch, print_fn=lambda s: None, max_steps_per_dispatch=dispatch)
     jax.block_until_ready(sim.ss.state.r)
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "2000"))
     t0 = time.perf_counter()
-    sim.run(n_steps, print_fn=lambda s: None)
+    sim.run(n_steps, print_fn=lambda s: None, max_steps_per_dispatch=dispatch)
     jax.block_until_ready(sim.ss.state.r)
     elapsed = time.perf_counter() - t0
 

@@ -50,13 +50,18 @@ class StepState:
 def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
                    barostat=None, n_global: int, n_constraints: int = 0,
                    constraint_fn: Callable | None = None,
-                   molecular_virial_fn: Callable | None = None):
+                   molecular_virial_fn: Callable | None = None,
+                   wrap_positions: bool = True):
     """Build the jittable MD step.
 
     force_fn(state, box, nbr_idx) -> (f (N,3), e_pot, virial (3,3), pe (N,))
     barostat: None or dict(P0=..., beta=..., tau=..., T=..., isotropic=bool)
     constraint_fn(state, dt, mode) -> state with projected velocities
     molecular_virial_fn(state, box, virial) -> corrected molecular virial
+    wrap_positions: wrap into the box after drift (backInBox, nglf.c:90).
+      MUST be False for the cell-block pair engine, whose static image
+      shifts require positions to stay consistent with the rebuild-time
+      cell assignment -- the driver wraps at each rebuild instead.
     """
 
     def step(ss: StepState, nbr_idx, key) -> StepState:
@@ -97,9 +102,10 @@ def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
             v = constraint_fn(state.replace(v=v), dt, "front").v
         state = state.replace(v=v)
 
-        # --- drift + wrap --------------------------------------------------
+        # --- drift (+ wrap unless the pair engine forbids it) ---------------
         r = state.r + dt * state.v
-        r = box.back_in_box(r)
+        if wrap_positions:
+            r = box.back_in_box(r)
         state = state.replace(r=r)
 
         # --- forces ---------------------------------------------------------

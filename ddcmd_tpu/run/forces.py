@@ -12,32 +12,57 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.system import SystemDef
+from ..ops.cellpair import cellpair_eval
 from ..potentials.martini import martini_device_tables, martini_nonbond
 from ..potentials.pair import pair_device_tables, pair_lj
 
 
-def build_force_fn(sysdef: SystemDef, dtype=jnp.float32):
-    """Returns force_fn(state, box, nbr_idx) -> (f, e_pot, virial, pe)."""
+def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellblock",
+                   grid=None):
+    """Returns force_fn(state, box, handle) -> (f, e_pot, virial, pe).
+
+    engine 'cellblock': handle is the slot permutation from
+    ops.cellpair.build_cell_slots (the TPU hot path, MXU cell blocks).
+    engine 'nlist': handle is the (N,K) neighbor index list (validation
+    path, also used by the sharded slab step)."""
     terms = []
     for ptype, name, parms in sysdef.potentials:
         if ptype == "MARTINI":
             tables = martini_device_tables(parms, dtype=dtype)
             tmap = jnp.asarray(parms.species_lj_type)
 
-            def martini_term(state, box, nbr_idx, tables=tables, tmap=tmap):
-                tidx = tmap[state.species]
-                f, e, virial, pe, _ = martini_nonbond(
-                    state.r, state.q, tidx, state.fmask, nbr_idx,
-                    box.lengths, tables)
-                return f, e, virial, pe
+            if engine == "cellblock":
+                def martini_term(state, box, handle, tables=tables, tmap=tmap):
+                    tidx = tmap[state.species]
+                    f, e, virial, pe = cellpair_eval(
+                        state.r, state.q, tidx, handle, box.lengths, grid,
+                        tables, coulomb=True)
+                    e_self_i = (-0.5 * state.q * state.q * state.fmask
+                                * tables["keR"] * tables["crf"])
+                    return f, e + jnp.sum(e_self_i), virial, pe + e_self_i
+            else:
+                def martini_term(state, box, handle, tables=tables, tmap=tmap):
+                    tidx = tmap[state.species]
+                    f, e, virial, pe, _ = martini_nonbond(
+                        state.r, state.q, tidx, state.fmask, handle,
+                        box.lengths, tables)
+                    return f, e, virial, pe
 
             terms.append(martini_term)
         elif ptype == "PAIR":
             tables = pair_device_tables(parms, dtype=dtype)
 
-            def pair_term(state, box, nbr_idx, tables=tables):
-                return pair_lj(state.r, state.species, state.fmask, nbr_idx,
-                               box.lengths, tables)
+            if engine == "cellblock":
+                lj_tables = dict(tables)
+
+                def pair_term(state, box, handle, tables=lj_tables):
+                    return cellpair_eval(
+                        state.r, state.q, state.species, handle, box.lengths,
+                        grid, tables, coulomb=False)
+            else:
+                def pair_term(state, box, handle, tables=tables):
+                    return pair_lj(state.r, state.species, state.fmask, handle,
+                                   box.lengths, tables)
 
             terms.append(pair_term)
         elif ptype == "RESTRAINT":

@@ -40,14 +40,23 @@ class Simulation:
     """Owns the compiled step/chunk functions and the host loop."""
 
     def __init__(self, db: ObjectDB, base_dir: str = ".", *,
-                 dtype=jnp.float32, run_dir: str = "."):
+                 dtype=jnp.float32, run_dir: str = ".", engine: str = "cellblock"):
         self.db = db
         self.run_dir = run_dir
         self.dtype = dtype
+        self.engine = engine
         self.sysdef = build_system(db, base_dir, dtype=dtype)
         sd = self.sysdef
-        self.grid = plan_grid(sd)
-        self.force_fn = build_force_fn(sd, dtype=dtype)
+        if engine == "cellblock":
+            from ..ops.cellpair import CellBlockGrid
+
+            self.grid = CellBlockGrid.plan(
+                np.asarray(sd.box.lengths, dtype=np.float64),
+                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local)
+        else:
+            self.grid = plan_grid(sd)
+        self.force_fn = build_force_fn(sd, dtype=dtype, engine=engine,
+                                       grid=self.grid)
         self.printinfo = PrintInfo.from_deck(db, sd.cfg.printinfo_name)
 
         sysobj = db.get(sd.cfg.system_name, "SYSTEM")
@@ -67,11 +76,9 @@ class Simulation:
                             n_molecules=self.n_molecules)
         self.coeffs = sd.group_table.coefficients(sd.cfg.time, 0.5 * sd.cfg.dt,
                                                   dtype=dtype)
-        self.step_fn = make_nglf_step(
-            self.force_fn, self.coeffs, sd.cfg.dt,
-            barostat=barostat, n_global=sd.state.n_local,
-            n_constraints=sd.n_constraints,
-            molecular_virial_fn=mol_virial_fn)
+        self._barostat = barostat
+        self._mol_virial_fn = mol_virial_fn
+        self._rebuild_step_fn()
 
         self.key = jax.random.PRNGKey(sd.random_seed)
         self.ss = StepState(
@@ -84,17 +91,40 @@ class Simulation:
 
     # ------------------------------------------------------------------
 
+    def _rebuild_step_fn(self):
+        sd = self.sysdef
+        self.step_fn = make_nglf_step(
+            self.force_fn, self.coeffs, sd.cfg.dt,
+            barostat=self._barostat, n_global=sd.state.n_local,
+            n_constraints=sd.n_constraints,
+            molecular_virial_fn=self._mol_virial_fn,
+            wrap_positions=(self.engine != "cellblock"))
+
     def _compile(self):
         grid = self.grid
         step_fn = self.step_fn
         force_fn = self.force_fn
 
-        def build_nbr(ss):
-            return build_neighbor_list(ss.state.r, ss.state.fmask,
-                                       ss.box.lengths, grid)
+        if self.engine == "cellblock":
+            from ..ops.cellpair import build_cell_slots
 
-        def chunk(ss, key, n_steps):
-            nbr_idx, count, overflow = build_nbr(ss)
+            def build_nbr(ss):
+                # wrap at rebuild; steps between rebuilds leave positions
+                # unwrapped so the cell-block image shifts stay exact
+                r = ss.box.back_in_box(ss.state.r)
+                ss = ss.replace(state=ss.state.replace(r=r))
+                perm, overflow = build_cell_slots(
+                    r, ss.state.fmask, ss.box.lengths, grid)
+                return ss, perm, overflow
+        else:
+            def build_nbr(ss):
+                nbr_idx, _, overflow = build_neighbor_list(
+                    ss.state.r, ss.state.fmask, ss.box.lengths, grid)
+                return ss, nbr_idx, overflow
+
+        def rebuild_block(ss, key, n_steps):
+            """One neighbor rebuild + n_steps MD steps (all on device)."""
+            ss, nbr_idx, overflow = build_nbr(ss)
 
             def body(carry, i):
                 ss = step_fn(carry, nbr_idx, jax.random.fold_in(key, i))
@@ -111,20 +141,44 @@ class Simulation:
             ss, scal = jax.lax.scan(body, ss, jnp.arange(n_steps))
             return ss, scal, overflow
 
-        self._chunk_jit = jax.jit(chunk, static_argnums=(2,))
-        self._first_jit = jax.jit(
-            lambda ss: first_energy_call(
-                ss, force_fn, build_nbr(ss)[0]))
+        def superchunk(ss, key, n_rebuilds, steps_per_rebuild):
+            """Scan over rebuild blocks: ONE dispatch per
+            n_rebuilds*steps_per_rebuild MD steps.  The neighbor rebuild
+            runs on-device inside the scan; overflow flags are OR-reduced
+            and checked on the host after the fact (rare path -> redo)."""
+
+            def block(carry, j):
+                ss, ov = carry
+                ss, scal, ov_j = rebuild_block(ss, jax.random.fold_in(key, j),
+                                               steps_per_rebuild)
+                return (ss, ov | ov_j), scal
+
+            (ss, overflow), scal = jax.lax.scan(
+                block, (ss, jnp.asarray(False)), jnp.arange(n_rebuilds))
+            return ss, scal.reshape(-1, scal.shape[-1]), overflow
+
+        def first(ss):
+            ss, handle, _ = build_nbr(ss)
+            return first_energy_call(ss, force_fn, handle)
+
+        self._chunk_jit = jax.jit(superchunk, static_argnums=(2, 3))
+        self._first_jit = jax.jit(first)
         self._build_nbr_jit = jax.jit(build_nbr)
 
     def recapacity(self, factor: float = 1.5):
         """Grow neighbor capacity after an overflow (allocPages analog)."""
         g = self.grid
-        self.grid = dataclasses.replace(
-            g,
-            cell_capacity=((int(g.cell_capacity * factor) + 7) // 8) * 8,
-            max_neighbors=((int(g.max_neighbors * factor) + 127) // 128) * 128,
-        )
+        if self.engine == "cellblock":
+            self.grid = g.with_cap(int(g.cap * factor))
+            self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,
+                                           engine=self.engine, grid=self.grid)
+            self._rebuild_step_fn()
+        else:
+            self.grid = dataclasses.replace(
+                g,
+                cell_capacity=((int(g.cell_capacity * factor) + 7) // 8) * 8,
+                max_neighbors=((int(g.max_neighbors * factor) + 127) // 128) * 128,
+            )
         self._compile()
 
     # ------------------------------------------------------------------
@@ -134,8 +188,15 @@ class Simulation:
         return self.ss
 
     def run(self, n_loops: int | None = None, *, print_fn=None,
-            on_checkpoint=None, max_seconds: float | None = None):
-        """Run the MD loop. Returns the final StepState."""
+            on_checkpoint=None, max_seconds: float | None = None,
+            max_steps_per_dispatch: int = 400):
+        """Run the MD loop. Returns the final StepState.
+
+        Dispatch granularity: ceil(k / updateRate) rebuild blocks per
+        jitted call, where k is bounded by checkpoint cadence and
+        max_steps_per_dispatch -- the tunneled TPU pays a host round
+        trip per dispatch, so bigger is faster until compile time and
+        print latency push back."""
         sd = self.sysdef
         cfg = sd.cfg
         if n_loops is None:
@@ -147,9 +208,20 @@ class Simulation:
         done = 0
         t0 = _time.monotonic()
         while done < n_loops:
-            k = min(update_rate, n_loops - done)
+            k = min(n_loops - done, max_steps_per_dispatch)
+            if on_checkpoint and cfg.checkpointrate:
+                loop_now = int(self.ss.loop)
+                to_ckpt = cfg.checkpointrate - (loop_now % cfg.checkpointrate)
+                k = min(k, to_ckpt)
+            if k >= update_rate:
+                spr = update_rate
+                n_rebuilds = k // update_rate
+            else:
+                spr = k
+                n_rebuilds = 1
+            k = n_rebuilds * spr
             self.key, sub = jax.random.split(self.key)
-            ss_new, scal, overflow = self._chunk_jit(self.ss, sub, k)
+            ss_new, scal, overflow = self._chunk_jit(self.ss, sub, n_rebuilds, spr)
             if bool(overflow):
                 self.recapacity()
                 continue  # redo this chunk with bigger capacity
@@ -162,7 +234,7 @@ class Simulation:
             done += k
             self._emit_prints(scal, k, print_fn)
             loop_now = int(self.ss.loop)
-            if on_checkpoint and cfg.checkpointrate and loop_now % cfg.checkpointrate < k:
+            if on_checkpoint and cfg.checkpointrate and loop_now % cfg.checkpointrate == 0:
                 on_checkpoint(self)
             if max_seconds is not None and _time.monotonic() - t0 > max_seconds:
                 break

@@ -19,7 +19,7 @@ def testforce_master(db, base_dir=".", *, dtype=jnp.float32, n_samples=8,
                      h=1e-4, rel_tol=5e-3, verbose=True):
     sd = build_system(db, base_dir, dtype=dtype)
     grid = plan_grid(sd)
-    force_fn = build_force_fn(sd, dtype=dtype)
+    force_fn = build_force_fn(sd, dtype=dtype, engine="nlist")
     state, box = sd.state, sd.box
 
     nbr_idx, _, overflow = build_neighbor_list(state.r, state.fmask, box.lengths, grid)

@@ -1,0 +1,62 @@
+"""Cell-blocked MXU pair engine vs the (N,K) list engine: identical physics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ddcmd_tpu.nbr.celllist import CellGrid, build_neighbor_list
+from ddcmd_tpu.ops.cellpair import CellBlockGrid, build_cell_slots, cellpair_eval
+from ddcmd_tpu.potentials.martini import martini_nonbond
+
+from tests.test_nbr_martini import make_system
+
+
+@pytest.mark.parametrize("charged", [False, True])
+def test_cellpair_matches_nlist(charged):
+    r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
+        n=200, L=4.2, seed=7, charged=charged)
+    n = len(r)
+    L = 4.2
+    skin = 0.3
+    tables = dict(
+        sigma=jnp.asarray(sigma, jnp.float32), eps=jnp.asarray(eps, jnp.float32),
+        shift=jnp.asarray(shift, jnp.float32), rcut2=jnp.asarray(rcut ** 2, jnp.float32),
+        krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
+        keR=jnp.asarray(keR, jnp.float32))
+    rj = jnp.asarray(r, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    tj = jnp.asarray(tidx, jnp.int32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    fmask = jnp.ones(n, jnp.float32)
+
+    # list engine
+    grid1 = CellGrid.plan([L] * 3, rcut, skin, n, n)
+    nbr, _, ov1 = build_neighbor_list(rj, fmask, Lv, grid1)
+    assert not bool(ov1)
+    f1, e1, v1, pe1, _ = martini_nonbond(rj, qj, tj, fmask, nbr, Lv, tables)
+
+    # cell-block engine (no RF self term in either call here)
+    grid2 = CellBlockGrid.plan([L] * 3, rcut, skin, n)
+    perm, ov2 = build_cell_slots(rj, fmask, Lv, grid2)
+    assert not bool(ov2)
+    f2, e2, v2, pe2 = cellpair_eval(rj, qj, tj, perm, Lv, grid2, tables,
+                                    coulomb=charged)
+    e_self = -0.5 * float(jnp.sum(qj * qj)) * keR * crf if charged else 0.0
+
+    scale = max(1.0, float(jnp.abs(f1).max()))
+    assert float(jnp.abs(f2 - f1).max()) / scale < 2e-5
+    assert float(e2) + e_self == pytest.approx(float(e1), rel=2e-5, abs=1e-3)
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=5e-3, abs=0.5)
+    assert np.asarray(pe2) + (np.asarray(-0.5 * qj * qj * keR * crf) if charged else 0.0) \
+        == pytest.approx(np.asarray(pe1), rel=1e-3, abs=1e-3)
+
+
+def test_cellpair_overflow_flag():
+    # cram particles into one cell: capacity must overflow, not corrupt
+    n = 64
+    r = np.zeros((n, 3), dtype=np.float32)
+    grid = CellBlockGrid.plan([3.0] * 3, 1.0, 0.2, 8)  # planned for 8 particles
+    perm, ov = build_cell_slots(jnp.asarray(r), jnp.ones(n, jnp.float32),
+                                jnp.asarray([3.0] * 3, jnp.float32), grid)
+    assert bool(ov)
