@@ -63,6 +63,7 @@ class SystemDef:
     n_constraints: int = 0
     molecules: object | None = None
     random_seed: int = 0
+    bonded: object | None = None  # potentials.bonded.BondedTerms
 
 
 def _find_simulate(db: ObjectDB) -> SimulateConfig:
@@ -191,6 +192,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
     # Martini species need their LJ type index instead of species index for
     # the nonbond table lookup; build the map here.
     martini = next((p for p in potentials if p[0] == "MARTINI"), None)
+    bonded = None
     if martini is not None:
         parms = martini[2]
         tmap = np.zeros(len(species), dtype=np.int32)
@@ -200,6 +202,15 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
             else:
                 raise DeckError(f"species {s.name} has no MMFF atom type")
         parms.species_lj_type = tmap  # attached for force-builder use
+
+        # covalent topology: residue templates instantiated over the
+        # collection (genMartiniConn analog, bioMartini.c:567-830)
+        from ..potentials.bonded import (compile_residue_types,
+                                         instantiate_bonded, scan_residues)
+
+        res_types = compile_residue_types(db, martini[1], parms.rcut)
+        instances = scan_residues(res_types, col.species_names, col.gid)
+        bonded = instantiate_bonded(res_types, instances, parms.rcut)
 
     # --- neighbor config ----------------------------------------------------------
     nbrobj = db.find(sysobj.get_str("neighbor", "nbr"), "NEIGHBOR")
@@ -217,6 +228,8 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
     )
 
     n_constraints = sysobj.get_int("nConstraints", 0)
+    if bonded is not None and bonded.n_constraints > 0:
+        n_constraints = bonded.n_constraints  # countConstraints analog
 
     # --- random seed ---------------------------------------------------------------
     seed = 0
@@ -233,7 +246,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         potentials=potentials, box=box, state=state, collection=col,
         neighbor_deltaR=deltaR, rcut_max=rcut_max,
         integrator_type=itype, integrator_parms=iparms,
-        n_constraints=n_constraints, random_seed=seed,
+        n_constraints=n_constraints, random_seed=seed, bonded=bonded,
     )
 
 

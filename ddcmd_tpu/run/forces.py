@@ -85,6 +85,29 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
         else:
             raise NotImplementedError(f"force term {ptype}")
 
+    # covalent terms (bonds/angles/torsions/bpairs/exclusion corrections)
+    bt = sysdef.bonded
+    if bt is not None and any(v for k, v in bt.counts().items()
+                              if k not in ("n_constraints", "cons_groups")):
+        from ..objects import units as U
+        from ..potentials.bonded import bonded_eval, device_bonded_tables
+
+        mparms = next(p[2] for p in sysdef.potentials if p[0] == "MARTINI")
+        charges = np.asarray(sysdef.state.q)
+        btab = device_bonded_tables(
+            bt, dtype,
+            lj_sigma=mparms.sigma, lj_eps=mparms.eps, lj_shift=mparms.shift,
+            rcut=mparms.rcut, keR=U.ke / mparms.epsilon_r,
+            charges=charges,
+            species_lj_type=mparms.species_lj_type,
+            species_per_particle=np.asarray(sysdef.state.species))
+        n_pad = sysdef.state.n_pad
+
+        def bonded_term(state, box, nbr_idx, btab=btab, n_pad=n_pad):
+            return bonded_eval(state.r, box.lengths, btab, n_pad, dtype)
+
+        terms.append(bonded_term)
+
     def force_fn(state, box, nbr_idx):
         n_pad = state.n_pad
         f = jnp.zeros((n_pad, 3), dtype=dtype)

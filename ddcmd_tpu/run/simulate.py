@@ -93,11 +93,23 @@ class Simulation:
 
     def _rebuild_step_fn(self):
         sd = self.sysdef
+        constraint_fn = None
+        uses_constraints = ("CONSTRAINT" in sd.integrator_type
+                            or "RATTLE" in sd.integrator_type)
+        if (sd.bonded is not None and sd.bonded.n_constraints > 0
+                and uses_constraints):
+            from ..integrators.constraints import build_constraint_fn
+
+            constraint_fn = build_constraint_fn(
+                sd.bonded.cons_atoms, sd.bonded.cons_pairs,
+                sd.bonded.cons_dist, sd.state.n_pad, self.dtype,
+                box_lengths=np.asarray(sd.box.lengths, dtype=np.float64))
         self.step_fn = make_nglf_step(
             self.force_fn, self.coeffs, sd.cfg.dt,
             barostat=self._barostat, n_global=sd.state.n_local,
             n_constraints=sd.n_constraints,
             molecular_virial_fn=self._mol_virial_fn,
+            constraint_fn=constraint_fn,
             wrap_positions=(self.engine != "cellblock"))
 
     def _compile(self):
