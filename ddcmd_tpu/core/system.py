@@ -225,6 +225,10 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         beta=iobj.get_with_units("beta", "0.0", "1/pressure"),
         tauBarostat=iobj.get_with_units("tauBarostat", "0.0", "t"),
         isotropic=bool(iobj.get_int("isotropic", 0)),
+        # NPTGLF (nptglf_parms, /root/reference/src/nptglf.c:24-31)
+        Gamma=iobj.get_with_units("Gamma", "1.0", "m/l^4"),
+        zeta=iobj.get_with_units("zeta", "1.0", "pressure*t"),
+        pressure=iobj.get_with_units("pressure", "1.0", "pressure"),
     )
 
     n_constraints = sysobj.get_int("nConstraints", 0)

@@ -45,6 +45,9 @@ class StepState:
     energy: EnergyInfo
     loop: jnp.ndarray        # int32
     time: jnp.ndarray        # f32, internal ps
+    # NPTGLF barostat friction variable (restart-persisted in the
+    # reference, integrator.c:173-175); unused by other integrators
+    zeta: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
 
 
 def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
@@ -124,7 +127,7 @@ def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
         energy = EnergyInfo(eion=e_pot, rk=rk, virial=virial, tion=tion,
                             number=jnp.sum(state.fmask))
         return StepState(state=state, box=box, energy=energy,
-                         loop=ss.loop + 1, time=ss.time + dt)
+                         loop=ss.loop + 1, time=ss.time + dt, zeta=ss.zeta)
 
     return step
 
@@ -136,4 +139,5 @@ def first_energy_call(ss: StepState, force_fn, nbr_idx) -> StepState:
     rk, tion = kinetic_terms(state.v, state.mass, state.fmask)
     energy = EnergyInfo(eion=e_pot, rk=rk, virial=virial, tion=tion,
                         number=jnp.sum(state.fmask))
-    return StepState(state=state, box=ss.box, energy=energy, loop=ss.loop, time=ss.time)
+    return StepState(state=state, box=ss.box, energy=energy, loop=ss.loop,
+                     time=ss.time, zeta=ss.zeta)

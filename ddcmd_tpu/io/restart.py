@@ -52,6 +52,10 @@ def write_checkpoint(sim, run_dir: str = ".") -> str:
     with open(os.path.join(snapdir, "restart"), "w") as f:
         f.write(f"simulate SIMULATE {{ loop={loop}; time={time_fs:.6f} ;}}\n")
         f.write(f"box BOX {{\nh={hstr} ;\n}}\n")
+        if sd.integrator_type == "NPTGLF":
+            # zeta is restart-persisted (nptglf_writedynamic, nptglf.c:34)
+            zeta_ext = U.convert(float(ss.zeta), None, "pressure*t")
+            f.write(f"{sd.cfg.integrator_name} INTEGRATOR {{ zeta={zeta_ext:.12e} ; }}\n")
         f.write(f"collection COLLECTION {{ mode=VARRECORDASCII; size={n};"
                 f" files={os.path.basename(snapdir)}/atoms#;}}\n")
 

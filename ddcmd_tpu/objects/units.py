@@ -127,6 +127,12 @@ _add(["MPa"], 10.0 * _BAR, _d(l=-1, m=1, t=-2))
 _add(["GPa"], _GPA, _d(l=-1, m=1, t=-2))
 # misc
 _add(["cc"], 1e21, _d(l=3))  # cm^3
+# ddcMD composite dimension words usable inside unit expressions,
+# valued at the reference's external units (Ang, amu, fs, e, K)
+_add(["pressure"], 1.0 / (0.1 * 1e-3 * 1e-3), _d(l=-1, m=1, t=-2))  # amu/Ang/fs^2
+_add(["energy"], 1.0 / (1e-3 * 1e-3) * 0.01, _d(l=2, m=1, t=-2))    # amu*Ang^2/fs^2
+_add(["velocity"], 0.1 / 1e-3, _d(l=1, t=-1))                        # Ang/fs
+_add(["i"], 1.0 / 1e-3, _d(q=1, t=-1))                               # e/fs (current)
 
 # ddcMD dimension symbols -> external unit (what a bare deck number means).
 # External units per /root/reference/src/ddcMD.c:71-73:

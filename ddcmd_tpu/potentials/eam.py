@@ -1,0 +1,284 @@
+"""EAM (embedded-atom method) potential, pluggable functional forms.
+
+Reference: /root/reference/src/eam.c (two-pass structure, :95-210) with
+forms verified from their sources:
+
+  FS (Finnis-Sinclair, eam_fs.c:197-241):
+      phi  = a exp(c/(r - x) - m ln(r/r0)),   pair energy
+      rho  = b exp(c/(r - x) - n ln(r/r0)),   density contribution
+      F(p) = -sqrt(p)
+  SC (Sutton-Chen, eam_sc.c:38-78):
+      phi = eps (a/r)^n, rho = (a/r)^m, F(p) = -c eps sqrt(p)
+  EXP (Johnson-style, eam_exp.c:75-110):
+      rho_ij = f_e exp(-beta (r/r_e - 1)),  f_e = rho_e/12
+      phi    = phi_e exp(-gamma (r/r_e - 1))
+      F(p)   = E_c (x ln x - x - y), x = (p/p_e)^(alpha/beta),
+               y = (p/p_e)^(gamma/beta);  p_e = E_c/atomvolume
+  AT (Ackland-Thetford, eam_at.c):
+      phi = (r-c)^2 (c0 + c1 r + c2 r^2) [+ B (b0-r)^3 e^{-alpha r}, r<b0]
+      rho = (r-d)^2,  F(p) = -A sqrt(p)
+
+Force combine (eam.c:166-190):
+  (dv/dr)/r = pass2_e(r) + pass2_p(r) * (dF_i + dF_j).
+
+TPU evaluation: both passes ride the same full (N,K) neighbor list
+(gather + masked VPU + row sums; densities are per-row sums so no
+scatter).  A cell-block variant follows the nonbond engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..objects import DeckError, ObjectDB
+from ..objects import units as U
+
+
+@dataclass
+class EamParms:
+    form: str
+    n_species: int
+    rcut: float
+    pair_tables: dict          # form-specific (T,T) parameter arrays
+    embed_tables: dict         # form-specific (T,) parameter arrays
+
+
+def compile_eam(db: ObjectDB, name: str, species) -> EamParms:
+    pot = db.get(name, "POTENTIAL")
+    form = pot.get_str("form", "exp").upper()
+    rmax = pot.get_with_units("rmax", "0.0", "Angstrom")
+    if rmax <= 0:
+        raise DeckError(f"{name}: EAM requires rmax")
+    ns = len(species)
+    eV = U.unit_scale("eV")
+    Ang = U.unit_scale("Angstrom")
+
+    if form == "FS":
+        a = np.zeros((ns, ns))
+        b = np.zeros((ns, ns))
+        c = np.zeros((ns, ns))
+        m = np.zeros((ns, ns))
+        n = np.zeros((ns, ns))
+        ro = np.zeros((ns, ns))
+        ls = np.zeros(ns)
+        for i, sp in enumerate(species):
+            vals = db.get(name, "POTENTIAL").get_floatv(sp.name)
+            if len(vals) < 6:
+                raise DeckError(f"{name}: FS needs 6 values for {sp.name}")
+            ai, bi, ci, mi, ni, li = vals[:6]
+            a[i, i] = ai * eV
+            b[i, i] = bi * eV * eV
+            c[i, i] = ci * Ang
+            m[i, i] = mi
+            n[i, i] = ni
+            ls[i] = li * Ang
+            ro[i, i] = 1.0 * Ang
+        for i in range(ns):
+            for j in range(i + 1, ns):
+                a[i, j] = a[j, i] = np.sqrt(a[i, i] * a[j, j])
+                b[i, j] = b[j, i] = np.sqrt(b[i, i] * b[j, j])
+                c[i, j] = c[j, i] = 0.25 * (c[i, i] / ls[i] + c[j, j] / ls[j]) * (ls[i] + ls[j])
+                m[i, j] = m[j, i] = 0.5 * (m[i, i] + m[j, j])
+                n[i, j] = n[j, i] = 0.5 * (n[i, i] + n[j, j])
+                ro[i, j] = ro[j, i] = 1.0 * Ang
+        x = np.full((ns, ns), rmax)
+        return EamParms(form, ns, rmax,
+                        dict(a=a, b=b, c=c, m=m, n=n, ro=ro, x=x), {})
+
+    if form == "SC":
+        # deck: per-species eps (eV), a (Ang), n, m, c (sc form,
+        # eam_sc.c:90-140); combining: geometric eps, arithmetic a/n/m
+        eps = np.zeros(ns)
+        av = np.zeros(ns)
+        nv = np.zeros(ns)
+        mv = np.zeros(ns)
+        cv = np.zeros(ns)
+        for i, sp in enumerate(species):
+            vals = pot.get_floatv(sp.name)
+            if len(vals) < 5:
+                raise DeckError(f"{name}: SC needs 5 values for {sp.name} (eps a n m c)")
+            eps[i] = vals[0] * eV
+            av[i] = vals[1] * Ang
+            nv[i] = vals[2]
+            mv[i] = vals[3]
+            cv[i] = vals[4]
+        E = np.sqrt(np.outer(eps, eps))
+        A = 0.5 * (av[:, None] + av[None, :])
+        N = 0.5 * (nv[:, None] + nv[None, :])
+        M = 0.5 * (mv[:, None] + mv[None, :])
+        return EamParms(form, ns, rmax, dict(eps=E, a=A, n=N, m=M),
+                        dict(nce=-cv * eps))
+
+    if form == "EXP":
+        atomvolume = pot.get_with_units("atomvolume", "1.0", "Angstrom^3")
+        phi_e = pot.get_with_units("phi_e", "0.0", "eV")
+        r_e = pot.get_with_units("r_e", "0.0", "Angstrom")
+        alpha = pot.get_float("alpha", 0.0)
+        beta = pot.get_float("beta", 0.0)
+        gamma = pot.get_float("gamma", 0.0)
+        E_c = pot.get_with_units("E_c", "0.0", "eV")
+        rho_e = E_c / atomvolume          # eam_exp.c: overrides deck rho_e
+        f_e = rho_e / 12.0
+        ones = np.ones((ns, ns))
+        return EamParms(form, ns, rmax,
+                        dict(f_e=f_e * ones, phi_e=phi_e * ones,
+                             beta=beta * ones, gamma=gamma * ones,
+                             r_e_inv=ones / r_e),
+                        dict(E_c=np.full(ns, E_c), rho_e=np.full(ns, rho_e),
+                             ab=np.full(ns, alpha / beta),
+                             gb=np.full(ns, gamma / beta)))
+
+    if form == "AT":
+        keys = ("A", "B", "b0", "alpha", "c", "c0", "c1", "c2", "d")
+        per = {k: np.zeros(ns) for k in keys}
+        for i, sp in enumerate(species):
+            vals = pot.get_floatv(sp.name)
+            if len(vals) < 9:
+                raise DeckError(f"{name}: AT needs 9 values for {sp.name} (A B b0 alpha c c0 c1 c2 d)")
+            scale = dict(A=eV, B=eV / Ang ** 3, b0=Ang, alpha=1.0 / Ang,
+                         c=Ang, c0=eV / Ang ** 2, c1=eV / Ang ** 3,
+                         c2=eV / Ang ** 4, d=Ang)
+            for k, v in zip(keys, vals):
+                per[k][i] = v * scale[k]
+        pt = {k: 0.5 * (per[k][:, None] + per[k][None, :]) for k in keys if k != "A"}
+        return EamParms(form, ns, rmax, pt, dict(negA=-per["A"]))
+
+    raise DeckError(f"EAM form {form} not implemented (TABULAR/RATIONAL pending)")
+
+
+def _pair_eval(form: str, pt: dict, pair_idx, r2, ir, ir2, derivative: bool):
+    """phi/rho (or their (d/dr)/r) per pair; pt arrays flattened (T*T,)."""
+    g = lambda k: pt[k].reshape(-1)[pair_idx]
+    r = r2 * ir
+    if form == "FS":
+        a, b, c, m, n, ro, x = (g(k) for k in ("a", "b", "c", "m", "n", "ro", "x"))
+        dri = 1.0 / (r - x)
+        lr = jnp.log(r / ro)
+        e = a * jnp.exp(c * dri - m * lr)
+        p = b * jnp.exp(c * dri - n * lr)
+        if not derivative:
+            return e, p
+        return (-(m / r + c * dri * dri) * ir * e,
+                -(n / r + c * dri * dri) * ir * p)
+    if form == "SC":
+        eps, a, n, m = (g(k) for k in ("eps", "a", "n", "m"))
+        arg2 = a * a * ir2
+        e = eps * arg2 ** (0.5 * n)
+        p = arg2 ** (0.5 * m)
+        if not derivative:
+            return e, p
+        return -n * e * ir2, -m * p * ir2
+    if form == "EXP":
+        f_e, phi_e, beta, gamma, r_e_inv = (
+            g(k) for k in ("f_e", "phi_e", "beta", "gamma", "r_e_inv"))
+        p = f_e * jnp.exp(-beta * (r * r_e_inv - 1.0))
+        e = phi_e * jnp.exp(-gamma * (r * r_e_inv - 1.0))
+        if not derivative:
+            return e, p
+        return -gamma * r_e_inv * e * ir, -beta * r_e_inv * p * ir
+    if form == "AT":
+        B, b0, alpha, c, c0, c1, c2, d = (
+            g(k) for k in ("B", "b0", "alpha", "c", "c0", "c1", "c2", "d"))
+        poly = c0 + c1 * r + c2 * r2
+        core = B * (b0 - r) ** 3 * jnp.exp(-alpha * r)
+        e = jnp.where(r < c, (r - c) ** 2 * poly, 0.0) \
+            + jnp.where(r < b0, core, 0.0)
+        p = jnp.where(r < d, (r - d) ** 2, 0.0)
+        if not derivative:
+            return e, p
+        de = jnp.where(r < c, 2.0 * (r - c) * poly + (r - c) ** 2 * (c1 + 2.0 * c2 * r), 0.0)
+        de = de + jnp.where(r < b0,
+                            -B * (b0 - r) ** 2 * jnp.exp(-alpha * r) * (alpha * (b0 - r) + 3.0), 0.0)
+        dp = jnp.where(r < d, 2.0 * (r - d), 0.0)
+        return de * ir, dp * ir
+    raise ValueError(form)
+
+
+def _embedding(form: str, et: dict, tidx, rho):
+    eps = 1e-30
+    if form in ("FS",):
+        v = -jnp.sqrt(rho + eps)
+        dv = 0.5 / v
+        return v, dv
+    if form == "SC":
+        nce = et["nce"][tidx]
+        v = nce * jnp.sqrt(rho + eps)
+        dv = 0.5 * v / (rho + eps)
+        return v, dv
+    if form == "AT":
+        negA = et["negA"][tidx]
+        v = negA * jnp.sqrt(rho + eps)
+        dv = 0.5 * v / (rho + eps)
+        return v, dv
+    if form == "EXP":
+        E_c = et["E_c"][tidx]
+        rho_e = et["rho_e"][tidx]
+        ab = et["ab"][tidx]
+        gb = et["gb"][tidx]
+        rr = rho / rho_e
+        ok = rr > 0
+        rrs = jnp.where(ok, rr, 1.0)
+        lnp = jnp.log(rrs)
+        y = jnp.exp(gb * lnp)
+        lnx = ab * lnp
+        x = jnp.exp(lnx)
+        v = E_c * (x * lnx - x - y)
+        dv = E_c * (ab * x * lnx - gb * y) / jnp.where(ok, rho, 1.0)
+        return jnp.where(ok, v, 0.0), jnp.where(ok, dv, 0.0)
+    raise ValueError(form)
+
+
+def eam_device_tables(parms: EamParms, dtype=jnp.float32):
+    pt = {k: jnp.asarray(v, dtype=dtype) for k, v in parms.pair_tables.items()}
+    et = {k: jnp.asarray(v, dtype=dtype) for k, v in parms.embed_tables.items()}
+    return dict(pair=pt, embed=et, rcut2=jnp.asarray(parms.rcut ** 2, dtype=dtype),
+                form=parms.form, n_species=parms.n_species)
+
+
+def eam_eval(r, sidx, fmask, nbr_idx, box_lengths, tables):
+    """Two-pass EAM over the full (N,K) list. Returns (f, e, virial, pe)."""
+    n_pad = r.shape[0]
+    sentinel = n_pad
+    dt = r.dtype
+    form = tables["form"]
+    T = tables["n_species"]
+
+    r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=dt)], axis=0)
+    s_ext = jnp.concatenate([sidx, jnp.zeros((1,), dtype=sidx.dtype)], axis=0)
+    dr = r[:, None, :] - r_ext[nbr_idx]
+    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    r2 = jnp.sum(dr * dr, axis=-1)
+
+    valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0) \
+        & (fmask[:, None] > 0)
+    w = valid.astype(dt)
+    r2s = jnp.where(valid, r2, jnp.asarray(1.0, dt))
+    ir2 = 1.0 / r2s
+    ir = jnp.sqrt(ir2)
+
+    pair_idx = sidx[:, None] * T + s_ext[nbr_idx]
+
+    # pass 1: pair energy + density
+    e1, p1 = _pair_eval(form, tables["pair"], pair_idx, r2s, ir, ir2, False)
+    rho = jnp.sum(p1 * w, axis=1)                # full list: both directions
+    pe_pair = 0.5 * jnp.sum(e1 * w, axis=1)
+
+    # embedding
+    F_i, dF = _embedding(form, tables["embed"], sidx, rho)
+    F_i = F_i * fmask
+    dF = dF * fmask
+
+    # pass 2: forces
+    de, dp = _pair_eval(form, tables["pair"], pair_idx, r2s, ir, ir2, True)
+    dF_ext = jnp.concatenate([dF, jnp.zeros((1,), dtype=dt)])
+    coef = (de + dp * (dF[:, None] + dF_ext[nbr_idx])) * w
+    fij = -coef[:, :, None] * dr
+    f = jnp.sum(fij, axis=1)
+    virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)
+
+    pe = pe_pair + F_i
+    e = jnp.sum(pe)
+    return f, e, virial, pe

@@ -65,6 +65,20 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                                    box.lengths, tables)
 
             terms.append(pair_term)
+        elif ptype == "EAM":
+            from ..potentials.eam import eam_device_tables, eam_eval
+
+            etables = eam_device_tables(parms, dtype=dtype)
+            if engine == "cellblock":
+                raise NotImplementedError(
+                    "EAM runs on the nlist engine for now; "
+                    "Simulation auto-selects it")
+
+            def eam_term(state, box, nbr_idx, etables=etables):
+                return eam_eval(state.r, state.species, state.fmask, nbr_idx,
+                                box.lengths, etables)
+
+            terms.append(eam_term)
         elif ptype == "RESTRAINT":
             from ..potentials.restraint import restraint_eval
 

@@ -44,9 +44,11 @@ class Simulation:
         self.db = db
         self.run_dir = run_dir
         self.dtype = dtype
-        self.engine = engine
         self.sysdef = build_system(db, base_dir, dtype=dtype)
         sd = self.sysdef
+        if any(p[0] == "EAM" for p in sd.potentials):
+            engine = "nlist"  # cell-block EAM pending
+        self.engine = engine
         if engine == "cellblock":
             from ..ops.cellpair import CellBlockGrid
 
@@ -81,10 +83,12 @@ class Simulation:
         self._rebuild_step_fn()
 
         self.key = jax.random.PRNGKey(sd.random_seed)
+        zeta0 = sd.integrator_parms["zeta"] if sd.integrator_type == "NPTGLF" else 0.0
         self.ss = StepState(
             state=sd.state, box=sd.box, energy=EnergyInfo.zero(dtype),
             loop=jnp.asarray(sd.cfg.loop, jnp.int32),
             time=jnp.asarray(sd.cfg.time, dtype),
+            zeta=jnp.asarray(zeta0, dtype),
         )
 
         self._compile()
@@ -104,13 +108,34 @@ class Simulation:
                 sd.bonded.cons_atoms, sd.bonded.cons_pairs,
                 sd.bonded.cons_dist, sd.state.n_pad, self.dtype,
                 box_lengths=np.asarray(sd.box.lengths, dtype=np.float64))
+        wrap = self.engine != "cellblock"
+        itype = sd.integrator_type
+        if itype == "NPTGLF":
+            from ..integrators.nptglf import make_nptglf_step
+
+            ip = sd.integrator_parms
+            self.step_fn = make_nptglf_step(
+                self.force_fn, self.coeffs, sd.cfg.dt,
+                n_global=sd.state.n_local, Gamma=ip["Gamma"],
+                Peq=ip["pressure"], n_constraints=sd.n_constraints,
+                wrap_positions=wrap)
+            return
+        coeffs = self.coeffs
+        if itype in ("NVEGLF", "NVEGLF_SIMPLE"):
+            # NVE variants ignore thermostats: plain leapfrog kicks
+            # (/root/reference/src/nveglf.c)
+            import numpy as _np
+
+            a, c_on, noise, vcm = coeffs
+            coeffs = (jnp.ones_like(a), jnp.ones_like(c_on),
+                      jnp.zeros_like(noise), jnp.zeros_like(vcm))
         self.step_fn = make_nglf_step(
-            self.force_fn, self.coeffs, sd.cfg.dt,
+            self.force_fn, coeffs, sd.cfg.dt,
             barostat=self._barostat, n_global=sd.state.n_local,
             n_constraints=sd.n_constraints,
             molecular_virial_fn=self._mol_virial_fn,
             constraint_fn=constraint_fn,
-            wrap_positions=(self.engine != "cellblock"))
+            wrap_positions=wrap)
 
     def _compile(self):
         grid = self.grid

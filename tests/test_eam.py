@@ -1,0 +1,100 @@
+"""EAM forms: finite-difference force + dE/dV pressure checks on a
+synthetic FCC crystal (the testForce/testPressure master pattern,
+/root/reference/src/forcetest.c, masters.c:134-202)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ddcmd_tpu.nbr.celllist import CellGrid, build_neighbor_list
+from ddcmd_tpu.potentials.eam import EamParms, eam_device_tables, eam_eval
+from ddcmd_tpu.objects import units as U
+
+
+def fcc(a_lat, ncell_side):
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cells = np.stack(np.meshgrid(*[np.arange(ncell_side)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3)
+    r = (cells[:, None, :] + base[None, :, :]).reshape(-1, 3) * a_lat
+    L = a_lat * ncell_side
+    return r - L / 2, L
+
+
+def make_fs_parms(rcut):
+    eV = U.unit_scale("eV")
+    Ang = U.unit_scale("Angstrom")
+    one = np.ones((1, 1))
+    return EamParms(
+        form="FS", n_species=1, rcut=rcut,
+        pair_tables=dict(a=0.8 * eV * one, b=2.0 * eV * eV * one,
+                         c=1.5 * Ang * one, m=5.0 * one, n=7.0 * one,
+                         ro=1.0 * Ang * one, x=rcut * one),
+        embed_tables={})
+
+
+def make_sc_parms(rcut):
+    eV = U.unit_scale("eV")
+    Ang = U.unit_scale("Angstrom")
+    one = np.ones((1, 1))
+    return EamParms(
+        form="SC", n_species=1, rcut=rcut,
+        pair_tables=dict(eps=0.012 * eV * one, a=3.6 * Ang * one,
+                         n=9.0 * one, m=6.0 * one),
+        embed_tables=dict(nce=np.array([-39.4 * 0.012 * eV])))
+
+
+@pytest.mark.parametrize("make", [make_fs_parms, make_sc_parms])
+def test_eam_fd_forces_and_pressure(make):
+    a_lat = 0.3615  # nm, Cu
+    r, L = fcc(a_lat, 3)
+    n = len(r)
+    rng = np.random.default_rng(0)
+    r = r + rng.standard_normal(r.shape) * 0.005
+    rcut = 0.55
+    parms = make(rcut)
+    tables = eam_device_tables(parms, dtype=jnp.float64)
+    grid = CellGrid.plan([L] * 3, rcut, 0.1, n, n)
+    Lv = jnp.asarray([L] * 3, jnp.float64)
+    rj = jnp.asarray(r, jnp.float64)
+    sidx = jnp.zeros(n, jnp.int32)
+    fmask = jnp.ones(n, jnp.float64)
+
+    def energy_of(rj):
+        nbr, _, ov = build_neighbor_list(rj, fmask, Lv, grid)
+        assert not bool(ov)
+        return eam_eval(rj, sidx, fmask, nbr, Lv, tables)
+
+    f, e, virial, pe = energy_of(rj)
+    f = np.asarray(f)
+    assert np.isfinite(float(e)) and float(e) < 0  # cohesive
+    assert float(jnp.sum(pe)) == pytest.approx(float(e), rel=1e-10)
+
+    # FD forces
+    h = 1e-6
+    for i in (0, 17, 53):
+        for ax in range(3):
+            ep = float(energy_of(rj.at[i, ax].add(h))[1])
+            em = float(energy_of(rj.at[i, ax].add(-h))[1])
+            fd = -(ep - em) / (2 * h)
+            assert f[i, ax] == pytest.approx(fd, rel=1e-5, abs=1e-6), (i, ax)
+
+    # dE/dV vs virial pressure (configurational, per axis)
+    vol = L ** 3
+    delta = 1e-6
+    for ax in range(3):
+        lam = np.ones(3)
+        lam[ax] = 1 + delta
+        lamj = jnp.asarray(lam)
+        # note: box scale changes both positions and cell geometry; use
+        # scaled Lv too
+        def e_scaled(s):
+            lam2 = np.ones(3)
+            lam2[ax] = s
+            l2 = jnp.asarray(lam2)
+            nbr, _, _ = build_neighbor_list(rj * l2, fmask, Lv * l2, grid)
+            return float(eam_eval(rj * l2, sidx, fmask, nbr, Lv * l2, tables)[1])
+        dvol = 2 * delta * vol
+        p_fd = -(e_scaled(1 + delta) - e_scaled(1 - delta)) / dvol
+        p_vir = float(virial[ax, ax]) / vol
+        assert p_fd == pytest.approx(p_vir, rel=2e-3, abs=1e-3), ax
