@@ -1,0 +1,265 @@
+"""ANALYSIS registry: rate-driven measurement modules.
+
+Reference: /root/reference/src/analysis.c:148-395 (~18 modules).
+Interface mirrors the reference contract {startup, eval at eval_rate,
+output at outputrate} (/root/reference/src/masters.c:295-302).  Device
+math runs jitted on the padded state; accumulation/state lives on host.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..objects import DeckError, DeckObject
+from ..objects import units as U
+
+
+@dataclass
+class Analysis:
+    name: str
+    obj: DeckObject
+    eval_rate: int
+    output_rate: int
+    state: dict = field(default_factory=dict)
+
+    def eval(self, sim):
+        raise NotImplementedError
+
+    def output(self, sim, run_dir="."):
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+
+class PairCorrelation(Analysis):
+    """g(r) histogram (reference paircorrelation.c, 547 LoC)."""
+
+    def setup(self):
+        self.delta_r = self.obj.get_with_units("delta_r", "1.0", "l")
+        self.n_bins = self.obj.get_int("length", 1)
+        self.rmin = self.obj.get_with_units("rmin", "0.0", "l")
+        self.filename = self.obj.get_str("filename", "paircorrelation.dat")
+        self.state["hist"] = np.zeros(self.n_bins)
+        self.state["count"] = 0
+        self._jit = None
+
+    def eval(self, sim):
+        ss = sim.ss
+        n = sim.sysdef.state.n_local
+        if self._jit is None:
+            rmin, dr, nb = self.rmin, self.delta_r, self.n_bins
+
+            def hist_fn(r, L, fmask):
+                d = r[:, None, :] - r[None, :, :]
+                d = d - L * jnp.round(d / L)
+                dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+                w = fmask[:, None] * fmask[None, :]
+                w = w * (1.0 - jnp.eye(r.shape[0], dtype=r.dtype))
+                b = jnp.floor((dist - rmin) / dr).astype(jnp.int32)
+                b = jnp.where((b >= 0) & (b < nb), b, nb)
+                return jnp.zeros(nb + 1).at[b.reshape(-1)].add(w.reshape(-1))[:nb]
+
+            self._jit = jax.jit(hist_fn)
+        h = self._jit(ss.state.r, ss.box.lengths, ss.state.fmask)
+        self.state["hist"] += np.asarray(h, dtype=np.float64)
+        self.state["count"] += 1
+        self.state["volume"] = float(ss.box.volume)
+        self.state["n"] = n
+
+    def output(self, sim, run_dir="."):
+        h = self.state["hist"]
+        cnt = max(self.state["count"], 1)
+        n = self.state["n"]
+        rho = n / self.state["volume"]
+        lines = ["# r(Ang) g(r)"]
+        for b in range(self.n_bins):
+            r_lo = self.rmin + b * self.delta_r
+            r_hi = r_lo + self.delta_r
+            shell = 4.0 / 3.0 * np.pi * (r_hi ** 3 - r_lo ** 3)
+            g = h[b] / cnt / (n * rho * shell)
+            lines.append(f"{(r_lo + 0.5 * self.delta_r) * U.LENGTH_TO_ANG:10.4f} {g:12.6f}")
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+class VcmWrite(Analysis):
+    """center-of-mass velocity/momentum log (vcmWrite.c)."""
+
+    def setup(self):
+        self.filename = self.obj.get_str("filename", "vcm.data")
+        self.state["rows"] = []
+
+    def eval(self, sim):
+        st = sim.ss.state
+        n = sim.sysdef.state.n_local
+        m = np.asarray(st.mass[:n])
+        v = np.asarray(st.v[:n])
+        vcm = (m[:, None] * v).sum(axis=0) / m.sum()
+        self.state["rows"].append((int(sim.ss.loop), *vcm))
+
+    def output(self, sim, run_dir="."):
+        with open(os.path.join(run_dir, self.filename), "a") as f:
+            for row in self.state["rows"]:
+                f.write("%12d %18.10e %18.10e %18.10e\n" % row)
+        self.state["rows"] = []
+
+
+class KineticEnergyDistn(Analysis):
+    """per-particle KE histogram (kineticEnergyDistn.c)."""
+
+    def setup(self):
+        self.n_bins = self.obj.get_int("nBins", 100)
+        self.emax = self.obj.get_with_units("max", "1.0", "energy")
+        self.filename = self.obj.get_str("filename", "keDistn.dat")
+        self.state["hist"] = np.zeros(self.n_bins)
+
+    def eval(self, sim):
+        st = sim.ss.state
+        n = sim.sysdef.state.n_local
+        m = np.asarray(st.mass[:n])
+        v = np.asarray(st.v[:n])
+        ke = 0.5 * m * (v ** 2).sum(axis=1)
+        h, _ = np.histogram(ke, bins=self.n_bins, range=(0, self.emax))
+        self.state["hist"] += h
+
+    def output(self, sim, run_dir="."):
+        db = self.emax / self.n_bins
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("# KE(kJ/mol) count\n")
+            for b, c in enumerate(self.state["hist"]):
+                f.write(f"{(b + 0.5) * db:12.5f} {c:14.1f}\n")
+
+
+class ZDensity(Analysis):
+    """density profile along z (zdensity.c)."""
+
+    def setup(self):
+        self.n_bins = self.obj.get_int("nBins", 100)
+        self.filename = self.obj.get_str("filename", "zdensity.dat")
+        self.state["hist"] = None
+        self.state["count"] = 0
+
+    def eval(self, sim):
+        st = sim.ss.state
+        n = sim.sysdef.state.n_local
+        z = np.asarray(st.r[:n, 2])
+        Lz = float(sim.ss.box.lengths[2])
+        h, _ = np.histogram(z, bins=self.n_bins, range=(-Lz / 2, Lz / 2))
+        if self.state["hist"] is None:
+            self.state["hist"] = np.zeros(self.n_bins)
+        self.state["hist"] += h
+        self.state["count"] += 1
+        self.state["Lz"] = Lz
+
+    def output(self, sim, run_dir="."):
+        cnt = max(self.state["count"], 1)
+        Lz = self.state["Lz"]
+        dz = Lz / self.n_bins
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("# z(Ang) count/frame\n")
+            for b, c in enumerate(self.state["hist"]):
+                z = -Lz / 2 + (b + 0.5) * dz
+                f.write(f"{z * U.LENGTH_TO_ANG:10.4f} {c / cnt:14.4f}\n")
+
+
+class Ssf(Analysis):
+    """static structure factor S(k) on a k-shell grid (ssf.c)."""
+
+    def setup(self):
+        self.n_shells = self.obj.get_int("nShells", 32)
+        self.kmax = self.obj.get_with_units("kmax", "10.0", "1/l")
+        self.filename = self.obj.get_str("filename", "ssf.dat")
+        self.state["acc"] = np.zeros(self.n_shells)
+        self.state["cnt"] = np.zeros(self.n_shells)
+        self._kvecs = None
+
+    def eval(self, sim):
+        ss = sim.ss
+        n = sim.sysdef.state.n_local
+        L = np.asarray(ss.box.lengths, dtype=np.float64)
+        if self._kvecs is None:
+            mmax = int(np.floor(self.kmax * L.min() / (2 * np.pi)))
+            mmax = max(1, min(mmax, 12))
+            ks = []
+            for ix in range(0, mmax + 1):
+                for iy in range(-mmax, mmax + 1):
+                    for iz in range(-mmax, mmax + 1):
+                        if ix == 0 and (iy < 0 or (iy == 0 and iz <= 0)):
+                            continue
+                        k = 2 * np.pi * np.array([ix, iy, iz]) / L
+                        if np.linalg.norm(k) <= self.kmax:
+                            ks.append(k)
+            self._kvecs = np.asarray(ks)
+        r = np.asarray(ss.state.r[:n])
+        phase = r @ self._kvecs.T
+        rho_k = np.exp(1j * phase).sum(axis=0)
+        s = (rho_k * rho_k.conj()).real / n
+        kn = np.linalg.norm(self._kvecs, axis=1)
+        shell = np.minimum((kn / self.kmax * self.n_shells).astype(int),
+                           self.n_shells - 1)
+        np.add.at(self.state["acc"], shell, s)
+        np.add.at(self.state["cnt"], shell, 1.0)
+
+    def output(self, sim, run_dir="."):
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("# k(1/Ang) S(k)\n")
+            for b in range(self.n_shells):
+                if self.state["cnt"][b] == 0:
+                    continue
+                k = (b + 0.5) * self.kmax / self.n_shells
+                f.write(f"{k / U.LENGTH_TO_ANG:10.5f} "
+                        f"{self.state['acc'][b] / self.state['cnt'][b]:12.6f}\n")
+
+
+class VelocityAutocorrelation(Analysis):
+    """VAF C(t) = <v(0).v(t)> (velocityAutocorrelation.c)."""
+
+    def setup(self):
+        self.length = self.obj.get_int("length", 100)
+        self.filename = self.obj.get_str("filename", "vaf.dat")
+        self.state["v0"] = None
+        self.state["rows"] = []
+
+    def eval(self, sim):
+        st = sim.ss.state
+        n = sim.sysdef.state.n_local
+        v = np.asarray(st.v[:n])
+        if self.state["v0"] is None or len(self.state["rows"]) >= self.length:
+            self.state["v0"] = v.copy()
+            self.state["rows"] = []
+        c = (v * self.state["v0"]).sum() / n
+        self.state["rows"].append((int(sim.ss.loop), c))
+
+    def output(self, sim, run_dir="."):
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("# loop C(t) (nm/ps)^2\n")
+            for loop, c in self.state["rows"]:
+                f.write(f"{loop:12d} {c:16.8e}\n")
+
+
+REGISTRY = {
+    "PAIRCORRELATION": PairCorrelation,
+    "VCMWRITE": VcmWrite,
+    "KINETICENERGYDISTN": KineticEnergyDistn,
+    "ZDENSITY": ZDensity,
+    "SSF": Ssf,
+    "VELOCITYAUTOCORRELATION": VelocityAutocorrelation,
+}
+
+
+def build_analysis(name: str, obj: DeckObject) -> Analysis:
+    atype = obj.get_str("type").upper()
+    cls = REGISTRY.get(atype)
+    if cls is None:
+        raise DeckError(f"ANALYSIS type {atype} not implemented "
+                        f"(have: {sorted(REGISTRY)})")
+    a = cls(name=name, obj=obj,
+            eval_rate=obj.get_int("eval_rate", obj.get_int("evalrate", 1)),
+            output_rate=obj.get_int("outputrate", 1000))
+    a.setup()
+    return a

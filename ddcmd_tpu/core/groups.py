@@ -62,8 +62,11 @@ def group_from_deck(db: ObjectDB, name: str, index: int) -> Group:
     gtype = obj.get_str("type", "FREE").upper()
     g = Group(name=name, index=index, type=gtype)
     if gtype == "LANGEVIN":
-        Teq = obj.get_with_units("Teq", "0.0", "T")
-        g.Teq = lambda t, Teq=Teq: Teq
+        from ..objects.eq import eq_parse
+
+        # Teq may be time-dependent: "RAMP(300,500,0,100ps)" etc
+        # (langevin normalParse -> eq_parse, /root/reference/src/langevin.c:80-86)
+        g.Teq = eq_parse(obj.get_literal("Teq", "0.0"), "T", "t")
         g.tau = obj.get_with_units("tau", "1.0", "t")
     elif gtype == "EXTFORCE":
         fv = obj.get_with_unitsv("force", "0 0 0", "m*l/t^2")
@@ -72,8 +75,9 @@ def group_from_deck(db: ObjectDB, name: str, index: int) -> Group:
         vv = obj.get_with_unitsv("velocity", "0 0 0", "velocity")
         g.vcm = tuple(vv)
     elif gtype == "BERENDSEN":
-        Teq = obj.get_with_units("Teq", "0.0", "T")
-        g.Teq = lambda t, Teq=Teq: Teq
+        from ..objects.eq import eq_parse
+
+        g.Teq = eq_parse(obj.get_literal("Teq", "0.0"), "T", "t")
         g.tau = obj.get_with_units("tau", "1.0", "t")
     elif gtype in ("FREE", "FROZEN", "QUENCH", "NONE"):
         pass

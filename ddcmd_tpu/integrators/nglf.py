@@ -50,7 +50,7 @@ class StepState:
     zeta: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
 
 
-def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
+def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                    barostat=None, n_global: int, n_constraints: int = 0,
                    constraint_fn: Callable | None = None,
                    molecular_virial_fn: Callable | None = None,
@@ -67,9 +67,11 @@ def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
       cell assignment -- the driver wraps at each rebuild instead.
     """
 
-    def step(ss: StepState, nbr_idx, key) -> StepState:
+    def step(ss: StepState, nbr_idx, key, coeffs=None) -> StepState:
         state, box = ss.state, ss.box
         half = 0.5 * dt
+        if coeffs is None:
+            coeffs = default_coeffs
 
         # --- barostat (nglfconstraint.c:518-527) -------------------------
         if barostat is not None:
@@ -95,7 +97,6 @@ def make_nglf_step(force_fn: Callable, group_table, dt: float, *,
             state = state.replace(r=state.r * lam_xyz[None, :])
 
         mask = state.mask
-        coeffs = group_table  # (a, c_on, noise, vcm) already per-dt
 
         # --- front half kick ---------------------------------------------
         k1, k2 = jax.random.split(jax.random.fold_in(key, 0))

@@ -26,12 +26,14 @@ from ..core.groups import velocity_update
 from .nglf import StepState
 
 
-def make_nptglf_step(force_fn, group_table, dt: float, *, n_global: int,
+def make_nptglf_step(force_fn, default_coeffs, dt: float, *, n_global: int,
                      Gamma: float, Peq: float, n_constraints: int = 0,
                      wrap_positions: bool = True):
-    def step(ss: StepState, nbr_idx, key) -> StepState:
+    def step(ss: StepState, nbr_idx, key, coeffs=None) -> StepState:
         state, box = ss.state, ss.box
         half = 0.5 * dt
+        if coeffs is None:
+            coeffs = default_coeffs
         mask = state.mask
         dtype = state.r.dtype
 
@@ -47,7 +49,7 @@ def make_nptglf_step(force_fn, group_table, dt: float, *, n_global: int,
 
         k1, k2 = jax.random.split(jax.random.fold_in(key, 0))
         v = velocity_update("front", v, state.f, state.mass, state.group,
-                            group_table, half, k1, mask)
+                            coeffs, half, k1, mask)
 
         vol_atom = vol_atom + 0.5 * dt / Gamma * zeta
         fac = jnp.exp(zeta * dt / (6.0 * Gamma * vol_atom))
@@ -64,7 +66,7 @@ def make_nptglf_step(force_fn, group_table, dt: float, *, n_global: int,
         state = state.replace(f=f, pe=pe)
 
         v = velocity_update("back", state.v, state.f, state.mass, state.group,
-                            group_table, half, k2, mask)
+                            coeffs, half, k2, mask)
         state = state.replace(v=v)
 
         # self-consistent barostat velocity rescale (nptglf.c:120-147)

@@ -70,6 +70,34 @@ def main(argv=None):
         from .testpressure import testpressure_master
 
         testpressure_master(db, base_dir, dtype=dtype)
+    elif args.master == "analysis":
+        from .masters import analysis_master
+
+        analysis_master(db, base_dir, run_dir=args.run_dir, dtype=dtype)
+    elif args.master == "transform":
+        from .masters import transform_master
+
+        transform_master(db, base_dir, run_dir=args.run_dir, dtype=dtype)
+    elif args.master == "thermalize":
+        from .masters import thermalize_master
+
+        thermalize_master(db, base_dir, run_dir=args.run_dir, dtype=dtype)
+    elif args.master == "readWrite":
+        from .masters import read_write_master
+
+        read_write_master(db, base_dir, run_dir=args.run_dir, dtype=dtype)
+    elif args.master == "eightFold":
+        from .masters import eightfold_master
+
+        eightfold_master(db, base_dir, run_dir=args.run_dir, dtype=dtype)
+    elif args.master == "integrationTest":
+        from .masters import integration_test_master
+
+        integration_test_master(db, base_dir, run_dir=args.run_dir)
+    elif args.master == "unitTest":
+        from .masters import unit_test_master
+
+        return unit_test_master()
     else:
         print(f"master {args.master!r} not implemented yet", file=sys.stderr)
         return 2

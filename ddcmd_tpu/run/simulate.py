@@ -78,9 +78,35 @@ class Simulation:
                             n_molecules=self.n_molecules)
         self.coeffs = sd.group_table.coefficients(sd.cfg.time, 0.5 * sd.cfg.dt,
                                                   dtype=dtype)
+        # groups with RAMP/STEP/EXP/COS Teq need fresh coefficients each chunk
+        from ..objects.eq import EqTarget
+
+        self._time_dependent_groups = any(
+            isinstance(g.Teq, EqTarget) and g.Teq.kind != "CONSTANT"
+            for g in sd.groups if g.Teq is not None)
         self._barostat = barostat
         self._mol_virial_fn = mol_virial_fn
         self._rebuild_step_fn()
+
+        # rate-driven analyses/transforms (masters.c:295-302, transform.c:153)
+        self.analyses = []
+        simobj = db.by_class("SIMULATE")[0]
+        for aname in simobj.get_strv("analysis"):
+            aobj = db.find(aname, "ANALYSIS")
+            if aobj is not None:
+                from ..analysis.registry import build_analysis
+
+                try:
+                    self.analyses.append(build_analysis(aname, aobj))
+                except Exception as err:  # keep decks loading (subsetWrite etc pending)
+                    import warnings
+
+                    warnings.warn(f"analysis {aname}: {err}")
+        self.transforms = []
+        for tname in simobj.get_strv("transform"):
+            tobj = db.find(tname, "TRANSFORM")
+            if tobj is not None:
+                self.transforms.append((tname, tobj, tobj.get_int("rate", 0)))
 
         self.key = jax.random.PRNGKey(sd.random_seed)
         zeta0 = sd.integrator_parms["zeta"] if sd.integrator_type == "NPTGLF" else 0.0
@@ -120,17 +146,15 @@ class Simulation:
                 Peq=ip["pressure"], n_constraints=sd.n_constraints,
                 wrap_positions=wrap)
             return
-        coeffs = self.coeffs
         if itype in ("NVEGLF", "NVEGLF_SIMPLE"):
             # NVE variants ignore thermostats: plain leapfrog kicks
             # (/root/reference/src/nveglf.c)
-            import numpy as _np
-
-            a, c_on, noise, vcm = coeffs
-            coeffs = (jnp.ones_like(a), jnp.ones_like(c_on),
-                      jnp.zeros_like(noise), jnp.zeros_like(vcm))
+            a, c_on, noise, vcm = self.coeffs
+            self.coeffs = (jnp.ones_like(a), jnp.ones_like(c_on),
+                           jnp.zeros_like(noise), jnp.zeros_like(vcm))
+            self._time_dependent_groups = False
         self.step_fn = make_nglf_step(
-            self.force_fn, coeffs, sd.cfg.dt,
+            self.force_fn, self.coeffs, sd.cfg.dt,
             barostat=self._barostat, n_global=sd.state.n_local,
             n_constraints=sd.n_constraints,
             molecular_virial_fn=self._mol_virial_fn,
@@ -159,12 +183,12 @@ class Simulation:
                     ss.state.r, ss.state.fmask, ss.box.lengths, grid)
                 return ss, nbr_idx, overflow
 
-        def rebuild_block(ss, key, n_steps):
+        def rebuild_block(ss, key, coeffs, n_steps):
             """One neighbor rebuild + n_steps MD steps (all on device)."""
             ss, nbr_idx, overflow = build_nbr(ss)
 
             def body(carry, i):
-                ss = step_fn(carry, nbr_idx, jax.random.fold_in(key, i))
+                ss = step_fn(carry, nbr_idx, jax.random.fold_in(key, i), coeffs)
                 e = ss.energy
                 scal = jnp.stack([
                     e.eion, e.rk,
@@ -178,7 +202,7 @@ class Simulation:
             ss, scal = jax.lax.scan(body, ss, jnp.arange(n_steps))
             return ss, scal, overflow
 
-        def superchunk(ss, key, n_rebuilds, steps_per_rebuild):
+        def superchunk(ss, key, coeffs, n_rebuilds, steps_per_rebuild):
             """Scan over rebuild blocks: ONE dispatch per
             n_rebuilds*steps_per_rebuild MD steps.  The neighbor rebuild
             runs on-device inside the scan; overflow flags are OR-reduced
@@ -187,7 +211,7 @@ class Simulation:
             def block(carry, j):
                 ss, ov = carry
                 ss, scal, ov_j = rebuild_block(ss, jax.random.fold_in(key, j),
-                                               steps_per_rebuild)
+                                               coeffs, steps_per_rebuild)
                 return (ss, ov | ov_j), scal
 
             (ss, overflow), scal = jax.lax.scan(
@@ -198,7 +222,7 @@ class Simulation:
             ss, handle, _ = build_nbr(ss)
             return first_energy_call(ss, force_fn, handle)
 
-        self._chunk_jit = jax.jit(superchunk, static_argnums=(2, 3))
+        self._chunk_jit = jax.jit(superchunk, static_argnums=(3, 4))
         self._first_jit = jax.jit(first)
         self._build_nbr_jit = jax.jit(build_nbr)
 
@@ -242,7 +266,15 @@ class Simulation:
         update_rate = max(1, cfg.ddc_update_rate)
         self.first_energy()
 
+        # analyses/transforms need host callbacks at their rates
+        for a in self.analyses:
+            max_steps_per_dispatch = min(max_steps_per_dispatch, a.eval_rate)
+        for _, _, rate in self.transforms:
+            if rate:
+                max_steps_per_dispatch = min(max_steps_per_dispatch, rate)
+
         done = 0
+        retries = 0
         t0 = _time.monotonic()
         while done < n_loops:
             k = min(n_loops - done, max_steps_per_dispatch)
@@ -258,24 +290,99 @@ class Simulation:
                 n_rebuilds = 1
             k = n_rebuilds * spr
             self.key, sub = jax.random.split(self.key)
-            ss_new, scal, overflow = self._chunk_jit(self.ss, sub, n_rebuilds, spr)
+            if self._time_dependent_groups:
+                self.coeffs = self.sysdef.group_table.coefficients(
+                    float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype)
+            ss_new, scal, overflow = self._chunk_jit(self.ss, sub, self.coeffs,
+                                                     n_rebuilds, spr)
             if bool(overflow):
                 self.recapacity()
                 continue  # redo this chunk with bigger capacity
             scal = np.asarray(scal, dtype=np.float64)
             if not np.isfinite(scal[:, 0] + scal[:, 1]).all():
-                raise FloatingPointError(
-                    f"non-finite energy at loop {int(ss_new.loop)} "
-                    "(reference kill switch, masters.c:470-475)")
+                # parity-style in-memory rollback (saveState/restoreState,
+                # /root/reference/src/saveState.c:45,117; masters.c:461-466):
+                # self.ss is still the pre-chunk state; redo with fresh noise
+                retries += 1
+                if retries > 3:
+                    raise FloatingPointError(
+                        f"non-finite energy at loop {int(ss_new.loop)} "
+                        "(reference kill switch, masters.c:470-475)")
+                continue
+            retries = 0
             self.ss = ss_new
             done += k
             self._emit_prints(scal, k, print_fn)
             loop_now = int(self.ss.loop)
+            for a in self.analyses:
+                if loop_now % a.eval_rate == 0:
+                    a.eval(self)
+                if a.output_rate and loop_now % a.output_rate == 0:
+                    a.output(self, self.run_dir)
+            for tname, tobj, rate in self.transforms:
+                if rate and loop_now % rate == 0:
+                    self.apply_transform(tobj)
             if on_checkpoint and cfg.checkpointrate and loop_now % cfg.checkpointrate == 0:
                 on_checkpoint(self)
+            if self._poll_commands(on_checkpoint):
+                break
             if max_seconds is not None and _time.monotonic() - t0 > max_seconds:
                 break
+        for a in self.analyses:
+            a.output(self, self.run_dir)
         return self.ss
+
+    # ------------------------------------------------------------------
+
+    def apply_transform(self, tobj):
+        """Host-side state surgery + re-upload (transform.c:153-181)."""
+        from ..transforms.registry import TransformContext, apply_transform
+
+        sd = self.sysdef
+        n = sd.state.n_local
+        st = self.ss.state
+        ctx = TransformContext(
+            r=np.asarray(st.r[:n], dtype=np.float64).copy(),
+            v=np.asarray(st.v[:n], dtype=np.float64).copy(),
+            gid=sd.collection.gid.copy(),
+            mass=np.asarray(st.mass[:n], dtype=np.float64),
+            species_names=list(sd.collection.species_names),
+            group_names=list(sd.collection.group_names),
+            h=np.asarray(self.ss.box.h, dtype=np.float64).copy(),
+        )
+        apply_transform(ctx, tobj)
+        n_pad = st.n_pad
+        r = np.zeros((n_pad, 3))
+        v = np.zeros((n_pad, 3))
+        r[:n] = ctx.r
+        v[:n] = ctx.v
+        from ..core.box import Box
+
+        self.ss = self.ss.replace(
+            state=st.replace(r=jnp.asarray(r, self.dtype),
+                             v=jnp.asarray(v, self.dtype)),
+            box=Box.from_h(ctx.h, pbc=self.ss.box.pbc, dtype=self.dtype))
+        sd.collection.gid = ctx.gid
+        sd.collection.group_names = ctx.group_names
+        self.first_energy()
+
+    def _poll_commands(self, on_checkpoint) -> bool:
+        """Runtime command file (readCMDS, /root/reference/src/readCmds.c:20-58):
+        ./ddcMD_CMDS may contain checkpoint / exit / kill / stop."""
+        path = os.path.join(self.run_dir, "ddcMD_CMDS")
+        if not os.path.exists(path):
+            return False
+        try:
+            text = open(path).read().lower()
+        except OSError:
+            return False
+        os.remove(path)
+        stop = False
+        if "checkpoint" in text and on_checkpoint:
+            on_checkpoint(self)
+        if "kill" in text or "exit" in text or "stop" in text:
+            stop = True
+        return stop
 
     def _emit_prints(self, scal, k, print_fn):
         cfg = self.sysdef.cfg
