@@ -242,6 +242,107 @@ class VelocityAutocorrelation(Analysis):
                 f.write(f"{loop:12d} {c:16.8e}\n")
 
 
+class SubsetWrite(Analysis):
+    """subsetWrite: periodic trajectory dumps of a particle subset
+    (subsetWrite.c, 568 LoC; formats ascii | binaryCharmm).  The
+    binaryCharmm format here is a simple float32 (n,3) frame stream with
+    an ASCII header file, serving the same post-processing role."""
+
+    def setup(self):
+        self.format = self.obj.get_str("format", "ascii")
+        self.dirname = self.obj.get_str("dirname", "subset")
+        self.species = self.obj.get_strv("species")
+        self.state["frame"] = 0
+
+    def eval(self, sim):
+        pass  # write at outputrate only
+
+    def output(self, sim, run_dir="."):
+        sd = sim.sysdef
+        n = sd.state.n_local
+        sel = np.ones(n, dtype=bool)
+        if self.species:
+            sel = np.isin(np.asarray(sd.collection.species_names), self.species)
+        r = np.asarray(sim.ss.state.r[:n])[sel]
+        outdir = os.path.join(run_dir, self.dirname)
+        os.makedirs(outdir, exist_ok=True)
+        loop = int(sim.ss.loop)
+        if self.format.lower() == "binarycharmm":
+            path = os.path.join(outdir, f"frame_{loop:012d}.bin")
+            (r * U.LENGTH_TO_ANG).astype("<f4").tofile(path)
+            with open(os.path.join(outdir, "header"), "w") as f:
+                f.write(f"n={sel.sum()}; fields=rx ry rz; units=Ang; "
+                        f"dtype=float32; last_loop={loop};\n")
+        else:
+            from ..io.collection import write_collection
+
+            gid = sd.collection.gid[sel]
+            write_collection(
+                os.path.join(outdir, f"atoms_{loop:012d}#000000"),
+                gid=gid,
+                species_names=[s for s, m in zip(sd.collection.species_names, sel) if m],
+                group_names=[g for g, m in zip(sd.collection.group_names, sel) if m],
+                class_names=[c for c, m in zip(sd.collection.class_names, sel) if m],
+                r=r, v=np.asarray(sim.ss.state.v[:n])[sel],
+                h=np.asarray(sim.ss.box.h), loop=loop,
+                time_fs=float(sim.ss.time) * U.TIME_TO_FS)
+        self.state["frame"] += 1
+
+
+class StressWrite(Analysis):
+    """stressWrite: append the global stress tensor (stressWrite.c)."""
+
+    def setup(self):
+        self.filename = self.obj.get_str("filename", "stress.data")
+        self.state["rows"] = []
+
+    def eval(self, sim):
+        e = sim.ss.energy
+        vol = float(sim.ss.box.volume)
+        sion = -(np.asarray(e.virial) + np.asarray(e.tion)) / vol
+        c = U.convert(1.0, None, "bar")
+        self.state["rows"].append((int(sim.ss.loop),) + tuple(
+            sion[i, j] * c for i, j in
+            ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))))
+
+    def output(self, sim, run_dir="."):
+        path = os.path.join(run_dir, self.filename)
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            if new:
+                f.write("#loop sxx syy szz sxy sxz syz (bar)\n")
+            for row in self.state["rows"]:
+                f.write("%12d" % row[0] + "".join(" %16.8e" % v for v in row[1:]) + "\n")
+        self.state["rows"] = []
+
+
+class ForceAverage(Analysis):
+    """forceAverage: time-averaged per-species mean |F| (forceAverage.c)."""
+
+    def setup(self):
+        self.filename = self.obj.get_str("filename", "forceAverage.dat")
+        self.state["acc"] = {}
+        self.state["count"] = 0
+
+    def eval(self, sim):
+        sd = sim.sysdef
+        n = sd.state.n_local
+        f = np.asarray(sim.ss.state.f[:n])
+        sp = np.asarray(sd.collection.species_names)
+        for name in np.unique(sp):
+            m = sp == name
+            self.state["acc"].setdefault(name, 0.0)
+            self.state["acc"][name] += np.linalg.norm(f[m], axis=1).mean()
+        self.state["count"] += 1
+
+    def output(self, sim, run_dir="."):
+        cnt = max(self.state["count"], 1)
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("# species <|F|> (kJ/mol/nm)\n")
+            for name, acc in sorted(self.state["acc"].items()):
+                f.write(f"{name:12s} {acc / cnt:16.8e}\n")
+
+
 REGISTRY = {
     "PAIRCORRELATION": PairCorrelation,
     "VCMWRITE": VcmWrite,
@@ -249,6 +350,9 @@ REGISTRY = {
     "ZDENSITY": ZDensity,
     "SSF": Ssf,
     "VELOCITYAUTOCORRELATION": VelocityAutocorrelation,
+    "SUBSETWRITE": SubsetWrite,
+    "STRESSWRITE": StressWrite,
+    "FORCEAVERAGE": ForceAverage,
 }
 
 

@@ -76,6 +76,39 @@ def _parse_records(tokens_rows, field_names, field_types):
     return cols
 
 
+def _parse_all(bodies: list[bytes], field_names, field_types, nrecord, gid_hex):
+    """Parse shards via the native codec; pure-Python fallback."""
+    from . import fastio
+
+    max_records = nrecord if nrecord > 0 else sum(
+        b.count(b"\n") + 1 for b in bodies)
+    body = b"\n".join(bodies)
+    native = fastio.parse_records(body, field_types, max_records, gid_hex)
+    if native is not None:
+        n, kinds, floats, uints, strs = native
+        cols: dict[str, object] = {}
+        fi = ui = si = 0
+        for name, k in zip(field_names, kinds):
+            if k == fastio.FK_FLOAT:
+                cols[name] = floats[fi]
+                fi += 1
+            elif k in (fastio.FK_UDEC, fastio.FK_UHEX):
+                cols[name] = uints[ui]
+                ui += 1
+            else:
+                cols[name] = [s.decode() for s in strs[si]]
+                si += 1
+        return cols
+
+    rows = []
+    for b in bodies:
+        for line in b.decode("utf-8", errors="replace").splitlines():
+            line = line.strip()
+            if line:
+                rows.append(line.split())
+    return _parse_records(rows, field_names, field_types)
+
+
 def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
                     gid_hex: bool | None = None) -> CollectionData:
     paths = shard_paths(files_value, base_dir)
@@ -85,30 +118,6 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
     field_types = header.get_strv("field_types")
     if len(field_names) != len(field_types):
         raise DeckError("field_names/field_types length mismatch")
-
-    rows: list[list[str]] = []
-    for p in paths:
-        with open(p, "rb") as f:
-            blob = f.read()
-        text = blob.decode("utf-8", errors="replace")
-        off = 0
-        if text.lstrip().split(None, 2)[1:2] == ["FILEHEADER"]:
-            _, off = read_fileheader(p)
-        body = text[off:]
-        if datatype in ("VARRECORDASCII", "FIXRECORDASCII", "ASCII"):
-            for line in body.splitlines():
-                line = line.strip()
-                if line:
-                    rows.append(line.split())
-        else:
-            raise NotImplementedError(f"collection datatype {datatype} (binary) not yet supported")
-
-    cols = _parse_records(rows, field_names, field_types)
-
-    nrecord = header.get_int("nrecord", -1)
-    n = len(rows)
-    if nrecord >= 0 and n != nrecord:
-        raise DeckError(f"expected {nrecord} records, parsed {n}")
 
     # id column may be written in hex (deck gidFormat=hex); the header's
     # field_format records it (reference writes fmt with gidFormat(),
@@ -120,9 +129,32 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
             i = field_names.index("id")
             if i < len(fmt_toks):
                 gid_hex = fmt_toks[i].rstrip().endswith("x")
+
+    nrecord = header.get_int("nrecord", -1)
+    if datatype not in ("VARRECORDASCII", "FIXRECORDASCII", "ASCII"):
+        raise NotImplementedError(f"collection datatype {datatype} (binary) not yet supported")
+
+    bodies = []
+    for p in paths:
+        with open(p, "rb") as f:
+            blob = f.read()
+        off = 0
+        head = blob[:256].decode("utf-8", errors="replace")
+        if head.lstrip().split(None, 2)[1:2] == ["FILEHEADER"]:
+            _, off = read_fileheader(p)
+        bodies.append(blob[off:])
+
+    cols = _parse_all(bodies, field_names, field_types, nrecord, gid_hex)
+    n = len(next(iter(cols.values()))) if cols else 0
+    if nrecord >= 0 and n != nrecord:
+        raise DeckError(f"expected {nrecord} records, parsed {n}")
+
     base = 16 if gid_hex else 10
-    gid = np.asarray([int(str(t), base) for t in cols.get("id", ["0"] * n)],
-                     dtype=np.uint64)
+    ids = cols.get("id", ["0"] * n)
+    if isinstance(ids, np.ndarray):
+        gid = ids.astype(np.uint64)
+    else:
+        gid = np.asarray([int(str(t), base) for t in ids], dtype=np.uint64)
 
     cAng = U.ANG_TO_LENGTH  # file lengths are Ang (checkpoint units)
     cVel = U.ANG_FS_TO_VEL
@@ -203,10 +235,23 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
     )
     gid = np.asarray(gid, dtype=np.uint64)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w") as f:
-        f.write(header)
-        for i in range(n):
-            gid_s = ("%14x" % int(gid[i])) if gid_format == "hex" else ("%14d" % int(gid[i]))
-            f.write("%s %s %12s %s  %21.13e %21.13e %21.13e %21.13e %21.13e %21.13e\n" % (
-                gid_s, class_names[i], species_names[i], group_names[i],
-                r[i, 0], r[i, 1], r[i, 2], v[i, 0], v[i, 1], v[i, 2]))
+
+    from . import fastio
+
+    strs = np.stack([
+        np.asarray(class_names, dtype="S16"),
+        np.asarray(species_names, dtype="S16"),
+        np.asarray(group_names, dtype="S16"),
+    ])
+    floats = np.concatenate([r.T, v.T], axis=0)
+    blob = fastio.format_records(gid, strs, floats, gid_format == "hex")
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if blob is not None:
+            f.write(blob)
+        else:  # pure-Python fallback
+            for i in range(n):
+                gid_s = ("%14x" % int(gid[i])) if gid_format == "hex" else ("%14d" % int(gid[i]))
+                f.write(("%s %s %12s %s  %21.13e %21.13e %21.13e %21.13e %21.13e %21.13e\n" % (
+                    gid_s, class_names[i], species_names[i], group_names[i],
+                    r[i, 0], r[i, 1], r[i, 2], v[i, 0], v[i, 1], v[i, 2])).encode())

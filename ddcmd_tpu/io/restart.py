@@ -59,6 +59,11 @@ def write_checkpoint(sim, run_dir: str = ".") -> str:
         f.write(f"collection COLLECTION {{ mode=VARRECORDASCII; size={n};"
                 f" files={os.path.basename(snapdir)}/atoms#;}}\n")
 
+    # per-phase timing table into the snapshot (dumpprofile, ddcMD.c:209-223)
+    from ..utils.profile import PROFILE
+
+    PROFILE.write(snapdir)
+
     # atomic restart symlink (io.c:106-110)
     link = os.path.join(run_dir, "restart")
     tmp = link + ".tmp"

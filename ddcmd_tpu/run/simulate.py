@@ -32,6 +32,7 @@ from ..integrators.nglf import StepState, first_energy_call, make_nglf_step
 from ..nbr.celllist import CellGrid, build_neighbor_list
 from ..objects import ObjectDB
 from ..objects import units as U
+from ..utils.profile import PROFILE
 from .forces import build_force_fn
 from .printinfo import PrintInfo
 
@@ -293,12 +294,14 @@ class Simulation:
             if self._time_dependent_groups:
                 self.coeffs = self.sysdef.group_table.coefficients(
                     float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype)
-            ss_new, scal, overflow = self._chunk_jit(self.ss, sub, self.coeffs,
-                                                     n_rebuilds, spr)
+            with PROFILE.phase("loop"):
+                ss_new, scal, overflow = self._chunk_jit(
+                    self.ss, sub, self.coeffs, n_rebuilds, spr)
+                scal = np.asarray(scal, dtype=np.float64)  # device sync
+            PROFILE.count("md_steps", k)
             if bool(overflow):
                 self.recapacity()
                 continue  # redo this chunk with bigger capacity
-            scal = np.asarray(scal, dtype=np.float64)
             if not np.isfinite(scal[:, 0] + scal[:, 1]).all():
                 # parity-style in-memory rollback (saveState/restoreState,
                 # /root/reference/src/saveState.c:45,117; masters.c:461-466):
@@ -312,7 +315,8 @@ class Simulation:
             retries = 0
             self.ss = ss_new
             done += k
-            self._emit_prints(scal, k, print_fn)
+            with PROFILE.phase("printinfo"):
+                self._emit_prints(scal, k, print_fn)
             loop_now = int(self.ss.loop)
             for a in self.analyses:
                 if loop_now % a.eval_rate == 0:
