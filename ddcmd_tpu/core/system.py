@@ -128,7 +128,16 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
             if s not in seen:
                 seen.append(s)
         sp_names_decl = seen
-    species = species_from_deck(db, sp_names_decl)
+    # bio decks may omit SPECIES objects: CHARMM systems get mass/charge
+    # from the RTF (synthesized below after potential compile)
+    species = []
+    for i, name in enumerate(sp_names_decl):
+        if db.find(name, "SPECIES") is not None:
+            species.extend(species_from_deck(db, [name]))
+            species[-1].index = i
+        else:
+            species.append(Species(name=name, index=i, type="ATOM",
+                                   charge=0.0, mass=1.0))
     sp_index = {s.name: s.index for s in species}
 
     # --- groups ----------------------------------------------------------------
@@ -148,13 +157,8 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         gidx = np.array([grp_index[g] for g in col.group_names], dtype=np.int32)
     except KeyError as e:
         raise DeckError(f"collection references unknown group {e}") from None
-    mass = np.array([species[i].mass for i in sidx])
-    charge = np.array([species[i].charge for i in sidx])
-
-    state = State.create(col.r, col.v, charge, mass, sidx, gidx, col.gid,
-                         dtype=dtype, pad_multiple=pad_multiple)
-
-    # --- potentials ---------------------------------------------------------------
+    # --- potentials (state is created after, so CHARMM can supply
+    # species masses/charges from the RTF) ----------------------------------
     potentials = []
     rcut_max = 0.0
     for pname in sysobj.get_strv("potential"):
@@ -184,10 +188,27 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
             parms = compile_restraint(db, pname)
             if parms is not None:
                 potentials.append(("RESTRAINT", pname, parms))
+        elif ptype == "CHARMM":
+            from ..potentials.charmm import compile_charmm
+
+            parms, charmm_res_types = compile_charmm(db, pname, base_dir)
+            rcut_max = max(rcut_max, parms.rcut)
+            # species mass/charge from the RTF for synthesized species
+            for s in species:
+                if s.name in parms.species_mass:
+                    s.mass = parms.species_mass[s.name]
+                    s.charge = parms.species_charge[s.name]
+            potentials.append(("MARTINI", pname, parms))  # same nonbond engine
+            parms._charmm_res_types = charmm_res_types
         elif ptype in ("NONE", "ZEROPOTENTIAL"):
             potentials.append(("NONE", pname, None))
         else:
             raise DeckError(f"POTENTIAL type {ptype} not implemented yet")
+
+    mass = np.array([species[i].mass for i in sidx])
+    charge = np.array([species[i].charge for i in sidx])
+    state = State.create(col.r, col.v, charge, mass, sidx, gidx, col.gid,
+                         dtype=dtype, pad_multiple=pad_multiple)
 
     # Martini species need their LJ type index instead of species index for
     # the nonbond table lookup; build the map here.
@@ -204,11 +225,14 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         parms.species_lj_type = tmap  # attached for force-builder use
 
         # covalent topology: residue templates instantiated over the
-        # collection (genMartiniConn analog, bioMartini.c:567-830)
+        # collection (genMartiniConn analog, bioMartini.c:567-830;
+        # CHARMM residues come from the RTF instead of MMFF objects)
         from ..potentials.bonded import (compile_residue_types,
                                          instantiate_bonded, scan_residues)
 
-        res_types = compile_residue_types(db, martini[1], parms.rcut)
+        res_types = getattr(parms, "_charmm_res_types", None)
+        if res_types is None:
+            res_types = compile_residue_types(db, martini[1], parms.rcut)
         instances = scan_residues(res_types, col.species_names, col.gid)
         bonded = instantiate_bonded(res_types, instances, parms.rcut)
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -345,44 +346,49 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         if key not in terms:
             continue
         idx = terms[key]
-        parm = terms[key[:-1] + "_parms"] if False else terms[
-            "torsion_parms" if key == "torsions" else "improper_parms"]
-        b1 = _min_image(r[idx[:, 1]] - r[idx[:, 0]], L)
-        b2 = _min_image(r[idx[:, 2]] - r[idx[:, 1]], L)
-        b3 = _min_image(r[idx[:, 3]] - r[idx[:, 2]], L)
-        n1 = jnp.cross(b1, b2)
-        n2 = jnp.cross(b2, b3)
-        b2n = jnp.sqrt(jnp.sum(b2 * b2, axis=-1))
-        x = jnp.sum(n1 * n2, axis=-1)
-        y = jnp.sum(jnp.cross(n1, n2) * b2, axis=-1) / b2n
-        phi = jnp.arctan2(y, x)
-        if harmonic:
-            kpsi, psi0 = parm[:, 0], parm[:, 1]
-            dphi = phi - psi0
-            dphi = dphi - 2.0 * jnp.pi * jnp.round(dphi / (2.0 * jnp.pi))
-            e_t = kpsi * dphi * dphi
-            dEdphi = 2.0 * kpsi * dphi
-        else:
+        parm = terms["torsion_parms" if key == "torsions" else "improper_parms"]
+        # gather the four corner positions as min-image displacements about
+        # atom j so the energy is a smooth function of the local geometry
+        rj_ = r[idx[:, 1]]
+        d0 = _min_image(r[idx[:, 0]] - rj_, L)
+        d2_ = _min_image(r[idx[:, 2]] - rj_, L)
+        d3 = _min_image(r[idx[:, 3]] - rj_, L)
+
+        def torsion_energy(d0, d2_, d3, parm=parm, harmonic=harmonic):
+            b1 = -d0                    # r_j - r_i
+            b2 = d2_                    # r_k - r_j
+            b3 = d3 - d2_               # r_l - r_k
+            n1 = jnp.cross(b1, b2)
+            n2 = jnp.cross(b2, b3)
+            b2n = jnp.sqrt(jnp.sum(b2 * b2, axis=-1))
+            x = jnp.sum(n1 * n2, axis=-1)
+            y = jnp.sum(jnp.cross(n1, n2) * b2, axis=-1) / b2n
+            phi = jnp.arctan2(y, x)
+            if harmonic:
+                kpsi, psi0 = parm[:, 0], parm[:, 1]
+                dphi = phi - psi0
+                dphi = dphi - 2.0 * jnp.pi * jnp.round(dphi / (2.0 * jnp.pi))
+                return kpsi * dphi * dphi
             kchi, nper, delta = parm[:, 0], parm[:, 1], parm[:, 2]
-            e_t = kchi * (1.0 + jnp.cos(nper * phi - delta))
-            dEdphi = -kchi * nper * jnp.sin(nper * phi - delta)
-        n1sq = jnp.sum(n1 * n1, axis=-1)
-        n2sq = jnp.sum(n2 * n2, axis=-1)
-        fi = (-dEdphi * b2n / n1sq)[:, None] * n1
-        fl = (dEdphi * b2n / n2sq)[:, None] * n2
-        t = jnp.sum(b1 * b2, axis=-1) / (b2n * b2n)
-        s = jnp.sum(b3 * b2, axis=-1) / (b2n * b2n)
-        fj = -fi + t[:, None] * fi - s[:, None] * fl
-        fk = -fl - t[:, None] * fi + s[:, None] * fl
+            return kchi * (1.0 + jnp.cos(nper * phi - delta))
+
+        # forces by reverse-mode AD of the per-term energies (exact; the
+        # hand-derived force decomposition is easy to get subtly wrong)
+        e_t, pull = jax.vjp(lambda a, b, c: jnp.sum(torsion_energy(a, b, c)),
+                            d0, d2_, d3)
+        g0, g2, g3 = pull(jnp.ones((), dtype=dtype))
+        e_terms = torsion_energy(d0, d2_, d3)
+        fi = -g0
+        fk = -g2
+        fl = -g3
+        fj = -(fi + fk + fl)            # momentum conservation
         f = (f.at[idx[:, 0]].add(fi).at[idx[:, 1]].add(fj)
               .at[idx[:, 2]].add(fk).at[idx[:, 3]].add(fl))
-        e = e + jnp.sum(e_t)
-        pe = pe.at[idx[:, 1]].add(e_t)
-        # torsion virial: sum over atoms f_a (x) r_a about atom j (min image)
-        rj_ = r[idx[:, 1]]
-        for a, fa in ((0, fi), (1, fj), (2, fk), (3, fl)):
-            da = _min_image(r[idx[:, a]] - rj_, L)
-            virial = virial + jnp.einsum("ba,bc->ac", fa, da)
+        e = e + e_t
+        pe = pe.at[idx[:, 1]].add(e_terms)
+        virial = virial + jnp.einsum("ba,bc->ac", fi, d0) \
+            + jnp.einsum("ba,bc->ac", fk, d2_) \
+            + jnp.einsum("ba,bc->ac", fl, d3)
 
     if "bpairs" in terms:
         idx, parm = terms["bpairs"], terms["bpair_parms"]

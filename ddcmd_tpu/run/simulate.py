@@ -185,8 +185,14 @@ class Simulation:
                 return ss, nbr_idx, overflow
 
         def rebuild_block(ss, key, coeffs, n_steps):
-            """One neighbor rebuild + n_steps MD steps (all on device)."""
+            """One neighbor rebuild + n_steps MD steps (all on device).
+
+            Also returns the max particle displacement over the block: the
+            verlet-skin criterion (neighborCheck, neighbor.c:117-199) says
+            the list is stale once 2*max|dr| >= deltaR; the host tightens
+            the cadence when violated."""
             ss, nbr_idx, overflow = build_nbr(ss)
+            r0 = ss.state.r
 
             def body(carry, i):
                 ss = step_fn(carry, nbr_idx, jax.random.fold_in(key, i), coeffs)
@@ -201,7 +207,10 @@ class Simulation:
                 return ss, scal
 
             ss, scal = jax.lax.scan(body, ss, jnp.arange(n_steps))
-            return ss, scal, overflow
+            dr = ss.state.r - r0
+            dr = dr - ss.box.lengths * jnp.round(dr / ss.box.lengths)
+            max_disp2 = jnp.max(jnp.sum(dr * dr, axis=-1) * ss.state.fmask)
+            return ss, scal, overflow, max_disp2
 
         def superchunk(ss, key, coeffs, n_rebuilds, steps_per_rebuild):
             """Scan over rebuild blocks: ONE dispatch per
@@ -210,14 +219,15 @@ class Simulation:
             and checked on the host after the fact (rare path -> redo)."""
 
             def block(carry, j):
-                ss, ov = carry
-                ss, scal, ov_j = rebuild_block(ss, jax.random.fold_in(key, j),
-                                               coeffs, steps_per_rebuild)
-                return (ss, ov | ov_j), scal
+                ss, ov, md2 = carry
+                ss, scal, ov_j, md2_j = rebuild_block(
+                    ss, jax.random.fold_in(key, j), coeffs, steps_per_rebuild)
+                return (ss, ov | ov_j, jnp.maximum(md2, md2_j)), scal
 
-            (ss, overflow), scal = jax.lax.scan(
-                block, (ss, jnp.asarray(False)), jnp.arange(n_rebuilds))
-            return ss, scal.reshape(-1, scal.shape[-1]), overflow
+            (ss, overflow, max_disp2), scal = jax.lax.scan(
+                block, (ss, jnp.asarray(False), jnp.zeros(())),
+                jnp.arange(n_rebuilds))
+            return ss, scal.reshape(-1, scal.shape[-1]), overflow, max_disp2
 
         def first(ss):
             ss, handle, _ = build_nbr(ss)
@@ -283,9 +293,10 @@ class Simulation:
                 loop_now = int(self.ss.loop)
                 to_ckpt = cfg.checkpointrate - (loop_now % cfg.checkpointrate)
                 k = min(k, to_ckpt)
-            if k >= update_rate:
-                spr = update_rate
-                n_rebuilds = k // update_rate
+            eff_rate = min(update_rate, getattr(self, "_forced_spr", update_rate))
+            if k >= eff_rate:
+                spr = eff_rate
+                n_rebuilds = k // eff_rate
             else:
                 spr = k
                 n_rebuilds = 1
@@ -295,7 +306,7 @@ class Simulation:
                 self.coeffs = self.sysdef.group_table.coefficients(
                     float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype)
             with PROFILE.phase("loop"):
-                ss_new, scal, overflow = self._chunk_jit(
+                ss_new, scal, overflow, max_disp2 = self._chunk_jit(
                     self.ss, sub, self.coeffs, n_rebuilds, spr)
                 scal = np.asarray(scal, dtype=np.float64)  # device sync
             PROFILE.count("md_steps", k)
@@ -315,6 +326,16 @@ class Simulation:
             retries = 0
             self.ss = ss_new
             done += k
+            # verlet-skin staleness: 2*max|dr| must stay under deltaR
+            if 2.0 * math.sqrt(float(max_disp2)) >= self.sysdef.neighbor_deltaR \
+                    and spr > 1:
+                import warnings
+
+                warnings.warn(
+                    f"neighbor list went stale (2*max_disp="
+                    f"{2 * math.sqrt(float(max_disp2)):.3f} nm >= deltaR="
+                    f"{self.sysdef.neighbor_deltaR}); halving rebuild cadence")
+                self._forced_spr = max(1, spr // 2)
             with PROFILE.phase("printinfo"):
                 self._emit_prints(scal, k, print_fn)
             loop_now = int(self.ss.loop)
@@ -355,19 +376,58 @@ class Simulation:
             h=np.asarray(self.ss.box.h, dtype=np.float64).copy(),
         )
         apply_transform(ctx, tobj)
-        n_pad = st.n_pad
-        r = np.zeros((n_pad, 3))
-        v = np.zeros((n_pad, 3))
-        r[:n] = ctx.r
-        v[:n] = ctx.v
         from ..core.box import Box
 
-        self.ss = self.ss.replace(
-            state=st.replace(r=jnp.asarray(r, self.dtype),
-                             v=jnp.asarray(v, self.dtype)),
-            box=Box.from_h(ctx.h, pbc=self.ss.box.pbc, dtype=self.dtype))
-        sd.collection.gid = ctx.gid
-        sd.collection.group_names = ctx.group_names
+        new_box = Box.from_h(ctx.h, pbc=self.ss.box.pbc, dtype=self.dtype)
+        n_new = len(ctx.gid)
+        if (n_new == n
+                and ctx.species_names == sd.collection.species_names):
+            # fast path: same particles, positions/velocities updated
+            n_pad = st.n_pad
+            r = np.zeros((n_pad, 3))
+            v = np.zeros((n_pad, 3))
+            r[:n] = ctx.r
+            v[:n] = ctx.v
+            self.ss = self.ss.replace(
+                state=st.replace(r=jnp.asarray(r, self.dtype),
+                                 v=jnp.asarray(v, self.dtype)),
+                box=new_box)
+            sd.collection.gid = ctx.gid
+            sd.collection.group_names = ctx.group_names
+        else:
+            # particle count / species changed: rebuild the State
+            from ..core.state import State
+
+            sp_index = {s.name: s.index for s in sd.species}
+            grp_index = {g.name: g.index for g in sd.groups}
+            sidx = np.array([sp_index[s] for s in ctx.species_names], dtype=np.int32)
+            gidx = np.array([grp_index.get(g, 0) for g in ctx.group_names], dtype=np.int32)
+            mass = np.array([sd.species[i].mass for i in sidx])
+            charge = np.array([sd.species[i].charge for i in sidx])
+            new_state = State.create(ctx.r, ctx.v, charge, mass, sidx, gidx,
+                                     ctx.gid, dtype=self.dtype)
+            sd.state = new_state
+            sd.collection.gid = ctx.gid
+            sd.collection.species_names = ctx.species_names
+            sd.collection.group_names = ctx.group_names
+            sd.collection.class_names = (
+                sd.collection.class_names * (n_new // max(n, 1) + 1))[:n_new]
+            sd.collection.r = ctx.r
+            sd.collection.v = ctx.v
+            self.ss = self.ss.replace(state=new_state, box=new_box)
+            # grids/force tables depend on n and box: rebuild everything
+            if self.engine == "cellblock":
+                from ..ops.cellpair import CellBlockGrid
+
+                self.grid = CellBlockGrid.plan(
+                    np.asarray(new_box.lengths, dtype=np.float64),
+                    sd.rcut_max, sd.neighbor_deltaR, n_new)
+            else:
+                self.grid = plan_grid(sd)
+            self.force_fn = build_force_fn(sd, dtype=self.dtype,
+                                           engine=self.engine, grid=self.grid)
+            self._rebuild_step_fn()
+            self._compile()
         self.first_energy()
 
     def _poll_commands(self, on_checkpoint) -> bool:

@@ -132,6 +132,63 @@ def t_impact(ctx, obj):
     ctx.v[sel] += vel[None, :]
 
 
+def t_selectsubset(ctx, obj):
+    """SELECTSUBSET: keep only the selected particles (selectSubset.c)."""
+    sel = ctx.selection(obj)
+    for ax, lo_k, hi_k in ((0, "xmin", "xmax"), (1, "ymin", "ymax"), (2, "zmin", "zmax")):
+        if obj.has(lo_k):
+            sel &= ctx.r[:, ax] >= obj.get_with_units(lo_k, "0", "l")
+        if obj.has(hi_k):
+            sel &= ctx.r[:, ax] < obj.get_with_units(hi_k, "0", "l")
+    idx = np.nonzero(sel)[0]
+    ctx.r = ctx.r[idx]
+    ctx.v = ctx.v[idx]
+    ctx.gid = ctx.gid[idx]
+    ctx.mass = ctx.mass[idx]
+    ctx.species_names = [ctx.species_names[i] for i in idx]
+    ctx.group_names = [ctx.group_names[i] for i in idx]
+
+
+def t_replicate(ctx, obj):
+    """REPLICATE: tile the system nx x ny x nz (replicate.c:42-48)."""
+    nx = obj.get_int("nx", 1)
+    ny = obj.get_int("ny", 1)
+    nz = obj.get_int("nz", 1)
+    stride = obj.get_int("stride", 0) or (int(ctx.gid.max()) + 1)
+    L = np.diagonal(ctx.h).copy()
+    rs, vs, gids, sp, gr = [], [], [], [], []
+    copy = 0
+    for ix in range(nx):
+        for iy in range(ny):
+            for iz in range(nz):
+                shift = (np.array([ix, iy, iz]) - 0.5 * np.array([nx - 1, ny - 1, nz - 1])) * L
+                rs.append(ctx.r + shift)
+                vs.append(ctx.v.copy())
+                gids.append(ctx.gid + copy * stride)
+                sp += ctx.species_names
+                gr += ctx.group_names
+                copy += 1
+    ctx.r = np.concatenate(rs)
+    ctx.v = np.concatenate(vs)
+    ctx.gid = np.concatenate(gids)
+    ctx.mass = np.tile(ctx.mass, copy)
+    ctx.species_names = sp
+    ctx.group_names = gr
+    ctx.h[:] = ctx.h * np.array([nx, ny, nz])[:, None]
+
+
+def t_alchemy(ctx, obj):
+    """ALCHEMY: transmute selected particles to another species
+    (alchemyTransform.c)."""
+    target = obj.get_str("species_to", obj.get_str("newSpecies", ""))
+    sel = ctx.selection(obj)
+    frm = obj.get_str("species_from", "")
+    if frm:
+        sel &= np.asarray(ctx.species_names) == frm
+    for i in np.nonzero(sel)[0]:
+        ctx.species_names[i] = target
+
+
 REGISTRY = {
     "SETVELOCITY": t_setvelocity,
     "ADDVELOCITY": t_addvelocity,
@@ -142,6 +199,9 @@ REGISTRY = {
     "LINEARISOTROPICV": t_linearisotropicv,
     "ASSIGNGROUPS": t_assigngroups,
     "IMPACT": t_impact,
+    "SELECTSUBSET": t_selectsubset,
+    "REPLICATE": t_replicate,
+    "ALCHEMY": t_alchemy,
 }
 
 
