@@ -343,7 +343,165 @@ class ForceAverage(Analysis):
                 f.write(f"{name:12s} {acc / cnt:16.8e}\n")
 
 
+class Dsf(Analysis):
+    """dynamic structure factor: rho_k(t) series -> S(k, omega) by FFT
+    (dsf.c, 275 LoC)."""
+
+    def setup(self):
+        self.kmax = self.obj.get_with_units("kmax", "5.0", "1/l")
+        self.filename = self.obj.get_str("filename", "dsf.dat")
+        self.state["series"] = []
+        self._kvecs = None
+
+    def eval(self, sim):
+        ss = sim.ss
+        n = sim.sysdef.state.n_local
+        L = np.asarray(ss.box.lengths, dtype=np.float64)
+        if self._kvecs is None:
+            mmax = max(1, min(int(self.kmax * L.min() / (2 * np.pi)), 6))
+            ks = [2 * np.pi * np.array([m, 0, 0]) / L for m in range(1, mmax + 1)]
+            ks += [2 * np.pi * np.array([0, m, 0]) / L for m in range(1, mmax + 1)]
+            ks += [2 * np.pi * np.array([0, 0, m]) / L for m in range(1, mmax + 1)]
+            self._kvecs = np.asarray(ks)
+        r = np.asarray(ss.state.r[:n])
+        rho_k = np.exp(1j * (r @ self._kvecs.T)).sum(axis=0) / np.sqrt(n)
+        self.state["series"].append(rho_k)
+
+    def output(self, sim, run_dir="."):
+        series = np.asarray(self.state["series"])
+        if len(series) < 4:
+            return
+        # S(k, w) = |FFT_t rho_k(t)|^2 / T  (rho_k is complex: full FFT)
+        F = np.fft.fft(series, axis=0)
+        S = (F * F.conj()).real / len(series)
+        kn = np.linalg.norm(self._kvecs, axis=1)
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("# k(1/Ang) omega_index S(k,omega)\n")
+            for ki in range(S.shape[1]):
+                for wi in range(S.shape[0]):
+                    f.write(f"{kn[ki] / U.LENGTH_TO_ANG:10.5f} {wi:6d} "
+                            f"{S[wi, ki]:14.6e}\n")
+
+
+def _nearest_neighbors(sim, n_neighbors):
+    """Indices+displacements of the n nearest neighbors per particle
+    (analysis cadence; O(N^2) on host is fine at this scale)."""
+    n = sim.sysdef.state.n_local
+    r = np.asarray(sim.ss.state.r[:n], dtype=np.float64)
+    L = np.asarray(sim.ss.box.lengths, dtype=np.float64)
+    d = r[:, None, :] - r[None, :, :]
+    d -= L * np.round(d / L)
+    dist2 = (d ** 2).sum(axis=-1)
+    np.fill_diagonal(dist2, np.inf)
+    idx = np.argsort(dist2, axis=1)[:, :n_neighbors]
+    disp = np.take_along_axis(d, idx[:, :, None], axis=1)
+    return idx, disp
+
+
+class Centrosym(Analysis):
+    """centrosymmetry parameter (centrosym.c): for each particle, pair up
+    the nNeighbors nearest neighbors to minimize |d_i + d_j|^2 (greedy)."""
+
+    def setup(self):
+        self.n_neighbors = self.obj.get_int("nNeighbors", 12)
+        self.filename = self.obj.get_str("filename", "centrosym.dat")
+
+    def eval(self, sim):
+        idx, disp = _nearest_neighbors(sim, self.n_neighbors)
+        n = disp.shape[0]
+        cs = np.zeros(n)
+        for i in range(n):
+            d = list(range(self.n_neighbors))
+            v = disp[i]
+            while len(d) > 1:
+                a = d.pop(0)
+                s = [(np.sum((v[a] + v[b]) ** 2), b) for b in d]
+                val, b = min(s)
+                d.remove(b)
+                cs[i] += val
+        self.state["cs"] = cs
+
+    def output(self, sim, run_dir="."):
+        if "cs" not in self.state:
+            return
+        cs = self.state["cs"] * U.LENGTH_TO_ANG ** 2
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write(f"# loop {int(sim.ss.loop)}: centrosymmetry (Ang^2) per particle\n")
+            for v in cs:
+                f.write(f"{v:12.6f}\n")
+
+
+class AcklandJones(Analysis):
+    """Ackland-Jones local crystal-structure classifier (ackland_jones.c):
+    angular histogram over the 14 nearest neighbors -> FCC/HCP/BCC/ICO/UNK."""
+
+    LABELS = ("UNKNOWN", "FCC", "HCP", "BCC", "ICO")
+
+    def setup(self):
+        self.filename = self.obj.get_str("filename", "acklandJones.dat")
+
+    def eval(self, sim):
+        idx, disp = _nearest_neighbors(sim, 14)
+        n = disp.shape[0]
+        kinds = np.zeros(n, dtype=np.int32)
+        # chi-bin boundaries from Ackland & Jones (PRB 73, 054104):
+        # reference cosines -1 (chi0), -1/3 & -0.577 (chi4), 0 (chi5),
+        # 1/3 & 0.5 & 0.577 (chi7); chi8 (>0.795) flags disorder.
+        edges = [-1.001, -0.945, -0.915, -0.755, -0.705, -0.195, 0.195,
+                 0.245, 0.795, 1.001]
+        for i in range(n):
+            v = disp[i]
+            d2 = (v ** 2).sum(axis=1)
+            r2_6 = d2[:6].mean()          # idx sorted by distance already
+            sel = d2 < 1.45 * r2_6        # angular neighbor set
+            vv = v[sel]
+            n1 = len(vv)
+            if n1 < 6:
+                continue
+            u = vv / np.linalg.norm(vv, axis=1)[:, None]
+            cosines = (u @ u.T)[np.triu_indices(n1, 1)]
+            chi, _ = np.histogram(cosines, bins=edges)
+            x0, x1, x2, x3, x4, x5, x6, x7, x8 = (int(c) for c in chi)
+            denom = x5 + x6 + x7 - x4
+            delta_bcc = 0.35 * x4 / denom if denom > 0 else 10.0
+            delta_cp = abs(1.0 - x7 / 24.0)
+            delta_fcc = 0.61 * (abs(x0 + x1 - 6) + x2) / 6.0
+            delta_hcp = (abs(x0 - 3) + abs(x0 + x1 + x2 + x3 - 9)) / 12.0
+            if x0 == 7:
+                delta_bcc = 0.0
+            elif x0 == 6:
+                delta_fcc = 0.0
+            elif x0 <= 3:
+                delta_hcp = 0.0
+            if x8 > 0:
+                kinds[i] = 0              # near-parallel pairs: disordered
+            elif x4 < 3:
+                kinds[i] = 4 if 11 <= n1 <= 13 else 0
+            elif delta_bcc <= delta_cp:
+                kinds[i] = 3 if n1 >= 11 else 0
+            elif n1 > 12 or n1 < 11:
+                kinds[i] = 0
+            elif delta_fcc < delta_hcp:
+                kinds[i] = 1
+            else:
+                kinds[i] = 2
+        self.state["kinds"] = kinds
+
+    def output(self, sim, run_dir="."):
+        if "kinds" not in self.state:
+            return
+        kinds = self.state["kinds"]
+        counts = np.bincount(kinds, minlength=5)
+        with open(os.path.join(run_dir, self.filename), "a") as f:
+            f.write(f"loop={int(sim.ss.loop)} " + " ".join(
+                f"{self.LABELS[k]}={counts[k]}" for k in range(5)) + "\n")
+
+
 REGISTRY = {
+    "DSF": Dsf,
+    "CENTROSYM": Centrosym,
+    "ACKLAND_JONES": AcklandJones,
+    "ACKLANDJONES": AcklandJones,
     "PAIRCORRELATION": PairCorrelation,
     "VCMWRITE": VcmWrite,
     "KINETICENERGYDISTN": KineticEnergyDistn,

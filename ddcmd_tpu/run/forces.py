@@ -122,6 +122,21 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
         terms.append(bonded_term)
 
+    # EXTFORCE groups: constant external force on member particles
+    # (extforce.c; group contract group.h:9-80)
+    ext = np.array([g.extforce for g in sysdef.groups], dtype=np.float64)
+    if np.any(ext != 0.0):
+        ext_j = jnp.asarray(ext, dtype=dtype)
+
+        def extforce_term(state, box, nbr_idx, ext_j=ext_j):
+            fi = ext_j[state.group] * state.fmask[:, None]
+            e = -jnp.sum(fi * state.r)  # V = -F.r
+            pe = -jnp.sum(fi * state.r, axis=1)
+            virial = jnp.zeros((3, 3), dtype=dtype)
+            return fi, e, virial, pe
+
+        terms.append(extforce_term)
+
     def force_fn(state, box, nbr_idx):
         n_pad = state.n_pad
         f = jnp.zeros((n_pad, 3), dtype=dtype)
