@@ -179,7 +179,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         elif ptype == "EAM":
             from ..potentials.eam import compile_eam
 
-            parms = compile_eam(db, pname, species)
+            parms = compile_eam(db, pname, species, base_dir)
             rcut_max = max(rcut_max, parms.rcut)
             potentials.append(("EAM", pname, parms))
         elif ptype == "RESTRAINT":
@@ -200,6 +200,8 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
                     s.charge = parms.species_charge[s.name]
             potentials.append(("MARTINI", pname, parms))  # same nonbond engine
             parms._charmm_res_types = charmm_res_types
+        elif ptype == "REFLECT":
+            potentials.append(("REFLECT", pname, None))
         elif ptype in ("NONE", "ZEROPOTENTIAL"):
             potentials.append(("NONE", pname, None))
         else:

@@ -54,7 +54,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                    barostat=None, n_global: int, n_constraints: int = 0,
                    constraint_fn: Callable | None = None,
                    molecular_virial_fn: Callable | None = None,
-                   wrap_positions: bool = True):
+                   wrap_positions: bool = True,
+                   post_drift_fn: Callable | None = None):
     """Build the jittable MD step.
 
     force_fn(state, box, nbr_idx) -> (f (N,3), e_pot, virial (3,3), pe (N,))
@@ -111,6 +112,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
         if wrap_positions:
             r = box.back_in_box(r)
         state = state.replace(r=r)
+        if post_drift_fn is not None:      # e.g. REFLECT walls (reflect.c:41)
+            state = post_drift_fn(state, box)
 
         # --- forces ---------------------------------------------------------
         f, e_pot, virial, pe = force_fn(state, box, nbr_idx)

@@ -46,11 +46,11 @@ class EamParms:
     embed_tables: dict         # form-specific (T,) parameter arrays
 
 
-def compile_eam(db: ObjectDB, name: str, species) -> EamParms:
+def compile_eam(db: ObjectDB, name: str, species, base_dir: str = ".") -> EamParms:
     pot = db.get(name, "POTENTIAL")
     form = pot.get_str("form", "exp").upper()
     rmax = pot.get_with_units("rmax", "0.0", "Angstrom")
-    if rmax <= 0:
+    if rmax <= 0 and form != "TABULAR":  # TABULAR can take rmax from tables
         raise DeckError(f"{name}: EAM requires rmax")
     ns = len(species)
     eV = U.unit_scale("eV")
@@ -146,13 +146,48 @@ def compile_eam(db: ObjectDB, name: str, species) -> EamParms:
         pt = {k: 0.5 * (per[k][:, None] + per[k][None, :]) for k in keys if k != "A"}
         return EamParms(form, ns, rmax, pt, dict(negA=-per["A"]))
 
-    raise DeckError(f"EAM form {form} not implemented (TABULAR/RATIONAL pending)")
+    if form == "TABULAR":
+        # deck: <A>-<B>_pair = file (cols: r, phi(r), rho(r));
+        #       <A>_embed = file (cols: rho, F(rho))
+        # (eam_tabular.c:60-110 keyword scheme; tfunc files)
+        import os
+
+        from ..utils.tfunction import TabulatedFunction
+
+        pair_tabs = {}
+        rmax_seen = 0.0
+        for i, si in enumerate(species):
+            for j in range(i, ns):
+                sj = species[j]
+                key = f"{si.name}-{sj.name}_pair"
+                if not pot.has(key):
+                    key = f"{sj.name}-{si.name}_pair"
+                tf = TabulatedFunction.from_file(
+                    os.path.join(base_dir, pot.get_str(key)))
+                pair_tabs[(i, j)] = pair_tabs[(j, i)] = tf
+                rmax_seen = max(rmax_seen, tf.x_max)
+        embed_tabs = []
+        for si in species:
+            embed_tabs.append(TabulatedFunction.from_file(
+                os.path.join(base_dir, pot.get_str(f"{si.name}_embed"))))
+        if rmax <= 0:
+            rmax = rmax_seen
+        return EamParms(form, ns, rmax,
+                        dict(tabs=pair_tabs), dict(tabs=embed_tabs))
+
+    raise DeckError(f"EAM form {form} not implemented (RATIONAL pending)")
 
 
 def _pair_eval(form: str, pt: dict, pair_idx, r2, ir, ir2, derivative: bool):
     """phi/rho (or their (d/dr)/r) per pair; pt arrays flattened (T*T,)."""
     g = lambda k: pt[k].reshape(-1)[pair_idx]
     r = r2 * ir
+    if form == "TABULAR":
+        e = _tab_lookup(pt, pair_idx, r, 0, derivative)
+        p = _tab_lookup(pt, pair_idx, r, 1, derivative)
+        if derivative:  # tables store d/dr; kernel wants (d/dr)/r
+            return e * ir, p * ir
+        return e, p
     if form == "FS":
         a, b, c, m, n, ro, x = (g(k) for k in ("a", "b", "c", "m", "n", "ro", "x"))
         dri = 1.0 / (r - x)
@@ -199,6 +234,10 @@ def _pair_eval(form: str, pt: dict, pair_idx, r2, ir, ir2, derivative: bool):
 
 def _embedding(form: str, et: dict, tidx, rho):
     eps = 1e-30
+    if form == "TABULAR":
+        v = _tab_lookup(et, tidx, rho, 0, False)
+        dv = _tab_lookup(et, tidx, rho, 0, True)
+        return v, dv
     if form in ("FS",):
         v = -jnp.sqrt(rho + eps)
         dv = 0.5 / v
@@ -232,10 +271,54 @@ def _embedding(form: str, et: dict, tidx, rho):
 
 
 def eam_device_tables(parms: EamParms, dtype=jnp.float32):
-    pt = {k: jnp.asarray(v, dtype=dtype) for k, v in parms.pair_tables.items()}
-    et = {k: jnp.asarray(v, dtype=dtype) for k, v in parms.embed_tables.items()}
+    if parms.form == "TABULAR":
+        T = parms.n_species
+        ptabs = parms.pair_tables["tabs"]
+        m = max(t.values.shape[1] for t in ptabs.values())
+        vals = np.zeros((T * T, 2, m))
+        ders = np.zeros((T * T, 2, m))
+        x0 = np.zeros(T * T)
+        inv_dx = np.zeros(T * T)
+        for (i, j), t in ptabs.items():
+            vals[i * T + j, :, : t.values.shape[1]] = t.values[:2]
+            ders[i * T + j, :, : t.values.shape[1]] = t.derivs[:2]
+            x0[i * T + j] = t.x0
+            inv_dx[i * T + j] = 1.0 / t.dx
+        etabs = parms.embed_tables["tabs"]
+        me = max(t.values.shape[1] for t in etabs)
+        evals = np.zeros((T, me))
+        eders = np.zeros((T, me))
+        ex0 = np.zeros(T)
+        einv = np.zeros(T)
+        for i, t in enumerate(etabs):
+            evals[i, : t.values.shape[1]] = t.values[0]
+            eders[i, : t.values.shape[1]] = t.derivs[0]
+            ex0[i] = t.x0
+            einv[i] = 1.0 / t.dx
+        pt = dict(vals=jnp.asarray(vals, dtype), ders=jnp.asarray(ders, dtype),
+                  x0=jnp.asarray(x0, dtype), inv_dx=jnp.asarray(inv_dx, dtype),
+                  m=m)
+        et = dict(vals=jnp.asarray(evals[:, None, :], dtype),
+                  ders=jnp.asarray(eders[:, None, :], dtype),
+                  x0=jnp.asarray(ex0, dtype), inv_dx=jnp.asarray(einv, dtype),
+                  m=me)
+    else:
+        pt = {k: jnp.asarray(v, dtype=dtype) for k, v in parms.pair_tables.items()}
+        et = {k: jnp.asarray(v, dtype=dtype) for k, v in parms.embed_tables.items()}
     return dict(pair=pt, embed=et, rcut2=jnp.asarray(parms.rcut ** 2, dtype=dtype),
                 form=parms.form, n_species=parms.n_species)
+
+
+def _tab_lookup(tab, sel_idx, x, col, derivative):
+    """Stacked-table linear interpolation: tab arrays (P, cols, m)."""
+    src = tab["ders"] if derivative else tab["vals"]
+    t = (x - tab["x0"][sel_idx]) * tab["inv_dx"][sel_idx]
+    t = jnp.clip(t, 0.0, tab["m"] - 1.001)
+    i = jnp.floor(t).astype(jnp.int32)
+    frac = t - i
+    v0 = src[sel_idx, col, i]
+    v1 = src[sel_idx, col, i + 1]
+    return v0 + frac * (v1 - v0)
 
 
 def eam_eval(r, sidx, fmask, nbr_idx, box_lengths, tables):

@@ -94,8 +94,8 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                 return restraint_eval(state.r, state.fmask, box.lengths, rows, r0, kb, am)
 
             terms.append(restraint_term)
-        elif ptype == "NONE":
-            continue
+        elif ptype in ("NONE", "REFLECT"):
+            continue  # REFLECT is a post-drift hook (integrator), not a force
         else:
             raise NotImplementedError(f"force term {ptype}")
 

@@ -154,13 +154,19 @@ class Simulation:
             self.coeffs = (jnp.ones_like(a), jnp.ones_like(c_on),
                            jnp.zeros_like(noise), jnp.zeros_like(vcm))
             self._time_dependent_groups = False
+        post_drift_fn = None
+        if any(p[0] == "REFLECT" for p in sd.potentials):
+            from ..potentials.reflect import make_reflect_fn
+
+            post_drift_fn = make_reflect_fn(self.dtype)
         self.step_fn = make_nglf_step(
             self.force_fn, self.coeffs, sd.cfg.dt,
             barostat=self._barostat, n_global=sd.state.n_local,
             n_constraints=sd.n_constraints,
             molecular_virial_fn=self._mol_virial_fn,
             constraint_fn=constraint_fn,
-            wrap_positions=wrap)
+            wrap_positions=wrap,
+            post_drift_fn=post_drift_fn)
 
     def _compile(self):
         grid = self.grid
