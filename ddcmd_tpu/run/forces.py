@@ -31,7 +31,24 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             tables = martini_device_tables(parms, dtype=dtype)
             tmap = jnp.asarray(parms.species_lj_type)
 
-            if engine == "cellblock":
+            if engine == "pallas":
+                from ..ops.pallas_cellpair import (make_pallas_cellpair,
+                                                   pack_stencil,
+                                                   pallas_cellpair_eval)
+
+                eval_fn = make_pallas_cellpair(grid, tables, coulomb=True)
+                stencil = jnp.asarray(pack_stencil(grid))
+
+                def martini_term(state, box, handle, tables=tables, tmap=tmap,
+                                 eval_fn=eval_fn, stencil=stencil):
+                    tidx = tmap[state.species]
+                    f, e, virial, pe = pallas_cellpair_eval(
+                        state.r, state.q, tidx, handle, box.lengths, grid,
+                        tables, stencil, eval_fn)
+                    e_self_i = (-0.5 * state.q * state.q * state.fmask
+                                * tables["keR"] * tables["crf"])
+                    return f, e + jnp.sum(e_self_i), virial, pe + e_self_i
+            elif engine == "cellblock":
                 def martini_term(state, box, handle, tables=tables, tmap=tmap):
                     tidx = tmap[state.species]
                     f, e, virial, pe = cellpair_eval(
@@ -52,7 +69,20 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
         elif ptype == "PAIR":
             tables = pair_device_tables(parms, dtype=dtype)
 
-            if engine == "cellblock":
+            if engine == "pallas":
+                from ..ops.pallas_cellpair import (make_pallas_cellpair,
+                                                   pack_stencil,
+                                                   pallas_cellpair_eval)
+
+                eval_fn = make_pallas_cellpair(grid, tables, coulomb=False)
+                stencil = jnp.asarray(pack_stencil(grid))
+
+                def pair_term(state, box, handle, tables=tables,
+                              eval_fn=eval_fn, stencil=stencil):
+                    return pallas_cellpair_eval(
+                        state.r, state.q, state.species, handle, box.lengths,
+                        grid, tables, stencil, eval_fn)
+            elif engine == "cellblock":
                 lj_tables = dict(tables)
 
                 def pair_term(state, box, handle, tables=lj_tables):

@@ -50,7 +50,7 @@ class Simulation:
         if any(p[0] == "EAM" for p in sd.potentials):
             engine = "nlist"  # cell-block EAM pending
         self.engine = engine
-        if engine == "cellblock":
+        if engine in ("cellblock", "pallas"):
             from ..ops.cellpair import CellBlockGrid
 
             self.grid = CellBlockGrid.plan(
@@ -135,7 +135,7 @@ class Simulation:
                 sd.bonded.cons_atoms, sd.bonded.cons_pairs,
                 sd.bonded.cons_dist, sd.state.n_pad, self.dtype,
                 box_lengths=np.asarray(sd.box.lengths, dtype=np.float64))
-        wrap = self.engine != "cellblock"
+        wrap = self.engine not in ("cellblock", "pallas")
         itype = sd.integrator_type
         if itype == "NPTGLF":
             from ..integrators.nptglf import make_nptglf_step
@@ -173,7 +173,7 @@ class Simulation:
         step_fn = self.step_fn
         force_fn = self.force_fn
 
-        if self.engine == "cellblock":
+        if self.engine in ("cellblock", "pallas"):
             from ..ops.cellpair import build_cell_slots
 
             def build_nbr(ss):
@@ -246,7 +246,7 @@ class Simulation:
     def recapacity(self, factor: float = 1.5):
         """Grow neighbor capacity after an overflow (allocPages analog)."""
         g = self.grid
-        if self.engine == "cellblock":
+        if self.engine in ("cellblock", "pallas"):
             self.grid = g.with_cap(int(g.cap * factor))
             self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,
                                            engine=self.engine, grid=self.grid)
