@@ -74,6 +74,11 @@ def group_from_deck(db: ObjectDB, name: str, index: int) -> Group:
     elif gtype == "FIXEDVELOCITY":
         vv = obj.get_with_unitsv("velocity", "0 0 0", "velocity")
         g.vcm = tuple(vv)
+    elif gtype == "PISTON":
+        # v = (0, 0, vz(t)) (piston.c:29-37); time-dependent vcm
+        from ..objects.eq import eq_parse
+
+        g.parms["vzeq"] = eq_parse(obj.get_literal("vz", "0.0"), "l/t", "t")
     elif gtype == "BERENDSEN":
         from ..objects.eq import eq_parse
 
@@ -101,7 +106,8 @@ class GroupTable:
     vcm: np.ndarray         # (G,3)
 
     KIND = {"FREE": 0, "LANGEVIN": 1, "FROZEN": 2, "FIXEDVELOCITY": 3,
-            "EXTFORCE": 0, "QUENCH": 4, "BERENDSEN": 0, "NONE": 0}
+            "EXTFORCE": 0, "QUENCH": 4, "BERENDSEN": 0, "NONE": 0,
+            "PISTON": 3}
 
     @classmethod
     def build(cls, groups: list[Group]) -> "GroupTable":
@@ -121,6 +127,7 @@ class GroupTable:
         a = np.ones(G)
         c_on = np.ones(G)
         noise = np.zeros(G)
+        vcm = np.array(self.vcm, dtype=np.float64)
         for i, g in enumerate(self.groups):
             if g.type == "LANGEVIN":
                 a[i] = math.exp(-dt / g.tau)
@@ -129,9 +136,17 @@ class GroupTable:
                 a[i] = 0.0
                 c_on[i] = 0.0
             elif g.type == "FIXEDVELOCITY":
+                # v = velocity exactly (fixedVelocity.c)
+                a[i] = 0.0
                 c_on[i] = 0.0
+            elif g.type == "PISTON":
+                # v = (0,0,vz(t+dt)) (piston.c:29-37)
+                a[i] = 0.0
+                c_on[i] = 0.0
+                vcm[i] = (0.0, 0.0, float(g.parms["vzeq"](time + 2 * dt)))
         return (jnp.asarray(a, dtype=dtype), jnp.asarray(c_on, dtype=dtype),
-                jnp.asarray(noise, dtype=dtype), jnp.asarray(self.vcm, dtype=dtype))
+                jnp.asarray(noise, dtype=dtype), jnp.asarray(vcm, dtype=dtype),
+                jnp.asarray(self.kind))
 
 
 def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
@@ -141,12 +156,17 @@ def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
     mode: 'front' | 'back' (see langevin_velocityUpdate,
     /root/reference/src/langevin.c:99-128).
     """
-    a_g, c_on_g, noise_g, vcm_g = coeffs
+    a_g, c_on_g, noise_g, vcm_g, kind_g = coeffs
     a = a_g[group_ids][:, None]
     c = (c_on_g[group_ids] * dt / state_mass)[:, None]
     vcm = vcm_g[group_ids]
     d = jnp.sqrt(noise_g[group_ids] * dt / state_mass)[:, None]
     g = jax.random.normal(key, state_v.shape, dtype=state_v.dtype)
+    # QUENCH (kind 4): zero components moving against the force before
+    # the kick (quench.c:17-26)
+    is_quench = (kind_g[group_ids] == 4)
+    state_v = jnp.where(is_quench[:, None] & (state_v * state_f < 0),
+                        0.0, state_v)
     if mode == "front":
         v = vcm + a * (state_v - vcm) + c * state_f + d * g
     elif mode == "back":

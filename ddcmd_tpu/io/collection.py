@@ -183,8 +183,8 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
 # writing
 # ---------------------------------------------------------------------------
 
-_HEADER_TEMPLATE = """particle FILEHEADER {{type=MULTILINE; datatype={datatype}; checksum=NONE;
-loop={loop}; time={time:.6f};
+_HEADER_TEMPLATE = """particle FILEHEADER {{type=MULTILINE; datatype={datatype}; checksum={checksum};
+{lrec_line}loop={loop}; time={time:.6f};
 nfiles={nfiles}; nrecord={nrecord}; nfields={nfields};
 field_names={field_names};
 field_types={field_types};
@@ -202,40 +202,40 @@ types = {types} ;
 def write_collection(path: str, *, gid, species_names, group_names, class_names,
                      r, v, h, loop: int = 0, time_fs: float = 0.0,
                      group_list=(), species_list=(), type_list=("ATOM",),
-                     gid_format: str = "dec") -> None:
-    """Write one VARRECORDASCII shard compatible with collection_read.
+                     gid_format: str = "dec", datatype: str = "VARRECORDASCII") -> None:
+    """Write one atoms# shard compatible with collection_read.
 
     `r` in internal nm (written as Ang), `v` in nm/ps (written as Ang/fs),
     `h` internal (3,3) (written as Ang). Mirrors collection_writeBLOCK
-    (/root/reference/src/collection_write.c:86-160) minus the checksum
-    column (checksum=NONE as in the committed waterbox snapshot).
+    (/root/reference/src/collection_write.c:86-160).  datatype
+    VARRECORDASCII writes newline-delimited records without a checksum
+    column (as in the committed waterbox snapshot); FIXRECORDASCII pads
+    every record to a fixed length and prepends a crc32 checksum field.
     """
     n = len(gid)
+    fixed = datatype.upper() == "FIXRECORDASCII"
     r = np.asarray(r, dtype=np.float64) * U.LENGTH_TO_ANG
     v = np.asarray(v, dtype=np.float64) * (1.0 / U.ANG_FS_TO_VEL)
     h = np.asarray(h, dtype=np.float64).reshape(3, 3) * U.LENGTH_TO_ANG
     hstr = "\n".join("    %.6g %22.14g %22.14g" % tuple(row) for row in h).lstrip()
 
-    header = _HEADER_TEMPLATE.format(
-        datatype="VARRECORDASCII",
-        loop=loop,
-        time=time_fs,
-        nfiles=1,
-        nrecord=n,
-        nfields=10,
-        field_names="id class type group rx ry rz vx vy vz",
-        field_types="u s s s f f f f f f",
-        field_units="1 1 1 1 Ang Ang Ang Ang/fs Ang/fs Ang/fs",
-        field_format=("%14x" if gid_format == "hex" else "%14d")
-        + " %s %s %s %21.13e %21.13e %21.13e %21.13e %21.13e %21.13e",
-        h=hstr,
-        groups=" ".join(group_list) or "group",
-        species=" ".join(species_list) or " ".join(sorted(set(species_names))),
-        types=" ".join(type_list),
-    )
-    gid = np.asarray(gid, dtype=np.uint64)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    gid_fmt = "%14x" if gid_format == "hex" else "%14d"
+    if fixed:
+        field_names = "checksum id class type group rx ry rz vx vy vz"
+        field_types = "u u s s s f f f f f f"
+        field_units = "1 1 1 1 1 Ang Ang Ang Ang/fs Ang/fs Ang/fs"
+        field_format = "%08x " + gid_fmt + " %s %s %s" + " %21.13e" * 6
+        nfields = 11
+    else:
+        field_names = "id class type group rx ry rz vx vy vz"
+        field_types = "u s s s f f f f f f"
+        field_units = "1 1 1 1 Ang Ang Ang Ang/fs Ang/fs Ang/fs"
+        field_format = gid_fmt + " %s %s %s" + " %21.13e" * 6
+        nfields = 10
 
+    gid = np.asarray(gid, dtype=np.uint64)
+
+    # build record payloads (native codec when available)
     from . import fastio
 
     strs = np.stack([
@@ -245,13 +245,48 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
     ])
     floats = np.concatenate([r.T, v.T], axis=0)
     blob = fastio.format_records(gid, strs, floats, gid_format == "hex")
+    if blob is None:  # pure-Python fallback
+        lines = []
+        for i in range(n):
+            lines.append(("%s %s %12s %s  " % (
+                gid_fmt % int(gid[i]), class_names[i], species_names[i],
+                group_names[i]))
+                + " ".join("%21.13e" % x for x in (*r[i], *v[i])) + "\n")
+        blob = "".join(lines).encode()
+
+    lrec = None
+    if fixed:
+        # pad every record to a common length, prefix crc32 of the payload
+        # (pio FIXRECORDASCII framing: bufsize/lrec records,
+        # collection_read.c:39-73)
+        recs = blob.splitlines()
+        lrec = 8 * ((max(len(x) for x in recs) + 10 + 7) // 8)
+        out = bytearray()
+        for x in recs:
+            body = x.ljust(lrec - 10)
+            out += b"%08x " % (zlib.crc32(body) & 0xFFFFFFFF)
+            out += body + b"\n"
+        blob = bytes(out)
+
+    header = _HEADER_TEMPLATE.format(
+        datatype="FIXRECORDASCII" if fixed else "VARRECORDASCII",
+        lrec_line=(f"recordLength={lrec};\n" if fixed else ""),
+        checksum="CRC32" if fixed else "NONE",
+        loop=loop,
+        time=time_fs,
+        nfiles=1,
+        nrecord=n,
+        nfields=nfields,
+        field_names=field_names,
+        field_types=field_types,
+        field_units=field_units,
+        field_format=field_format,
+        h=hstr,
+        groups=" ".join(group_list) or "group",
+        species=" ".join(species_list) or " ".join(sorted(set(species_names))),
+        types=" ".join(type_list),
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(header.encode())
-        if blob is not None:
-            f.write(blob)
-        else:  # pure-Python fallback
-            for i in range(n):
-                gid_s = ("%14x" % int(gid[i])) if gid_format == "hex" else ("%14d" % int(gid[i]))
-                f.write(("%s %s %12s %s  %21.13e %21.13e %21.13e %21.13e %21.13e %21.13e\n" % (
-                    gid_s, class_names[i], species_names[i], group_names[i],
-                    r[i, 0], r[i, 1], r[i, 2], v[i, 0], v[i, 1], v[i, 2])).encode())
+        f.write(blob)

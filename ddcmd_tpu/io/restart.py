@@ -35,6 +35,10 @@ def write_checkpoint(sim, run_dir: str = ".") -> str:
     col = sd.collection
     h = np.asarray(ss.box.h, dtype=np.float64)
 
+    colobj = sd.db.find(
+        sd.db.get(sd.cfg.system_name, "SYSTEM").get_str("collection", "collection"),
+        "COLLECTION")
+    mode = colobj.get_str("mode", "VARRECORDASCII") if colobj else "VARRECORDASCII"
     write_collection(
         os.path.join(snapdir, "atoms#000000"),
         gid=gid,
@@ -45,6 +49,7 @@ def write_checkpoint(sim, run_dir: str = ".") -> str:
         group_list=[g.name for g in sd.groups],
         species_list=[s.name for s in sd.species],
         gid_format="hex" if sd.cfg.gidFormat == "hex" else "dec",
+        datatype=mode,
     )
 
     hang = h * U.LENGTH_TO_ANG
@@ -56,7 +61,7 @@ def write_checkpoint(sim, run_dir: str = ".") -> str:
             # zeta is restart-persisted (nptglf_writedynamic, nptglf.c:34)
             zeta_ext = U.convert(float(ss.zeta), None, "pressure*t")
             f.write(f"{sd.cfg.integrator_name} INTEGRATOR {{ zeta={zeta_ext:.12e} ; }}\n")
-        f.write(f"collection COLLECTION {{ mode=VARRECORDASCII; size={n};"
+        f.write(f"collection COLLECTION {{ mode={mode}; size={n};"
                 f" files={os.path.basename(snapdir)}/atoms#;}}\n")
 
     # per-phase timing table into the snapshot (dumpprofile, ddcMD.c:209-223)

@@ -82,9 +82,13 @@ class Simulation:
         # groups with RAMP/STEP/EXP/COS Teq need fresh coefficients each chunk
         from ..objects.eq import EqTarget
 
-        self._time_dependent_groups = any(
-            isinstance(g.Teq, EqTarget) and g.Teq.kind != "CONSTANT"
-            for g in sd.groups if g.Teq is not None)
+        def _td(g):
+            if isinstance(g.Teq, EqTarget) and g.Teq.kind != "CONSTANT":
+                return True
+            vz = g.parms.get("vzeq")
+            return isinstance(vz, EqTarget) and vz.kind != "CONSTANT"
+
+        self._time_dependent_groups = any(_td(g) for g in sd.groups)
         self._barostat = barostat
         self._mol_virial_fn = mol_virial_fn
         self._rebuild_step_fn()
@@ -150,9 +154,10 @@ class Simulation:
         if itype in ("NVEGLF", "NVEGLF_SIMPLE"):
             # NVE variants ignore thermostats: plain leapfrog kicks
             # (/root/reference/src/nveglf.c)
-            a, c_on, noise, vcm = self.coeffs
+            a, c_on, noise, vcm, kind = self.coeffs
             self.coeffs = (jnp.ones_like(a), jnp.ones_like(c_on),
-                           jnp.zeros_like(noise), jnp.zeros_like(vcm))
+                           jnp.zeros_like(noise), jnp.zeros_like(vcm),
+                           jnp.zeros_like(kind))
             self._time_dependent_groups = False
         post_drift_fn = None
         if any(p[0] == "REFLECT" for p in sd.potentials):

@@ -130,3 +130,27 @@ def test_parse_annotated_template_deck():
         pytest.skip("template deck not mounted")
     db = ObjectDB().compile_file(p)
     assert len(db.objects) > 5
+
+
+def test_fixrecordascii_roundtrip(tmp_path):
+    import numpy as np
+
+    from ddcmd_tpu.io.collection import read_collection, write_collection
+
+    n = 17
+    rng = np.random.default_rng(2)
+    r = rng.standard_normal((n, 3))
+    v = rng.standard_normal((n, 3)) * 0.1
+    gid = np.arange(n, dtype=np.uint64) * 7
+    write_collection(
+        str(tmp_path / "atoms#000000"), gid=gid,
+        species_names=["WxW"] * n, group_names=["free"] * n,
+        class_names=["ATOM"] * n, r=r, v=v,
+        h=np.diag([5.0, 5.0, 5.0]), datatype="FIXRECORDASCII")
+    txt = (tmp_path / "atoms#000000").read_text()
+    assert "FIXRECORDASCII" in txt and "checksum=CRC32" in txt
+    col = read_collection("atoms#", str(tmp_path))
+    assert col.n == n
+    assert np.abs(col.r - r).max() < 1e-10
+    assert np.abs(col.v - v).max() < 1e-10
+    assert (col.gid == gid).all()
