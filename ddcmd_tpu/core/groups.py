@@ -106,7 +106,7 @@ class GroupTable:
     vcm: np.ndarray         # (G,3)
 
     KIND = {"FREE": 0, "LANGEVIN": 1, "FROZEN": 2, "FIXEDVELOCITY": 3,
-            "EXTFORCE": 0, "QUENCH": 4, "BERENDSEN": 0, "NONE": 0,
+            "EXTFORCE": 0, "QUENCH": 4, "BERENDSEN": 5, "NONE": 0,
             "PISTON": 3}
 
     @classmethod
@@ -144,19 +144,26 @@ class GroupTable:
                 a[i] = 0.0
                 c_on[i] = 0.0
                 vcm[i] = (0.0, 0.0, float(g.parms["vzeq"](time + 2 * dt)))
+        # BERENDSEN rescale params [Teq, 2*dt/tau] (berendsen.c:40-52);
+        # note dt here is the half step, the reference's 2*dt*half = dt_full
+        ber = np.zeros((G, 2))
+        for i, g in enumerate(self.groups):
+            if g.type == "BERENDSEN":
+                ber[i, 0] = float(g.Teq(time))
+                ber[i, 1] = 2.0 * dt / g.tau if g.tau > 0 else -1.0
         return (jnp.asarray(a, dtype=dtype), jnp.asarray(c_on, dtype=dtype),
                 jnp.asarray(noise, dtype=dtype), jnp.asarray(vcm, dtype=dtype),
-                jnp.asarray(self.kind))
+                jnp.asarray(self.kind), jnp.asarray(ber, dtype=dtype))
 
 
 def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
-                    coeffs, dt, key, n_valid_mask):
+                    coeffs, dt, key, n_valid_mask, has_berendsen: bool = True):
     """One fused half-kick for all particles (both reference modes).
 
     mode: 'front' | 'back' (see langevin_velocityUpdate,
     /root/reference/src/langevin.c:99-128).
     """
-    a_g, c_on_g, noise_g, vcm_g, kind_g = coeffs
+    a_g, c_on_g, noise_g, vcm_g, kind_g, ber_g = coeffs
     a = a_g[group_ids][:, None]
     c = (c_on_g[group_ids] * dt / state_mass)[:, None]
     vcm = vcm_g[group_ids]
@@ -167,6 +174,20 @@ def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
     is_quench = (kind_g[group_ids] == 4)
     state_v = jnp.where(is_quench[:, None] & (state_v * state_f < 0),
                         0.0, state_v)
+    # BERENDSEN (kind 5): FRONT-only group-temperature rescale
+    # v *= sqrt(1 + (2 dt/tau)(Teq/Tave - 1)) (berendsen.c:40-64)
+    if has_berendsen and mode == "front":
+        G = kind_g.shape[0]
+        fm = n_valid_mask.astype(state_v.dtype)
+        ke_i = 0.5 * state_mass * jnp.sum(state_v * state_v, axis=1) * fm
+        ke_g = jnp.zeros((G,), state_v.dtype).at[group_ids].add(ke_i)
+        n_g = jnp.zeros((G,), state_v.dtype).at[group_ids].add(fm)
+        Tave = 2.0 * ke_g / (3.0 * jnp.maximum(n_g, 1.0) * U.kB)
+        ratio = ber_g[:, 0] / jnp.maximum(Tave, 1e-12)
+        lam2 = jnp.where(ber_g[:, 1] > 0,
+                         1.0 + ber_g[:, 1] * (ratio - 1.0), ratio)
+        lam = jnp.where(kind_g == 5, jnp.sqrt(jnp.maximum(lam2, 0.0)), 1.0)
+        state_v = state_v * lam[group_ids][:, None]
     if mode == "front":
         v = vcm + a * (state_v - vcm) + c * state_f + d * g
     elif mode == "back":

@@ -52,6 +52,7 @@ class StepState:
 
 def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                    barostat=None, n_global: int, n_constraints: int = 0,
+                   has_berendsen: bool = False,
                    constraint_fn: Callable | None = None,
                    molecular_virial_fn: Callable | None = None,
                    wrap_positions: bool = True,
@@ -102,7 +103,7 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
         # --- front half kick ---------------------------------------------
         k1, k2 = jax.random.split(jax.random.fold_in(key, 0))
         v = velocity_update("front", state.v, state.f, state.mass, state.group,
-                            coeffs, half, k1, mask)
+                            coeffs, half, k1, mask, has_berendsen)
         if constraint_fn is not None:
             v = constraint_fn(state.replace(v=v), dt, "front").v
         state = state.replace(v=v)
@@ -121,7 +122,7 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
 
         # --- back half kick -------------------------------------------------
         v = velocity_update("back", state.v, state.f, state.mass, state.group,
-                            coeffs, half, k2, mask)
+                            coeffs, half, k2, mask, has_berendsen)
         if constraint_fn is not None:
             v = constraint_fn(state.replace(v=v), dt, "back").v
         state = state.replace(v=v)

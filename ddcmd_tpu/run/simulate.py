@@ -154,10 +154,10 @@ class Simulation:
         if itype in ("NVEGLF", "NVEGLF_SIMPLE"):
             # NVE variants ignore thermostats: plain leapfrog kicks
             # (/root/reference/src/nveglf.c)
-            a, c_on, noise, vcm, kind = self.coeffs
+            a, c_on, noise, vcm, kind, ber = self.coeffs
             self.coeffs = (jnp.ones_like(a), jnp.ones_like(c_on),
                            jnp.zeros_like(noise), jnp.zeros_like(vcm),
-                           jnp.zeros_like(kind))
+                           jnp.zeros_like(kind), jnp.zeros_like(ber))
             self._time_dependent_groups = False
         post_drift_fn = None
         if any(p[0] == "REFLECT" for p in sd.potentials):
@@ -171,7 +171,8 @@ class Simulation:
             molecular_virial_fn=self._mol_virial_fn,
             constraint_fn=constraint_fn,
             wrap_positions=wrap,
-            post_drift_fn=post_drift_fn)
+            post_drift_fn=post_drift_fn,
+            has_berendsen=any(g.type == "BERENDSEN" for g in sd.groups))
 
     def _compile(self):
         grid = self.grid

@@ -199,3 +199,23 @@ def test_bonded_nve_conservation(tmp_path):
     sim.run(250, print_fn=lambda s: None)
     e1 = float(sim.ss.energy.eion) + float(sim.ss.energy.rk)
     assert abs(e1 - e0) / n < 5e-2, f"bonded NVE drift {abs(e1-e0)/n}"
+
+
+def test_berendsen_group_thermostats(tmp_path):
+    """BERENDSEN group drives the temperature toward Teq (berendsen.c)."""
+    make_fixture(tmp_path, group="BERENDSEN")
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                     dtype=jnp.float64, engine="nlist")
+    n = sim.sysdef.state.n_local
+    from ddcmd_tpu.transforms.thermalize import thermalize_velocities
+
+    mass = np.asarray(sim.sysdef.state.mass[:n])
+    v = thermalize_velocities(mass, 30.0, seed=7)  # cold start
+    vp = np.zeros((sim.sysdef.state.n_pad, 3))
+    vp[:n] = v
+    sim.ss = sim.ss.replace(state=sim.ss.state.replace(
+        v=jnp.asarray(vp, jnp.float64)))
+    sim.run(400, print_fn=lambda s: None)
+    T = float(sim.ss.energy.temperature(n))
+    assert 200.0 < T < 420.0, f"Berendsen failed to heat toward 300K: T={T}"
