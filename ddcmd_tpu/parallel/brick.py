@@ -1,0 +1,169 @@
+"""3D brick domain decomposition over a (nx, ny, nz) device mesh.
+
+Generalizes the 1D slab (parallel/slab.py) to full bricks — the analog
+of the reference's CUBIC domain lattice (/root/reference/src/ddc.h:42)
+with plane-pruned halo exchange (ddcSendRecv.c:63-85).  Instead of 26
+point-to-point neighbor sends, both halo exchange and migration use the
+staged scheme (exchange +-x, then +-y including x-ghosts, then +-z):
+three fixed-capacity ppermute rounds cover faces, edges and corners.
+
+All positions are GLOBAL origin-centered coordinates; neighbor math
+downstream does global min-image, so ghosts never need coordinate
+rewrites.  Axis sizes of 1 need no exchange (periodicity is handled by
+min-image); axis size 2 sends both windows to the single neighbor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .slab import compact_rows
+
+AXES = ("bx", "by", "bz")
+
+
+@dataclass(frozen=True)
+class BrickPlan:
+    shape: tuple[int, int, int]      # devices per axis
+    local_cap: int
+    halo_cap: int                    # per direction per phase
+    migrate_cap: int
+    rlist: float
+
+    @property
+    def n_dev(self) -> int:
+        nx, ny, nz = self.shape
+        return nx * ny * nz
+
+    @property
+    def ghost_cap(self) -> int:
+        # phase a: 2*halo; phase b: 2*halo; phase c: 2*halo
+        return 6 * self.halo_cap
+
+
+def _axis_bounds(box_l, n, idx, dtype):
+    w = box_l / n
+    lo = -0.5 * box_l + w * idx.astype(dtype)
+    return lo, lo + w
+
+
+def _exchange_axis(send_lo, send_hi, axis: str, n: int):
+    """ppermute packed buffers one hop along `axis` in both directions.
+    Returns (from_lo_neighbor, from_hi_neighbor) = what the -1 / +1
+    neighbors sent toward us."""
+    perm_up = [(i, (i + 1) % n) for i in range(n)]
+    perm_dn = [(i, (i - 1) % n) for i in range(n)]
+    # the lo neighbor's hi-window arrives here via a +1 shift, and vice versa
+    recv_from_lo = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm_up), send_hi)
+    recv_from_hi = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm_dn), send_lo)
+    return recv_from_lo, recv_from_hi
+
+
+def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
+    """Collect ghost particles from all 26 neighbor bricks via 3 staged
+    face exchanges.  fields: (local_cap, ...) per-device arrays with 'r'.
+    Returns (ghost fields (ghost_cap, ...), ghost_mask, overflow)."""
+    dtype = fields["r"].dtype
+    overflow = jnp.zeros((), bool)
+    ghosts = {k: jnp.zeros((0,) + v.shape[1:], v.dtype) for k, v in fields.items()}
+    gmask = jnp.zeros((0,), bool)
+
+    pool = fields
+    pool_mask = valid_mask
+    for ax_i, axis in enumerate(AXES):
+        n = plan.shape[ax_i]
+        if n == 1:
+            continue
+        me = jax.lax.axis_index(axis)
+        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype)
+        x = pool["r"][:, ax_i]
+        sel_lo = pool_mask & (x < lo + plan.rlist)
+        sel_hi = pool_mask & (x >= hi - plan.rlist)
+        buf_lo, n_lo, ov1 = compact_rows(pool, sel_lo, plan.halo_cap)
+        buf_hi, n_hi, ov2 = compact_rows(pool, sel_hi, plan.halo_cap)
+        overflow = overflow | ov1 | ov2
+
+        recv_from_lo, recv_from_hi = _exchange_axis(buf_lo, buf_hi, axis, n)
+        cnt_from_lo = jax.lax.ppermute(n_hi, axis, [(i, (i + 1) % n) for i in range(n)])
+        cnt_from_hi = jax.lax.ppermute(n_lo, axis, [(i, (i - 1) % n) for i in range(n)])
+
+        idx = jnp.arange(plan.halo_cap)
+        new_ghosts = {k: jnp.concatenate([recv_from_lo[k], recv_from_hi[k]])
+                      for k in pool}
+        new_mask = jnp.concatenate([idx < cnt_from_lo, idx < cnt_from_hi])
+
+        ghosts = {k: jnp.concatenate([ghosts[k], new_ghosts[k]]) for k in ghosts}
+        gmask = jnp.concatenate([gmask, new_mask])
+        # next phase selects from local + all ghosts so far
+        pool = {k: jnp.concatenate([fields[k], ghosts[k]]) for k in fields}
+        pool_mask = jnp.concatenate([valid_mask, gmask])
+
+    # pad ghosts to the static ghost_cap
+    pad = plan.ghost_cap - gmask.shape[0]
+    if pad > 0:
+        ghosts = {k: jnp.concatenate(
+            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)]) for k, v in ghosts.items()}
+        gmask = jnp.concatenate([gmask, jnp.zeros((pad,), bool)])
+    return ghosts, gmask, overflow
+
+
+def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
+    """Staged 1-hop migration along x, then y, then z (<=1 brick hop per
+    axis per rebuild, mirroring the lazy re-bisect assumption)."""
+    overflow = jnp.zeros((), bool)
+    cur = fields
+    mask = valid_mask
+    for ax_i, axis in enumerate(AXES):
+        n = plan.shape[ax_i]
+        if n == 1:
+            continue
+        me = jax.lax.axis_index(axis)
+        dtype = cur["r"].dtype
+        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype)
+        x = cur["r"][:, ax_i]
+        go_lo = mask & (x < lo)
+        go_hi = mask & (x >= hi)
+        stay = mask & ~(go_lo | go_hi)
+        buf_lo, n_lo, ov1 = compact_rows(cur, go_lo, plan.migrate_cap)
+        buf_hi, n_hi, ov2 = compact_rows(cur, go_hi, plan.migrate_cap)
+        recv_from_lo, recv_from_hi = _exchange_axis(buf_lo, buf_hi, axis, n)
+        cnt_from_lo = jax.lax.ppermute(n_hi, axis, [(i, (i + 1) % n) for i in range(n)])
+        cnt_from_hi = jax.lax.ppermute(n_lo, axis, [(i, (i - 1) % n) for i in range(n)])
+        idx = jnp.arange(plan.migrate_cap)
+        pool = {k: jnp.concatenate([cur[k], recv_from_lo[k], recv_from_hi[k]])
+                for k in cur}
+        pool_mask = jnp.concatenate([stay, idx < cnt_from_lo, idx < cnt_from_hi])
+        cur, count, ov3 = compact_rows(pool, pool_mask, plan.local_cap)
+        mask = jnp.arange(plan.local_cap) < count
+        overflow = overflow | ov1 | ov2 | ov3
+    return cur, mask, overflow
+
+
+def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
+    """Host-side: split arrays into flat (n_dev*local_cap, ...) by brick.
+    Device order matches Mesh(devices.reshape(shape), AXES) raveling."""
+    r = np.asarray(arrays["r"])
+    nx, ny, nz = plan.shape
+    L = np.asarray(box_lengths, dtype=np.float64)
+    cj = [np.clip(np.floor((r[:, a] / L[a] + 0.5) * plan.shape[a]).astype(int),
+                  0, plan.shape[a] - 1) for a in range(3)]
+    dest = (cj[0] * ny + cj[1]) * nz + cj[2]
+    out = {}
+    counts = np.zeros(plan.n_dev, dtype=np.int32)
+    for d in range(plan.n_dev):
+        counts[d] = int((dest == d).sum())
+        if counts[d] > plan.local_cap:
+            raise ValueError(f"brick {d} needs {counts[d]} > cap {plan.local_cap}")
+    for k, a in arrays.items():
+        a = np.asarray(a)
+        buf = np.zeros((plan.n_dev, plan.local_cap) + a.shape[1:], dtype=a.dtype)
+        for d in range(plan.n_dev):
+            sel = a[dest == d]
+            buf[d, : len(sel)] = sel
+        out[k] = buf.reshape((plan.n_dev * plan.local_cap,) + a.shape[1:])
+    mask = (np.arange(plan.local_cap)[None, :] < counts[:, None]).reshape(-1)
+    return out, mask, counts

@@ -1,0 +1,106 @@
+"""Sharded MD step over a 3D brick mesh (generalizes parallel/step.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.groups import velocity_update
+from ..nbr.celllist import CellGrid, build_neighbor_list
+from ..potentials.martini import martini_nonbond
+from .brick import AXES, BrickPlan, halo_exchange_3d, migrate_3d
+
+FIELD_KEYS = ("r", "v", "q", "mass", "species", "group", "gid")
+
+
+def make_brick_mesh(shape, devices=None) -> Mesh:
+    devs = np.array(jax.devices() if devices is None else devices)
+    return Mesh(devs[: int(np.prod(shape))].reshape(shape), AXES)
+
+
+def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
+                    coeffs, dt: float, box_lengths, species_lj_type,
+                    n_global: int):
+    Lv = jnp.asarray(box_lengths)
+    tmap = jnp.asarray(species_lj_type)
+    half = 0.5 * dt
+    full_axes = tuple(AXES)
+
+    def local_forces(fields, mask):
+        ghosts, gmask, ov = halo_exchange_3d(
+            {k: fields[k] for k in ("r", "q", "species")}, mask,
+            Lv, plan)
+        r_ext = jnp.concatenate([fields["r"], ghosts["r"]], axis=0)
+        q_ext = jnp.concatenate([fields["q"], ghosts["q"]], axis=0)
+        s_ext = jnp.concatenate([fields["species"], ghosts["species"]], axis=0)
+        bin_mask = jnp.concatenate([mask, gmask]).astype(r_ext.dtype)
+        row_mask = jnp.concatenate([mask, jnp.zeros_like(gmask)]).astype(r_ext.dtype)
+        nbr_idx, _, nbr_ov = build_neighbor_list(
+            r_ext, bin_mask, Lv, grid, row_mask=row_mask)
+        tidx = tmap[s_ext]
+        f, e_pot, virial, pe, _ = martini_nonbond(
+            r_ext, q_ext, tidx, row_mask, nbr_idx, Lv, tables)
+        n_loc = fields["r"].shape[0]
+        return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov
+
+    def step(fields, mask, f_prev, key):
+        for ax in full_axes:
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+        k1, k2 = jax.random.split(key)
+        fmask = mask.astype(fields["r"].dtype)
+
+        v = velocity_update("front", fields["v"], f_prev, fields["mass"],
+                            fields["group"], coeffs, half, k1, mask)
+        r = fields["r"] + dt * v
+        r = r - Lv * jnp.round(r / Lv)
+        fields = dict(fields, r=r, v=v)
+
+        f, e_pot, virial, pe, overflow = local_forces(fields, mask)
+
+        v = velocity_update("back", fields["v"], f, fields["mass"],
+                            fields["group"], coeffs, half, k2, mask)
+        fields = dict(fields, v=v)
+
+        mv = (fields["mass"] * fmask)[:, None] * v
+        tion = mv.T @ v
+        rk = 0.5 * jnp.trace(tion)
+
+        e_pot = jax.lax.psum(e_pot, full_axes)
+        rk = jax.lax.psum(rk, full_axes)
+        virial = jax.lax.psum(virial, full_axes)
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), full_axes)
+        scalars = jnp.stack([e_pot, rk, jnp.trace(virial)])
+        return fields, f, scalars, overflow
+
+    def first_forces(fields, mask, key):
+        del key
+        f, e_pot, virial, pe, overflow = local_forces(fields, mask)
+        e_pot = jax.lax.psum(e_pot, full_axes)
+        virial = jax.lax.psum(virial, full_axes)
+        return f, e_pot, virial, jax.lax.pmax(overflow.astype(jnp.int32), full_axes)
+
+    def migrate_fn(fields, mask):
+        packed, new_mask, ov = migrate_3d(fields, mask, Lv, plan)
+        return packed, new_mask, jax.lax.pmax(ov.astype(jnp.int32), full_axes)
+
+    pspec_fields = {k: P(("bx", "by", "bz")) for k in FIELD_KEYS}
+    PS = P(("bx", "by", "bz"))
+
+    step_sharded = jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(pspec_fields, PS, PS, P()),
+        out_specs=(pspec_fields, PS, P(), P()),
+        check_vma=False))
+    first_sharded = jax.jit(jax.shard_map(
+        first_forces, mesh=mesh,
+        in_specs=(pspec_fields, PS, P()),
+        out_specs=(PS, P(), P(), P()),
+        check_vma=False))
+    migrate_sharded = jax.jit(jax.shard_map(
+        migrate_fn, mesh=mesh,
+        in_specs=(pspec_fields, PS),
+        out_specs=(pspec_fields, PS, P()),
+        check_vma=False))
+    return step_sharded, first_sharded, migrate_sharded
