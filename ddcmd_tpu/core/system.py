@@ -200,6 +200,12 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
                     s.charge = parms.species_charge[s.name]
             potentials.append(("MARTINI", pname, parms))  # same nonbond engine
             parms._charmm_res_types = charmm_res_types
+        elif ptype == "PAIRENERGY":
+            from ..potentials.pairenergy import compile_pairenergy
+
+            parms = compile_pairenergy(db, pname, species)
+            rcut_max = max(rcut_max, parms.rcut)
+            potentials.append(("PAIRENERGY", pname, parms))
         elif ptype == "REFLECT":
             potentials.append(("REFLECT", pname, None))
         elif ptype in ("NONE", "ZEROPOTENTIAL"):

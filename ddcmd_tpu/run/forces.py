@@ -109,6 +109,21 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                                 box.lengths, etables)
 
             terms.append(eam_term)
+        elif ptype == "PAIRENERGY":
+            from ..potentials.pairenergy import (pairenergy_device_tables,
+                                                 pairenergy_eval)
+
+            ptables = pairenergy_device_tables(parms, dtype=dtype)
+            if engine != "nlist":
+                raise NotImplementedError(
+                    "PAIRENERGY runs on the nlist engine; "
+                    "Simulation auto-selects it")
+
+            def pe_term(state, box, nbr_idx, ptables=ptables):
+                return pairenergy_eval(state.r, state.species, state.fmask,
+                                       nbr_idx, box.lengths, ptables)
+
+            terms.append(pe_term)
         elif ptype == "RESTRAINT":
             from ..potentials.restraint import restraint_eval
 

@@ -153,3 +153,46 @@ def test_eam_tabular_matches_fs():
     assert float(e2) == pytest.approx(float(e1), rel=2e-3)
     scale = float(jnp.abs(f1).max())
     assert float(jnp.abs(f2 - f1).max()) / scale < 2e-2  # linear-interp tables
+
+
+def test_pairenergy_series_fd():
+    """PAIRENERGY series pair potential: FD force check."""
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.potentials.pairenergy import (compile_pairenergy,
+                                                 pairenergy_device_tables,
+                                                 pairenergy_eval)
+
+    class Sp:
+        name = "Cu"
+
+    db = ObjectDB().compile_string(
+        "pot POTENTIAL { type=PAIRENERGY; rmax=5.5 Angstrom; "
+        "r_expansion=5.5 Angstrom; Cu-Cu_2body= 0.0 0.05 -0.002 0.0001 ; }")
+    parms = compile_pairenergy(db, "pot", [Sp()])
+    tab = pairenergy_device_tables(parms, jnp.float64)
+    rng = np.random.default_rng(0)
+    L = 2.2
+    m = 5
+    g = (np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"), -1)
+         .reshape(-1, 3) + 0.5) / m * L - L / 2
+    r = g + rng.standard_normal(g.shape) * 0.01
+    n = len(r)
+    grid = CellGrid.plan([L] * 3, parms.rcut, 0.05, n, n)
+    Lv = jnp.asarray([L] * 3, jnp.float64)
+    rj = jnp.asarray(r)
+    fmask = jnp.ones(n, jnp.float64)
+    sidx = jnp.zeros(n, jnp.int32)
+
+    def e_of(rj):
+        nbr, _, ov = build_neighbor_list(rj, fmask, Lv, grid)
+        assert not bool(ov)
+        return pairenergy_eval(rj, sidx, fmask, nbr, Lv, tab)
+
+    f, e, vir, pe = e_of(rj)
+    h = 1e-7
+    for i in (0, 30, 99):
+        for ax in range(3):
+            ep = float(e_of(rj.at[i, ax].add(h))[1])
+            em = float(e_of(rj.at[i, ax].add(-h))[1])
+            fd = -(ep - em) / (2 * h)
+            assert float(f[i, ax]) == pytest.approx(fd, rel=1e-5, abs=1e-5)
