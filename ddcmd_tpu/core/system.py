@@ -200,6 +200,12 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
                     s.charge = parms.species_charge[s.name]
             potentials.append(("MARTINI", pname, parms))  # same nonbond engine
             parms._charmm_res_types = charmm_res_types
+        elif ptype == "ORDERSH":
+            from ..potentials.ordersh import compile_ordersh
+
+            parms = compile_ordersh(db, pname)
+            rcut_max = max(rcut_max, parms.r2o)
+            potentials.append(("ORDERSH", pname, parms))
         elif ptype == "PAIRENERGY":
             from ..potentials.pairenergy import compile_pairenergy
 

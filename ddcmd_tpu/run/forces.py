@@ -109,6 +109,20 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                                 box.lengths, etables)
 
             terms.append(eam_term)
+        elif ptype == "ORDERSH":
+            from ..potentials.ordersh import make_ordersh_eval
+
+            osh_eval = make_ordersh_eval(parms, sysdef.state.n_local, dtype)
+            if engine != "nlist":
+                raise NotImplementedError(
+                    "ORDERSH runs on the nlist engine; Simulation auto-selects it")
+
+            def ordersh_term(state, box, nbr_idx, osh_eval=osh_eval):
+                f, e, virial, pe, phi = osh_eval(
+                    state.r, state.fmask, nbr_idx, box.lengths)
+                return f, e, virial, pe
+
+            terms.append(ordersh_term)
         elif ptype == "PAIRENERGY":
             from ..potentials.pairenergy import (pairenergy_device_tables,
                                                  pairenergy_eval)

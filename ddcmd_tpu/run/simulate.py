@@ -47,7 +47,7 @@ class Simulation:
         self.dtype = dtype
         self.sysdef = build_system(db, base_dir, dtype=dtype)
         sd = self.sysdef
-        if any(p[0] in ("EAM", "PAIRENERGY") for p in sd.potentials):
+        if any(p[0] in ("EAM", "PAIRENERGY", "ORDERSH") for p in sd.potentials):
             engine = "nlist"  # cell-block variants pending
         self.engine = engine
         if engine in ("cellblock", "pallas"):

@@ -196,3 +196,36 @@ def test_pairenergy_series_fd():
             em = float(e_of(rj.at[i, ax].add(-h))[1])
             fd = -(ep - em) / (2 * h)
             assert float(f[i, ax]) == pytest.approx(fd, rel=1e-5, abs=1e-5)
+
+
+def test_ordersh_q6_and_forces():
+    """ORDERSH Steinhardt Q6: exact on ideal FCC, AD forces match FD."""
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.potentials.ordersh import compile_ordersh, make_ordersh_eval
+
+    db = ObjectDB().compile_string(
+        "osh POTENTIAL { type=ORDERSH; L=6; r1o=2.6 Angstrom; r2o=3.0 Angstrom; "
+        "lamda=1.0 kJ/mol; }")
+    p = compile_ordersh(db, "osh")
+    r, L = fcc(0.3615, 3)
+    n = len(r)
+    ev = make_ordersh_eval(p, n, jnp.float64)
+    grid = CellGrid.plan([L] * 3, p.r2o, 0.05, n, n)
+    Lv = jnp.asarray([L] * 3)
+    rj = jnp.asarray(r)
+    fm = jnp.ones(n)
+    nbr, _, _ = build_neighbor_list(rj, fm, Lv, grid)
+    f, e, vir, pe, phi = ev(rj, fm, nbr, Lv)
+    assert float(jnp.sqrt(phi)) == pytest.approx(0.57452, abs=2e-4)
+
+    rng = np.random.default_rng(0)
+    rd = jnp.asarray(r + rng.standard_normal(r.shape) * 0.02)
+    nbr2, _, _ = build_neighbor_list(rd, fm, Lv, grid)
+    f2 = ev(rd, fm, nbr2, Lv)[0]
+    h = 1e-7
+    for i in (0, 41):
+        for ax in range(3):
+            ep = float(ev(rd.at[i, ax].add(h), fm, nbr2, Lv)[1])
+            em = float(ev(rd.at[i, ax].add(-h), fm, nbr2, Lv)[1])
+            fd = -(ep - em) / (2 * h)
+            assert float(f2[i, ax]) == pytest.approx(fd, rel=1e-5, abs=1e-6)
