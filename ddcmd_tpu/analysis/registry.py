@@ -497,7 +497,65 @@ class AcklandJones(Analysis):
                 f"{self.LABELS[k]}={counts[k]}" for k in range(5)) + "\n")
 
 
+class CoarseGrain(Analysis):
+    """coarsegrain (600 LoC): grid-averaged density / velocity /
+    temperature fields accumulated over frames."""
+
+    def setup(self):
+        self.nx = self.obj.get_int("nx", 8)
+        self.ny = self.obj.get_int("ny", 8)
+        self.nz = self.obj.get_int("nz", 8)
+        self.filename = self.obj.get_str("filename", "coarsegrain.dat")
+        shape = (self.nx, self.ny, self.nz)
+        self.state["count"] = np.zeros(shape)
+        self.state["mass"] = np.zeros(shape)
+        self.state["mom"] = np.zeros(shape + (3,))
+        self.state["ke"] = np.zeros(shape)
+        self.state["frames"] = 0
+
+    def eval(self, sim):
+        st = sim.ss.state
+        n = sim.sysdef.state.n_local
+        r = np.asarray(st.r[:n])
+        v = np.asarray(st.v[:n])
+        m = np.asarray(st.mass[:n])
+        L = np.asarray(sim.ss.box.lengths)
+        dims = np.array([self.nx, self.ny, self.nz])
+        c = np.clip(np.floor((r / L + 0.5) * dims).astype(int), 0, dims - 1)
+        flat = (c[:, 0] * self.ny + c[:, 1]) * self.nz + c[:, 2]
+        size = self.nx * self.ny * self.nz
+        shape = (self.nx, self.ny, self.nz)
+        np.add.at(self.state["count"].reshape(-1), flat, 1.0)
+        np.add.at(self.state["mass"].reshape(-1), flat, m)
+        for a in range(3):
+            np.add.at(self.state["mom"].reshape(-1, 3)[:, a], flat, m * v[:, a])
+        np.add.at(self.state["ke"].reshape(-1), flat, 0.5 * m * (v ** 2).sum(axis=1))
+        self.state["frames"] += 1
+        self.state["vol_cell"] = float(np.prod(L)) / size
+
+    def output(self, sim, run_dir="."):
+        if self.state["frames"] == 0:
+            return
+        frames = self.state["frames"]
+        cnt = np.maximum(self.state["count"], 1e-12)
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            f.write("# ix iy iz density(amu/nm^3) vx vy vz(nm/ps) T(K)\n")
+            for ix in range(self.nx):
+                for iy in range(self.ny):
+                    for iz in range(self.nz):
+                        c = cnt[ix, iy, iz]
+                        rho = self.state["mass"][ix, iy, iz] / frames / self.state["vol_cell"]
+                        vcm = self.state["mom"][ix, iy, iz] / max(
+                            self.state["mass"][ix, iy, iz], 1e-12)
+                        T = (2.0 * self.state["ke"][ix, iy, iz]
+                             / (3.0 * c * U.kB))
+                        f.write(f"{ix:4d} {iy:4d} {iz:4d} {rho:12.4f} "
+                                f"{vcm[0]:10.5f} {vcm[1]:10.5f} {vcm[2]:10.5f} "
+                                f"{T:10.3f}\n")
+
+
 REGISTRY = {
+    "COARSEGRAIN": CoarseGrain,
     "DSF": Dsf,
     "CENTROSYM": Centrosym,
     "ACKLAND_JONES": AcklandJones,

@@ -43,6 +43,7 @@ class Simulation:
     def __init__(self, db: ObjectDB, base_dir: str = ".", *,
                  dtype=jnp.float32, run_dir: str = ".", engine: str = "cellblock"):
         self.db = db
+        self._base_dir = base_dir
         self.run_dir = run_dir
         self.dtype = dtype
         self.sysdef = build_system(db, base_dir, dtype=dtype)
@@ -271,6 +272,33 @@ class Simulation:
         self.ss = self._first_jit(self.ss)
         return self.ss
 
+    def run_nextfile(self, print_fn=None):
+        """NEXTFILE integrator: 'integrate' by loading successive snapshot
+        files (replay; /root/reference/src/nextfile.c:34-63).  Each file is
+        read, forces/energies evaluated once, and printinfo emitted."""
+        iobj = self.db.get(self.sysdef.cfg.integrator_name, "INTEGRATOR")
+        files = iobj.get_strv("files")
+        from ..io.collection import read_collection
+
+        for i, fpat in enumerate(files):
+            col = read_collection(fpat, self._base_dir
+                                  if hasattr(self, "_base_dir") else ".")
+            n = min(col.n, self.sysdef.state.n_local)
+            r = np.zeros((self.sysdef.state.n_pad, 3))
+            v = np.zeros((self.sysdef.state.n_pad, 3))
+            r[:n] = col.r[:n]
+            v[:n] = col.v[:n]
+            self.ss = self.ss.replace(
+                state=self.ss.state.replace(
+                    r=jnp.asarray(r, self.dtype), v=jnp.asarray(v, self.dtype)),
+                loop=self.ss.loop + 1)
+            self.first_energy()
+            e = self.ss.energy
+            line = (f"nextfile[{i}] {fpat}: eion="
+                    f"{float(e.eion):.6f} rk={float(e.rk):.6f}")
+            (print_fn or print)(line)
+        return self.ss
+
     def run(self, n_loops: int | None = None, *, print_fn=None,
             on_checkpoint=None, max_seconds: float | None = None,
             max_steps_per_dispatch: int = 400):
@@ -283,6 +311,8 @@ class Simulation:
         print latency push back."""
         sd = self.sysdef
         cfg = sd.cfg
+        if sd.integrator_type == "NEXTFILE":
+            return self.run_nextfile(print_fn)
         if n_loops is None:
             n_loops = (cfg.deltaloop if cfg.deltaloop
                        else cfg.maxloop - int(self.ss.loop))
