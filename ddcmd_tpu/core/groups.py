@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..objects import DeckError, ObjectDB
+from ..objects import ObjectDB
 from ..objects import units as U
 
 

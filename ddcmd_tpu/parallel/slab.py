@@ -23,7 +23,6 @@ Everything below runs inside shard_map; per-device shapes are static.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -10,7 +10,6 @@ Per-device shapes are static; the mesh axis is parallel.slab.AXIS.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

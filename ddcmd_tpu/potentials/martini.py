@@ -30,7 +30,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..objects import DeckError, ObjectDB
+from ..objects import ObjectDB
 from ..objects import units as U
 
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..objects import DeckError, ObjectDB
+from ..objects import ObjectDB
 
 
 def _legendre_qlm(L: int):

@@ -27,9 +27,9 @@ import numpy as np
 
 from ..core.energy import EnergyInfo
 from ..core.molecule import build_molecule_class, make_molecular_virial_fn
-from ..core.system import SystemDef, build_system, plan_grid
+from ..core.system import build_system, plan_grid
 from ..integrators.nglf import StepState, first_energy_call, make_nglf_step
-from ..nbr.celllist import CellGrid, build_neighbor_list
+from ..nbr.celllist import build_neighbor_list
 from ..objects import ObjectDB
 from ..objects import units as U
 from ..utils.profile import PROFILE
