@@ -16,7 +16,14 @@ from ..objects import units as U
 from .collection import write_collection
 
 
-def write_checkpoint(sim, run_dir: str = ".") -> str:
+def write_snapshot(sim, run_dir: str = ".") -> str:
+    """Lightweight trajectory dump at snapshotrate (writeBXYZ analog,
+    /root/reference/src/io.c:144): atoms shard + profile, NO restart
+    symlink update."""
+    return write_checkpoint(sim, run_dir, update_symlink=False)
+
+
+def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> str:
     """Write snapshot.<loop>/ with atoms#000000 + restart, update symlink."""
     sd = sim.sysdef
     ss = sim.ss
@@ -68,6 +75,9 @@ def write_checkpoint(sim, run_dir: str = ".") -> str:
     from ..utils.profile import PROFILE
 
     PROFILE.write(snapdir)
+
+    if not update_symlink:
+        return snapdir
 
     # atomic restart symlink (io.c:106-110)
     link = os.path.join(run_dir, "restart")

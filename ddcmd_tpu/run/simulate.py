@@ -335,6 +335,9 @@ class Simulation:
                 loop_now = int(self.ss.loop)
                 to_ckpt = cfg.checkpointrate - (loop_now % cfg.checkpointrate)
                 k = min(k, to_ckpt)
+            if on_checkpoint and cfg.snapshotrate:
+                loop_now = int(self.ss.loop)
+                k = min(k, cfg.snapshotrate - (loop_now % cfg.snapshotrate))
             eff_rate = min(update_rate, getattr(self, "_forced_spr", update_rate))
             if k >= eff_rate:
                 spr = eff_rate
@@ -391,6 +394,11 @@ class Simulation:
                     self.apply_transform(tobj)
             if on_checkpoint and cfg.checkpointrate and loop_now % cfg.checkpointrate == 0:
                 on_checkpoint(self)
+            if (cfg.snapshotrate and loop_now % cfg.snapshotrate == 0
+                    and on_checkpoint is not None):
+                from ..io.restart import write_snapshot
+
+                write_snapshot(self, self.run_dir)
             if self._poll_commands(on_checkpoint):
                 break
             if max_seconds is not None and _time.monotonic() - t0 > max_seconds:
