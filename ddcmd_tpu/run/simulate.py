@@ -492,8 +492,27 @@ class Simulation:
             return False
         os.remove(path)
         stop = False
+        if "{" in text:
+            # live re-config: compile object text + rescan rates
+            # (object_rescan hook, readCmds.c:66-97, masters.c:520-524)
+            try:
+                self.db.compile_string(text)
+                sim = self.db.by_class("SIMULATE")[0]
+                cfg = self.sysdef.cfg
+                cfg.printrate = sim.get_int("printrate", cfg.printrate)
+                cfg.checkpointrate = sim.get_int("checkpointrate", cfg.checkpointrate)
+                cfg.snapshotrate = sim.get_int("snapshotrate", cfg.snapshotrate)
+                cfg.maxloop = sim.get_int("maxloop", cfg.maxloop)
+            except Exception as err:
+                import warnings
+
+                warnings.warn(f"ddcMD_CMDS object rescan failed: {err}")
         if "checkpoint" in text and on_checkpoint:
             on_checkpoint(self)
+        if "profile" in text:
+            from ..utils.profile import PROFILE
+
+            print(PROFILE.table())
         if "kill" in text or "exit" in text or "stop" in text:
             stop = True
         return stop

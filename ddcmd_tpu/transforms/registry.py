@@ -177,6 +177,25 @@ def t_replicate(ctx, obj):
     ctx.h[:] = ctx.h * np.array([nx, ny, nz])[:, None]
 
 
+def t_append(ctx, obj):
+    """APPEND: merge particles from another collection file
+    (appendTransform; deck: files=dir/atoms#, optional offset)."""
+    from ..io.collection import read_collection
+
+    files = obj.get_str("files")
+    base = obj.get_str("base_dir", ".")
+    col = read_collection(files, base)
+    off = np.asarray(obj.get_with_unitsv("offset", "0 0 0", "l"))
+    gid_base = int(ctx.gid.max()) + 1
+    ctx.r = np.concatenate([ctx.r, col.r + off])
+    ctx.v = np.concatenate([ctx.v, col.v])
+    ctx.gid = np.concatenate([ctx.gid, col.gid + gid_base])
+    # appended masses are resolved by the caller from species
+    ctx.mass = np.concatenate([ctx.mass, np.ones(col.n)])
+    ctx.species_names = list(ctx.species_names) + list(col.species_names)
+    ctx.group_names = list(ctx.group_names) + list(col.group_names)
+
+
 def t_alchemy(ctx, obj):
     """ALCHEMY: transmute selected particles to another species
     (alchemyTransform.c)."""
@@ -202,6 +221,7 @@ REGISTRY = {
     "SELECTSUBSET": t_selectsubset,
     "REPLICATE": t_replicate,
     "ALCHEMY": t_alchemy,
+    "APPEND": t_append,
 }
 
 
