@@ -108,6 +108,19 @@ class Simulation:
                     import warnings
 
                     warnings.warn(f"analysis {aname}: {err}")
+        # printStress=1 in PRINTINFO auto-attaches the stress writer
+        # (printinfoAll, /root/reference/src/printinfo.c:241-260)
+        if self.printinfo.print_stress:
+            from ..analysis.registry import StressWrite
+            from ..objects.parser import DeckObject
+
+            sw = StressWrite(name="printStress",
+                             obj=DeckObject("printStress", "ANALYSIS",
+                                            {"type": ["STRESSWRITE"]}),
+                             eval_rate=sd.cfg.printrate or 1,
+                             output_rate=sd.cfg.printrate or 1)
+            sw.setup()
+            self.analyses.append(sw)
         self.transforms = []
         for tname in simobj.get_strv("transform"):
             tobj = db.find(tname, "TRANSFORM")
@@ -383,6 +396,9 @@ class Simulation:
                 self._forced_spr = max(1, spr // 2)
             with PROFILE.phase("printinfo"):
                 self._emit_prints(scal, k, print_fn)
+            if len(self.sysdef.groups) > 1 and cfg.printrate \
+                    and int(self.ss.loop) % cfg.printrate == 0:
+                self._emit_group_files()
             loop_now = int(self.ss.loop)
             for a in self.analyses:
                 if loop_now % a.eval_rate == 0:
@@ -406,6 +422,28 @@ class Simulation:
         for a in self.analyses:
             a.output(self, self.run_dir)
         return self.ss
+
+    def _emit_group_files(self):
+        """Per-group temperature/KE files (printinfo.c:261-279), written
+        at chunk boundaries from the resident state."""
+        sd = self.sysdef
+        n = sd.state.n_local
+        st = self.ss.state
+        v = np.asarray(st.v[:n])
+        m = np.asarray(st.mass[:n])
+        pe = np.asarray(st.pe[:n])
+        gids = np.asarray(st.group[:n])
+        loop = int(self.ss.loop)
+        for g in sd.groups:
+            sel = gids == g.index
+            cnt = int(sel.sum())
+            if cnt == 0:
+                continue
+            ke = 0.5 * (m[sel, None] * v[sel] ** 2).sum()
+            T = 2.0 * ke / (3.0 * cnt * U.kB)
+            with open(os.path.join(self.run_dir, f"group_{g.name}.data"), "a") as f:
+                f.write(f"{loop:12d} {cnt:10d} {T:14.4f} {ke / cnt:16.8f} "
+                        f"{pe[sel].sum() / cnt:16.8f}\n")
 
     # ------------------------------------------------------------------
 
