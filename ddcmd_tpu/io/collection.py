@@ -131,8 +131,10 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
                 gid_hex = fmt_toks[i].rstrip().endswith("x")
 
     nrecord = header.get_int("nrecord", -1)
+    if datatype == "FIXRECORDBINARY":
+        return _read_binary(paths, header, gid_hex)
     if datatype not in ("VARRECORDASCII", "FIXRECORDASCII", "ASCII"):
-        raise NotImplementedError(f"collection datatype {datatype} (binary) not yet supported")
+        raise NotImplementedError(f"collection datatype {datatype} not supported")
 
     bodies = []
     for p in paths:
@@ -179,6 +181,65 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
     )
 
 
+def _read_binary(paths, header, gid_hex):
+    """FIXRECORDBINARY shards: little-endian packed records per the
+    header's field_types byte codes (u4/b8/b2/f8/f4; reference framing
+    collection_write.c:340-410, pinfo codec pinfoEncode)."""
+    field_names = header.get_strv("field_names")
+    field_types = header.get_strv("field_types")
+    lrec = header.get_int("recordLength")
+    groups_l = header.get_strv("groups")
+    species_l = header.get_strv("species")
+
+    fmt = []
+    for ft in field_types:
+        kind, size = ft[0], int(ft[1:]) if len(ft) > 1 else 8
+        fmt.append((kind, size))
+    body = b"".join(_body_of(p) for p in paths)
+    n = len(body) // lrec
+    recs = np.frombuffer(body[: n * lrec], dtype=np.uint8).reshape(n, lrec)
+
+    cols = {}
+    off = 0
+    for (name, (kind, size)) in zip(field_names, fmt):
+        chunk = recs[:, off: off + size]
+        if kind == "f":
+            cols[name] = chunk.copy().view(f"<f{size}").reshape(n)
+        else:  # u/b: little-endian unsigned
+            buf = np.zeros((n, 8), dtype=np.uint8)
+            buf[:, :size] = chunk
+            cols[name] = buf.view("<u8").reshape(n)
+        off += size
+
+    gid = cols.get("id", np.zeros(n, dtype=np.uint64)).astype(np.uint64)
+    pinfo = cols.get("pinfo", np.zeros(n, dtype=np.uint64)).astype(np.int64)
+    n_groups = max(len(groups_l), 1)
+    sp_idx = (pinfo // n_groups).astype(int)
+    gr_idx = (pinfo % n_groups).astype(int)
+    species_names = [species_l[i] if i < len(species_l) else "?" for i in sp_idx]
+    group_names = [groups_l[i] if i < len(groups_l) else "?" for i in gr_idx]
+
+    cAng, cVel = U.ANG_TO_LENGTH, U.ANG_FS_TO_VEL
+    r = np.stack([cols[k].astype(np.float64) * cAng for k in ("rx", "ry", "rz")], axis=1)
+    if "vx" in cols:
+        v = np.stack([cols[k].astype(np.float64) * cVel for k in ("vx", "vy", "vz")], axis=1)
+    else:
+        v = np.zeros_like(r)
+    return CollectionData(gid=gid, species_names=species_names,
+                          group_names=group_names, class_names=["ATOM"] * n,
+                          r=r, v=v, header=header)
+
+
+def _body_of(p):
+    with open(p, "rb") as f:
+        blob = f.read()
+    head = blob[:256].decode("utf-8", errors="replace")
+    off = 0
+    if head.lstrip().split(None, 2)[1:2] == ["FILEHEADER"]:
+        _, off = read_fileheader(p)
+    return blob[off:]
+
+
 # ---------------------------------------------------------------------------
 # writing
 # ---------------------------------------------------------------------------
@@ -213,6 +274,13 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
     every record to a fixed length and prepends a crc32 checksum field.
     """
     n = len(gid)
+    if datatype.upper() in ("FIXRECORDBINARY", "BINARY"):
+        return _write_binary(path, gid=gid, species_names=species_names,
+                             group_names=group_names, r=r, v=v, h=h,
+                             loop=loop, time_fs=time_fs,
+                             group_list=group_list or sorted(set(group_names)),
+                             species_list=species_list or sorted(set(species_names)),
+                             type_list=type_list)
     fixed = datatype.upper() == "FIXRECORDASCII"
     r = np.asarray(r, dtype=np.float64) * U.LENGTH_TO_ANG
     v = np.asarray(v, dtype=np.float64) * (1.0 / U.ANG_FS_TO_VEL)
@@ -290,3 +358,53 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
     with open(path, "wb") as f:
         f.write(header.encode())
         f.write(blob)
+
+
+def _write_binary(path, *, gid, species_names, group_names, r, v, h,
+                  loop, time_fs, group_list, species_list, type_list):
+    """FIXRECORDBINARY writer: checksum u4 | id b8 | pinfo b2 | r,v f8 x6,
+    padded to 8 bytes.  pinfo = species_index * n_groups + group_index
+    against the header's species/groups lists (pinfo codec role,
+    collection_write.c:340-410)."""
+    n = len(gid)
+    r = np.asarray(r, dtype=np.float64) * U.LENGTH_TO_ANG
+    v = np.asarray(v, dtype=np.float64) * (1.0 / U.ANG_FS_TO_VEL)
+    h = np.asarray(h, dtype=np.float64).reshape(3, 3) * U.LENGTH_TO_ANG
+    hstr = "\n".join("    %.6g %22.14g %22.14g" % tuple(row) for row in h).lstrip()
+    group_list = list(group_list)
+    species_list = list(species_list)
+    gmap = {g: i for i, g in enumerate(group_list)}
+    smap = {s: i for i, s in enumerate(species_list)}
+    n_groups = max(len(group_list), 1)
+    pinfo = np.array([smap[s] * n_groups + gmap[g]
+                      for s, g in zip(species_names, group_names)],
+                     dtype=np.uint16)
+
+    lrec = 8 * ((4 + 8 + 2 + 6 * 8 + 7) // 8)
+    recs = np.zeros((n, lrec), dtype=np.uint8)
+    recs[:, 4:12] = np.asarray(gid, dtype="<u8").view(np.uint8).reshape(n, 8)
+    recs[:, 12:14] = pinfo.astype("<u2").view(np.uint8).reshape(n, 2)
+    floats = np.concatenate([r, v], axis=1).astype("<f8")
+    recs[:, 14:62] = floats.view(np.uint8).reshape(n, 48)
+    crcs = np.array([zlib.crc32(recs[i, 4:].tobytes()) & 0xFFFFFFFF
+                     for i in range(n)], dtype="<u4")
+    recs[:, 0:4] = crcs.view(np.uint8).reshape(n, 4)
+
+    header = _HEADER_TEMPLATE.format(
+        datatype="FIXRECORDBINARY",
+        lrec_line=f"recordLength={lrec};\nendian_key=875770417;\n",
+        checksum="CRC32",
+        loop=loop, time=time_fs, nfiles=1, nrecord=n, nfields=9,
+        field_names="checksum id pinfo rx ry rz vx vy vz",
+        field_types="u4 b8 b2 f8 f8 f8 f8 f8 f8",
+        field_units="1 1 1 Ang Ang Ang Ang/fs Ang/fs Ang/fs",
+        field_format="binary",
+        h=hstr,
+        groups=" ".join(group_list),
+        species=" ".join(species_list),
+        types=" ".join(type_list),
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(recs.tobytes())

@@ -154,3 +154,30 @@ def test_fixrecordascii_roundtrip(tmp_path):
     assert np.abs(col.r - r).max() < 1e-10
     assert np.abs(col.v - v).max() < 1e-10
     assert (col.gid == gid).all()
+
+
+def test_fixrecordbinary_roundtrip(tmp_path):
+    import numpy as np
+
+    from ddcmd_tpu.io.collection import read_collection, write_collection
+
+    n = 23
+    rng = np.random.default_rng(5)
+    r = rng.standard_normal((n, 3))
+    v = rng.standard_normal((n, 3)) * 0.1
+    gid = rng.integers(0, 2**60, size=n).astype(np.uint64)
+    sp = ["WxW" if i % 2 else "WFxWF" for i in range(n)]
+    gr = ["free" if i % 3 else "grp" for i in range(n)]
+    write_collection(
+        str(tmp_path / "atoms#000000"), gid=gid,
+        species_names=sp, group_names=gr,
+        class_names=["ATOM"] * n, r=r, v=v,
+        h=np.diag([5.0, 5.0, 5.0]), datatype="FIXRECORDBINARY",
+        group_list=["free", "grp"], species_list=["WxW", "WFxWF"])
+    col = read_collection("atoms#", str(tmp_path))
+    assert col.n == n
+    assert (col.gid == gid).all()
+    assert col.species_names == sp
+    assert col.group_names == gr
+    assert np.abs(col.r - r).max() < 1e-12
+    assert np.abs(col.v - v).max() < 1e-12
