@@ -76,6 +76,13 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
 
     PROFILE.write(snapdir)
 
+    # domain-center decomposition file (writePXYZ, io.c:113)
+    from .pxyz import write_pxyz
+
+    write_pxyz(os.path.join(snapdir, "pxyz"),
+               np.asarray(ss.box.lengths, dtype=np.float64),
+               getattr(sim, "parallel_plan", None))
+
     if not update_symlink:
         return snapdir
 

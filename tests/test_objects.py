@@ -181,3 +181,19 @@ def test_fixrecordbinary_roundtrip(tmp_path):
     assert col.group_names == gr
     assert np.abs(col.r - r).max() < 1e-12
     assert np.abs(col.v - v).max() < 1e-12
+
+
+def test_pxyz_roundtrip(tmp_path):
+    from ddcmd_tpu.io.pxyz import read_pxyz, write_pxyz
+
+    write_pxyz(str(tmp_path / "pxyz"), [9.0, 9.0, 9.0], None)
+    shape, centers = read_pxyz(str(tmp_path / "pxyz"))
+    assert shape == (1, 1, 1) and len(centers) == 1
+
+    from ddcmd_tpu.parallel.brick import BrickPlan
+
+    plan = BrickPlan(shape=(2, 2, 1), local_cap=8, halo_cap=8,
+                     migrate_cap=8, rlist=1.0)
+    write_pxyz(str(tmp_path / "pxyz2"), [9.0, 9.0, 9.0], plan)
+    shape, centers = read_pxyz(str(tmp_path / "pxyz2"))
+    assert shape == (2, 2, 1) and len(centers) == 4
