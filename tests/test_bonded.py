@@ -219,3 +219,37 @@ def test_berendsen_group_thermostats(tmp_path):
     sim.run(400, print_fn=lambda s: None)
     T = float(sim.ss.energy.temperature(n))
     assert 200.0 < T < 420.0, f"Berendsen failed to heat toward 300K: T={T}"
+
+
+def test_nve_time_reversibility(tmp_path):
+    """Velocity Verlet is time-reversible: run forward, negate velocities,
+    run back -- positions must return (NGLFTEST/NGLFERROR harness role,
+    /root/reference/src/nglfTest.c, nglfError.c)."""
+    make_fixture(tmp_path, group="FREE")
+    deck = (tmp_path / "object.data").read_text().replace("dt=10;", "dt=2;")
+    (tmp_path / "object.data").write_text(deck)
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                     dtype=jnp.float64, engine="nlist")
+    n = sim.sysdef.state.n_local
+    from ddcmd_tpu.transforms.thermalize import thermalize_velocities
+
+    mass = np.asarray(sim.sysdef.state.mass[:n])
+    v = thermalize_velocities(mass, 100.0, seed=9)
+    vp = np.zeros((sim.sysdef.state.n_pad, 3))
+    vp[:n] = v
+    sim.ss = sim.ss.replace(state=sim.ss.state.replace(
+        v=jnp.asarray(vp, jnp.float64)))
+    sim.first_energy()
+    r0 = np.asarray(sim.ss.state.r[:n]).copy()
+
+    k = 20
+    sim.run(k, print_fn=lambda s: None, max_steps_per_dispatch=k)
+    # reverse: negate velocities, run k more steps
+    sim.ss = sim.ss.replace(state=sim.ss.state.replace(v=-sim.ss.state.v))
+    sim.run(k, print_fn=lambda s: None, max_steps_per_dispatch=k)
+    r1 = np.asarray(sim.ss.state.r[:n])
+    L = np.asarray(sim.ss.box.lengths)
+    d = r1 - r0
+    d -= L * np.round(d / L)
+    assert np.abs(d).max() < 1e-8, f"not reversible: {np.abs(d).max()}"
