@@ -33,7 +33,8 @@ def main():
     db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
                  os.path.join(REFERENCE_WATERBOX, "snapshot.mem", "restart"),
                  REFERENCE_WATERBOX)
-    sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp")
+    engine = os.environ.get("BENCH_ENGINE", "cellblock")
+    sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp", engine=engine)
     dt_fs = sim.sysdef.cfg.dt * 1e3
 
     n_steps = int(os.environ.get("BENCH_STEPS", "4000"))
@@ -60,6 +61,7 @@ def main():
         "n_steps": n_steps,
         "n_particles": sim.sysdef.state.n_local,
         "device": str(jax.devices()[0]),
+        "engine": engine,
         "baseline_note": "estimated CPU-ddcMD ~100 steps/s; reference binary unbuildable from mount (missing util/ and recbis/ sources, no MPI)",
     }
     print(json.dumps(out))

@@ -84,6 +84,23 @@ def group_from_deck(db: ObjectDB, name: str, index: int) -> Group:
 
         g.Teq = eq_parse(obj.get_literal("Teq", "0.0"), "T", "t")
         g.tau = obj.get_with_units("tau", "1.0", "t")
+    elif gtype in ("SHEAR", "SHWALL"):
+        # two z-slice shear driver/thermostat (shear_parms,
+        # /root/reference/src/shear.c:284-314); SHWALL anchors the slices
+        # at the box z-faces instead of deck centers (shwall_parms,
+        # /root/reference/src/shwall.c:291-314)
+        g.parms = dict(
+            style=gtype.lower(),
+            tau=obj.get_with_units("tau", "1.0", "t"),
+            top_width=obj.get_with_units("top_width", "-1", "l"),
+            bot_width=obj.get_with_units("bottom_width", "-1", "l"),
+            top_velocity=obj.get_with_units("top_velocity", "-1", "l/t"),
+            bot_velocity=obj.get_with_units("bottom_velocity", "-1", "l/t"),
+            top_temp=obj.get_with_units("top_temp", "-1", "T"),
+            bot_temp=obj.get_with_units("bottom_temp", "-1", "T"))
+        if gtype == "SHEAR":
+            g.parms["top_center"] = obj.get_with_units("top_center", "-1", "l")
+            g.parms["bot_center"] = obj.get_with_units("bottom_center", "-1", "l")
     elif gtype in ("FREE", "FROZEN", "QUENCH", "NONE"):
         pass
     else:
@@ -107,7 +124,7 @@ class GroupTable:
 
     KIND = {"FREE": 0, "LANGEVIN": 1, "FROZEN": 2, "FIXEDVELOCITY": 3,
             "EXTFORCE": 0, "QUENCH": 4, "BERENDSEN": 5, "NONE": 0,
-            "PISTON": 3}
+            "PISTON": 3, "SHEAR": 0, "SHWALL": 0}  # slice-hook groups
 
     @classmethod
     def build(cls, groups: list[Group]) -> "GroupTable":
@@ -115,6 +132,12 @@ class GroupTable:
         tau = np.array([g.tau for g in groups], dtype=np.float64)
         vcm = np.array([g.vcm for g in groups], dtype=np.float64)
         return cls(groups=groups, kind=kind, tau=tau, vcm=vcm)
+
+    @property
+    def shear_groups(self):
+        """Static per-SHEAR-group parameter dicts for velocity_update."""
+        return tuple(dict(gidx=g.index, **g.parms)
+                     for g in self.groups if g.type in ("SHEAR", "SHWALL"))
 
     def coefficients(self, time: float, dt: float, dtype=jnp.float32):
         """Per-group (a, c_on, kBTeq_over_tau2, vcm) for the affine kick.
@@ -156,8 +179,101 @@ class GroupTable:
                 jnp.asarray(self.kind), jnp.asarray(ber, dtype=dtype))
 
 
+def _shear_slice(p, tag, z, v, f, mass, w_sl, dt, dtype):
+    """Slice statistics -> (vcm, chi, delta, v_b, chi_b, delta_b).
+
+    shear_Update (/root/reference/src/shear.c:108-215): mass-weighted CM
+    velocity, slice temperature T = 2 rk / (3 (n-1) kB), velocity drag
+    delta = dt/tau (set_v - vcm.y), thermostat chi = sqrt(1 + dt/tau
+    (set_T/T - 1)); the BACK forms are the implicit (backward-Euler)
+    variants solved by 5 fixed-point iterations (shear.c:177-214).
+    """
+    sv = p[f"{tag}_velocity"]
+    sT = p[f"{tag}_temp"]
+    dtau = dt / p["tau"]
+    n = jnp.sum(w_sl)
+    M = jnp.maximum(jnp.sum(mass * w_sl), jnp.asarray(1e-30, dtype))
+    P = jnp.sum(mass[:, None] * v * w_sl[:, None], axis=0)
+    F = jnp.sum(f * w_sl[:, None], axis=0)
+    af = jnp.sum(jnp.sum(f * f, axis=1) / mass * w_sl)
+    vf = jnp.sum(jnp.sum(v * f, axis=1) * w_sl)
+    rk = jnp.sum(0.5 * mass * jnp.sum(v * v, axis=1) * w_sl)
+    vcm = P / M
+    rk = rk - 0.5 * M * jnp.sum(vcm * vcm)
+    ndof = jnp.maximum(3.0 * (n - 1.0), 1.0) * U.kB
+    T = jnp.maximum(2.0 * rk / ndof, 1e-12)
+    delta = dtau * (sv - vcm[1])
+    chi = jnp.sqrt(jnp.maximum(1.0 + dtau * (sT / T - 1.0), 0.0))
+    v_b = jnp.stack([vcm[0] + dt * F[0] / M,
+                     (vcm[1] + dt * F[1] / M + dtau * sv) / (1.0 + dtau),
+                     vcm[2] + dt * F[2] / M])
+    delta_b = dtau * (sv - v_b[1])
+    c = T + (2.0 * dt * (vf - jnp.dot(vcm, F))
+             + dt * dt * (af - jnp.dot(F, F) / M)) / ndof
+    temp = T
+    for _ in range(5):
+        chi_b = jnp.sqrt(jnp.maximum(1.0 + dtau * (sT / temp - 1.0), 0.0))
+        temp = jnp.maximum(c / ((2.0 - chi_b) * (2.0 - chi_b)), 1e-12)
+    return vcm, chi, delta, v_b, chi_b, delta_b
+
+
+def _apply_shear(mode, p, v, v_pre, z, f, mass, group_ids, n_valid_mask,
+                 dt, Lz):
+    """SHEAR group hook, applied after the plain leapfrog kick.
+
+    shear_velocityUpdate (/root/reference/src/shear.c:217-283): the kick
+    itself is v += dt f/m (already done by the affine pass for kind 0)
+    followed by v += (chi-1)(v - v_slice) with +delta on y.  Slice
+    statistics sum over ALL local particles (shear.c:132, no group
+    filter) using PRE-kick velocities (Update precedes velocityUpdate,
+    nglf.c:98-108); the kick applies only to the group's own particles.  In
+    the stats pass top wins ties (else-if, shear.c:137-152); in the
+    kick bottom wins (sequential ifs, shear.c:242-254).
+    """
+    dtype = v.dtype
+    if p.get("style", "shear") == "shwall":
+        # slices anchored at the z faces, one-sided distances
+        # (shwall_Update, shwall.c:138-174)
+        edge = 0.5 * Lz
+        in_top = ((edge - z) < p["top_width"]) & n_valid_mask
+        in_bot = ((z + edge) < p["bot_width"]) & n_valid_mask
+    else:
+        ztop = z - p["top_center"]
+        ztop = ztop - Lz * jnp.round(ztop / Lz)
+        zbot = z - p["bot_center"]
+        zbot = zbot - Lz * jnp.round(zbot / Lz)
+        in_top = (jnp.abs(ztop) < 0.5 * p["top_width"]) & n_valid_mask
+        in_bot = (jnp.abs(zbot) < 0.5 * p["bot_width"]) & n_valid_mask
+    top = _shear_slice(p, "top", z, v_pre, f, mass,
+                       in_top.astype(dtype), dt, dtype)
+    bot = _shear_slice(p, "bot", z, v_pre, f, mass,
+                       (in_bot & ~in_top).astype(dtype), dt, dtype)
+    if mode == "front":
+        vcm_t, chi_t, del_t = top[0], top[1], top[2]
+        vcm_b, chi_b, del_b = bot[0], bot[1], bot[2]
+    else:
+        vcm_t, chi_t, del_t = top[3], top[4], top[5]
+        vcm_b, chi_b, del_b = bot[3], bot[4], bot[5]
+    # per-particle slice coeffs; bottom overrides top, outside = identity
+    chi = jnp.where(in_top, chi_t, 1.0)
+    chi = jnp.where(in_bot, chi_b, chi)
+    delta = jnp.where(in_top, del_t, 0.0)
+    delta = jnp.where(in_bot, del_b, delta)
+    vsl = jnp.where(in_top[:, None], vcm_t[None, :], 0.0)
+    vsl = jnp.where(in_bot[:, None], vcm_b[None, :], vsl)
+    # SHEAR applies (chi-1) to the post-kick velocity (sequential updates,
+    # shear.c:255-260); SHWALL to the pre-kick velocity (single expression,
+    # shwall.c:268-270)
+    vbase = v_pre if p.get("style", "shear") == "shwall" else v
+    dv = (chi - 1.0)[:, None] * (vbase - vsl)
+    dv = dv.at[:, 1].add(delta)
+    member = (group_ids == p["gidx"]) & n_valid_mask
+    return jnp.where(member[:, None], v + dv, v)
+
+
 def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
-                    coeffs, dt, key, n_valid_mask, has_berendsen: bool = True):
+                    coeffs, dt, key, n_valid_mask, has_berendsen: bool = True,
+                    shear_ctx=None):
     """One fused half-kick for all particles (both reference modes).
 
     mode: 'front' | 'back' (see langevin_velocityUpdate,
@@ -194,4 +310,9 @@ def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
         v = vcm + a * ((state_v - vcm) + c * state_f + d * g)
     else:
         raise ValueError(mode)
+    if shear_ctx is not None:
+        z, Lz, shear_groups = shear_ctx
+        for p in shear_groups:
+            v = _apply_shear(mode, p, v, state_v, z, state_f, state_mass,
+                             group_ids, n_valid_mask, dt, Lz)
     return jnp.where(n_valid_mask[:, None], v, 0.0)

@@ -56,13 +56,16 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                    constraint_fn: Callable | None = None,
                    molecular_virial_fn: Callable | None = None,
                    wrap_positions: bool = True,
-                   post_drift_fn: Callable | None = None):
+                   post_drift_fn: Callable | None = None,
+                   shear_groups: tuple = ()):
     """Build the jittable MD step.
 
     force_fn(state, box, nbr_idx) -> (f (N,3), e_pot, virial (3,3), pe (N,))
     barostat: None or dict(P0=..., beta=..., tau=..., T=..., isotropic=bool)
     constraint_fn(state, dt, mode) -> state with projected velocities
     molecular_virial_fn(state, box, virial) -> corrected molecular virial
+    shear_groups: static SHEAR-group parameter dicts
+      (GroupTable.shear_groups; shear.c two-slice driver)
     wrap_positions: wrap into the box after drift (backInBox, nglf.c:90).
       MUST be False for the cell-block pair engine, whose static image
       shifts require positions to stay consistent with the rebuild-time
@@ -102,8 +105,11 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
 
         # --- front half kick ---------------------------------------------
         k1, k2 = jax.random.split(jax.random.fold_in(key, 0))
+        shear_ctx = ((state.r[:, 2], box.lengths[2], shear_groups)
+                     if shear_groups else None)
         v = velocity_update("front", state.v, state.f, state.mass, state.group,
-                            coeffs, half, k1, mask, has_berendsen)
+                            coeffs, half, k1, mask, has_berendsen,
+                            shear_ctx=shear_ctx)
         if constraint_fn is not None:
             v = constraint_fn(state.replace(v=v), dt, "front").v
         state = state.replace(v=v)
@@ -121,8 +127,11 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
         state = state.replace(f=f, pe=pe)
 
         # --- back half kick -------------------------------------------------
+        shear_ctx = ((state.r[:, 2], box.lengths[2], shear_groups)
+                     if shear_groups else None)
         v = velocity_update("back", state.v, state.f, state.mass, state.group,
-                            coeffs, half, k2, mask, has_berendsen)
+                            coeffs, half, k2, mask, has_berendsen,
+                            shear_ctx=shear_ctx)
         if constraint_fn is not None:
             v = constraint_fn(state.replace(v=v), dt, "back").v
         state = state.replace(v=v)

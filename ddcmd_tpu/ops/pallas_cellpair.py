@@ -38,14 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .cellpair import CellBlockGrid
 
 
-def _kernel(stencil_ref,      # (ncell, S, 4) int32 scalar-prefetch (SMEM)
+def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
             L_ref,            # (1, 8) f32 SMEM: L/ncells (3), rcut2
-            slots_ref,        # (ncell*cap, 8) f32 ANY/HBM
-            p_ref,            # (cap, 8) f32 VMEM (this cell's block)
+            slots_ref,        # (ncell*cap, 128) f32 HBM (tile-aligned records)
+            p_ref,            # (cap, 128) f32 VMEM (this cell's block)
             sigma_ref, eps_ref, shift_ref,   # (T, T) f32 VMEM
-            out_ref,          # (cap, 8) f32 VMEM: fx fy fz pe ...
-            cell_ref,         # (1, 8) f32 VMEM: e, virial6
-            q_scratch,        # (2, cap, 8) f32 VMEM double buffer
+            out_f_ref,        # (cap, 3) f32 VMEM forces
+            out_pe_ref,       # (cap, 1) f32 VMEM per-slot energy
+            out_cell_ref,     # (1, 8) f32 SMEM: e + virial6 (scalar stores)
+            q_scratch,        # (2, cap, 128) f32 VMEM double buffer
             sem,              # DMA semaphores (2,)
             *, cap: int, n_stencil: int, T: int,
             krf: float, crf: float, keR: float, coulomb: bool):
@@ -69,7 +70,7 @@ def _kernel(stencil_ref,      # (ncell, S, 4) int32 scalar-prefetch (SMEM)
     shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
 
     def start_dma(s, slot):
-        cell_id = stencil_ref[c, s, 0]
+        cell_id = stencil_ref[c, s * 4 + 0]
         return pltpu.make_async_copy(
             slots_ref.at[pl.ds(cell_id * cap, cap), :],
             q_scratch.at[slot],
@@ -81,7 +82,7 @@ def _kernel(stencil_ref,      # (ncell, S, 4) int32 scalar-prefetch (SMEM)
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (cap, 3), 1)
 
     def body(s, carry):
-        facc, peacc, cellacc = carry
+        facc, peacc, e_acc, vxx, vyy, vzz, vxy, vxz, vyz = carry
         slot = s % 2
 
         @pl.when(s + 1 < n_stencil)
@@ -90,9 +91,9 @@ def _kernel(stencil_ref,      # (ncell, S, 4) int32 scalar-prefetch (SMEM)
 
         start_dma(s, slot).wait()
         Q = q_scratch[slot]
-        sx = stencil_ref[c, s, 1].astype(jnp.float32) * Lnx
-        sy = stencil_ref[c, s, 2].astype(jnp.float32) * Lny
-        sz = stencil_ref[c, s, 3].astype(jnp.float32) * Lnz
+        sx = stencil_ref[c, s * 4 + 1].astype(jnp.float32) * Lnx
+        sy = stencil_ref[c, s * 4 + 2].astype(jnp.float32) * Lny
+        sz = stencil_ref[c, s * 4 + 3].astype(jnp.float32) * Lnz
         shift = jnp.where(lane3 == 0, sx, jnp.where(lane3 == 1, sy, sz))
         qx = Q[:, 0:3] + shift                          # (cap,3)
         qqT = Q[:, 3:4].T                               # (1,cap)
@@ -105,7 +106,7 @@ def _kernel(stencil_ref,      # (ncell, S, 4) int32 scalar-prefetch (SMEM)
             preferred_element_type=jnp.float32)         # (cap,cap)
         d2 = p2 + q2T - 2.0 * pq_dot
 
-        qcell = stencil_ref[c, s, 0]
+        qcell = stencil_ref[c, s * 4 + 0]
         eye = (jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1))
         self_pair = jnp.logical_and(qcell == c, eye)
@@ -156,29 +157,27 @@ def _kernel(stencil_ref,      # (ncell, S, 4) int32 scalar-prefetch (SMEM)
         C = jax.lax.dot_general(qx * qsumT.T, qx, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         vir = -0.5 * (A - B - B.T + C)
-        e_cell = jnp.sum(pe_part)
-        row = jnp.zeros((1, 8), jnp.float32)
-        row = row.at[0, 0].set(e_cell)
-        row = row.at[0, 1].set(vir[0, 0])
-        row = row.at[0, 2].set(vir[1, 1])
-        row = row.at[0, 3].set(vir[2, 2])
-        row = row.at[0, 4].set(vir[0, 1])
-        row = row.at[0, 5].set(vir[0, 2])
-        row = row.at[0, 6].set(vir[1, 2])
-        cellacc = cellacc + row
-        return facc, peacc, cellacc
+        e_acc = e_acc + jnp.sum(pe_part)
+        return (facc, peacc, e_acc,
+                vxx + vir[0, 0], vyy + vir[1, 1], vzz + vir[2, 2],
+                vxy + vir[0, 1], vxz + vir[0, 2], vyz + vir[1, 2])
 
-    facc0 = jnp.zeros((cap, 3), jnp.float32)
-    peacc0 = jnp.zeros((cap, 1), jnp.float32)
-    cellacc0 = jnp.zeros((1, 8), jnp.float32)
-    facc, peacc, cellacc = jax.lax.fori_loop(
-        0, n_stencil, body, (facc0, peacc0, cellacc0))
+    z = jnp.zeros((), jnp.float32)
+    facc, peacc, e_acc, vxx, vyy, vzz, vxy, vxz, vyz = jax.lax.fori_loop(
+        0, n_stencil, body,
+        (jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap, 1), jnp.float32),
+         z, z, z, z, z, z, z))
 
-    out = jnp.zeros((cap, 8), jnp.float32)
-    out = out.at[:, 0:3].set(facc)
-    out = out.at[:, 3:4].set(peacc)
-    out_ref[:] = out
-    cell_ref[:] = cellacc
+    out_f_ref[:] = facc
+    out_pe_ref[:] = peacc
+    out_cell_ref[c, 0] = e_acc
+    out_cell_ref[c, 1] = vxx
+    out_cell_ref[c, 2] = vyy
+    out_cell_ref[c, 3] = vzz
+    out_cell_ref[c, 4] = vxy
+    out_cell_ref[c, 5] = vxz
+    out_cell_ref[c, 6] = vyz
+    out_cell_ref[c, 7] = z
 
 
 def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
@@ -202,18 +201,19 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
         grid=(ncell,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # L8 (1,8)
-            pl.BlockSpec(memory_space=pl.ANY),           # slots (HBM)
-            pl.BlockSpec((cap, 8), lambda c, stencil: (c, 0)),  # P block
+            pl.BlockSpec(memory_space=pltpu.HBM),        # slots stay in HBM
+            pl.BlockSpec((cap, 128), lambda c, stencil: (c, 0)),  # P block
             pl.BlockSpec(memory_space=pltpu.VMEM),          # sigma
             pl.BlockSpec(memory_space=pltpu.VMEM),          # eps
             pl.BlockSpec(memory_space=pltpu.VMEM),          # shift
         ],
         out_specs=[
-            pl.BlockSpec((cap, 8), lambda c, stencil: (c, 0)),
-            pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (ncell,8) resident
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, cap, 8), jnp.float32),
+            pltpu.VMEM((2, cap, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -222,15 +222,18 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ncell * cap, 8), jnp.float32),
+            jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
+            jax.ShapeDtypeStruct((ncell * cap, 1), jnp.float32),
             jax.ShapeDtypeStruct((ncell, 8), jnp.float32),
         ],
         interpret=interpret,
     )
 
     def eval_fn(slots, stencil_packed, L8):
-        return call(stencil_packed, L8, slots,
-                    slots, tables["sigma"], tables["eps"], tables["shift"])
+        out_f, out_pe, out_cells = call(
+            stencil_packed, L8, slots,
+            slots, tables["sigma"], tables["eps"], tables["shift"])
+        return jnp.concatenate([out_f, out_pe], axis=1), out_cells
 
     return eval_fn
 
@@ -252,13 +255,15 @@ def pack_stencil(grid: CellBlockGrid) -> np.ndarray:
     q3 = c3[grid.stencil_cells]                            # (C,S,3)
     n3 = np.asarray(grid.ncells)
     delta = q3 - c3[:, None, :] + grid.wrap.astype(np.int64) * n3
-    return np.concatenate(
+    packed = np.concatenate(
         [grid.stencil_cells[:, :, None].astype(np.int32),
          delta.astype(np.int32)], axis=2)
+    # SMEM pads the trailing dim to 128 lanes: keep it 2D (ncell, S*4)
+    return packed.reshape(grid.ncell, -1)
 
 
 def pack_slots(r, q, tidx, perm, box_lengths, grid: CellBlockGrid):
-    """(ncell*cap, 8) f32 slots in cell-centered coordinates."""
+    """(ncell*cap, 128) f32 slots (tile-aligned) in cell-centered coordinates."""
     n_pad = r.shape[0]
     dt = jnp.float32
     ncell, cap = grid.ncell, grid.cap
@@ -281,7 +286,7 @@ def pack_slots(r, q, tidx, perm, box_lengths, grid: CellBlockGrid):
         q_ext[perm][:, None],
         t_ext[perm][:, None],
         v_ext[perm][:, None],
-        jnp.zeros((ncell * cap, 2), dt),
+        jnp.zeros((ncell * cap, 122), dt),   # pad records to a full lane tile
     ], axis=1), centers
 
 

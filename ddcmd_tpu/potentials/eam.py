@@ -175,13 +175,140 @@ def compile_eam(db: ObjectDB, name: str, species, base_dir: str = ".") -> EamPar
         return EamParms(form, ns, rmax,
                         dict(tabs=pair_tabs), dict(tabs=embed_tabs))
 
-    raise DeckError(f"EAM form {form} not implemented (RATIONAL pending)")
+    if form == "RATIONAL":
+        # FIT objects: <sp>_embedding, <i>_<j>_density (or <sp>_density for
+        # density_type=elementwise), <i>_<j>_2body.  Each FIT {cutoff;
+        # orderP; orderQ; P=...; Q=...; xUnits; yUnits}; coefficients scale
+        # P_k *= y_conv/x_conv^k, Q_k /= x_conv^k, cutoff *= x_conv
+        # (read_fit_object, eam_rational.c:27-94).  Density and pair
+        # functions are rational functions of r^2 (their cutoff too);
+        # embedding is rational in rho (rational_pass0/embedding,
+        # eam_rational.c:320-381).
+        def read_fit(nm):
+            fit = db.get(nm, "FIT")
+            cutoff = fit.get_float("cutoff", 0.0)
+            pdeg = fit.get_int("orderP", 0)
+            qdeg = fit.get_int("orderQ", 0)
+            P = np.zeros(pdeg + 1)
+            Q = np.zeros(qdeg + 1)
+            pv = fit.get_floatv("P") if fit.has("P") else [0.0]
+            qv = fit.get_floatv("Q") if fit.has("Q") else [0.0]
+            P[: len(pv)] = pv[: pdeg + 1]
+            Q[: len(qv)] = qv[: qdeg + 1]
+            xu = fit.get_str("xUnits", "NONE")
+            yu = fit.get_str("yUnits", "NONE")
+            xc = 1.0 if xu.upper() == "NONE" else U.unit_scale(xu)
+            yc = 1.0 if yu.upper() == "NONE" else U.unit_scale(yu)
+            for k in range(pdeg + 1):
+                P[k] *= yc / xc ** k
+            for k in range(qdeg + 1):
+                Q[k] /= xc ** k
+            return cutoff * xc, P, Q
+
+        names = [sp.name for sp in species]
+        embeds = [read_fit(f"{nm}_embedding") for nm in names]
+
+        rho_type = pot.get_str("density_type", "NONE").lower()
+        rho_fits = {}
+        if rho_type == "elementwise":
+            # rho[i] = sum_j RHO_{spec(j)}(r_ij): table keyed by neighbor
+            # species only (eam_rational.c:159-179)
+            for j, nm in enumerate(names):
+                fun = read_fit(f"{nm}_density")
+                for i in range(ns):
+                    rho_fits[(i, j)] = fun
+        elif rho_type in ("pair_symmetric", "pairsymmetric"):
+            for i in range(ns):
+                for j in range(i, ns):
+                    try:
+                        fun = read_fit(f"{names[i]}_{names[j]}_density")
+                    except DeckError:
+                        fun = read_fit(f"{names[j]}_{names[i]}_density")
+                    rho_fits[(i, j)] = rho_fits[(j, i)] = fun
+        elif rho_type in ("pair_general", "pairgeneral"):
+            for i in range(ns):
+                for j in range(ns):
+                    rho_fits[(i, j)] = read_fit(f"{names[i]}_{names[j]}_density")
+        else:
+            raise DeckError(f"{name}: RATIONAL density_type must be "
+                            f"elementwise/pair_symmetric/pair_general, "
+                            f"got {rho_type!r}")
+
+        phi_fits = {}
+        for i in range(ns):
+            for j in range(i, ns):
+                try:
+                    fun = read_fit(f"{names[i]}_{names[j]}_2body")
+                except DeckError:
+                    fun = read_fit(f"{names[j]}_{names[i]}_2body")
+                phi_fits[(i, j)] = phi_fits[(j, i)] = fun
+
+        def stack(fits, count):
+            dmax = max(max(len(f[1]), len(f[2])) for f in fits.values()) \
+                if isinstance(fits, dict) else \
+                max(max(len(f[1]), len(f[2])) for f in fits)
+            P = np.zeros((count, dmax))
+            Q = np.zeros((count, dmax))
+            cut = np.zeros(count)
+            items = fits.items() if isinstance(fits, dict) else enumerate(fits)
+            for k, (c, p, q) in items:
+                idx = k[0] * ns + k[1] if isinstance(k, tuple) else k
+                P[idx, : len(p)] = p
+                Q[idx, : len(q)] = q
+                cut[idx] = c
+            return P, Q, cut
+
+        rP, rQ, rcut_r = stack(rho_fits, ns * ns)
+        pP, pQ, rcut_p = stack(phi_fits, ns * ns)
+        eP, eQ, ecut = stack(embeds, ns)
+        return EamParms(form, ns, rmax,
+                        dict(rhoP=rP, rhoQ=rQ, rho_cut=rcut_r,
+                             phiP=pP, phiQ=pQ, phi_cut=rcut_p),
+                        dict(P=eP, Q=eQ, cut=ecut))
+
+    raise DeckError(f"EAM form {form} not implemented")
+
+
+def _rational_eval(P, Q, x, derivative: bool):
+    """P(x)/Q(x) with gathered coefficient rows P,Q of shape (..., D).
+
+    Horner over the static degree D (eval_rational, eam_rational.c:294-317);
+    derivative is d/dx.
+    """
+    D = P.shape[-1]
+    p = P[..., D - 1]
+    q = Q[..., D - 1]
+    dp = jnp.zeros_like(p)
+    dq = jnp.zeros_like(q)
+    for k in range(D - 2, -1, -1):
+        dp = dp * x + p
+        dq = dq * x + q
+        p = p * x + P[..., k]
+        q = q * x + Q[..., k]
+    qinv = 1.0 / q
+    val = p * qinv
+    if not derivative:
+        return val
+    return val, qinv * (dp - val * dq)
 
 
 def _pair_eval(form: str, pt: dict, pair_idx, r2, ir, ir2, derivative: bool):
     """phi/rho (or their (d/dr)/r) per pair; pt arrays flattened (T*T,)."""
     g = lambda k: pt[k].reshape(-1)[pair_idx]
     r = r2 * ir
+    if form == "RATIONAL":
+        # rational functions of r^2, zero beyond each fit's own cutoff
+        # (rational_pass0, eam_rational.c:339-381); (d/dr)/r = 2 d/d(r2)
+        ok_p = r2 < pt["rho_cut"][pair_idx]
+        ok_e = r2 < pt["phi_cut"][pair_idx]
+        e, de2 = _rational_eval(pt["phiP"][pair_idx], pt["phiQ"][pair_idx],
+                                r2, True)
+        p, dp2 = _rational_eval(pt["rhoP"][pair_idx], pt["rhoQ"][pair_idx],
+                                r2, True)
+        if not derivative:
+            return jnp.where(ok_e, e, 0.0), jnp.where(ok_p, p, 0.0)
+        return (jnp.where(ok_e, 2.0 * de2, 0.0),
+                jnp.where(ok_p, 2.0 * dp2, 0.0))
     if form == "TABULAR":
         e = _tab_lookup(pt, pair_idx, r, 0, derivative)
         p = _tab_lookup(pt, pair_idx, r, 1, derivative)
@@ -234,6 +361,12 @@ def _pair_eval(form: str, pt: dict, pair_idx, r2, ir, ir2, derivative: bool):
 
 def _embedding(form: str, et: dict, tidx, rho):
     eps = 1e-30
+    if form == "RATIONAL":
+        # F(rho) = P(rho)/Q(rho) for rho < cutoff else 0
+        # (rational_embedding, eam_rational.c:320-337)
+        ok = rho < et["cut"][tidx]
+        v, dv = _rational_eval(et["P"][tidx], et["Q"][tidx], rho, True)
+        return jnp.where(ok, v, 0.0), jnp.where(ok, dv, 0.0)
     if form == "TABULAR":
         v = _tab_lookup(et, tidx, rho, 0, False)
         dv = _tab_lookup(et, tidx, rho, 0, True)

@@ -186,7 +186,8 @@ class Simulation:
             constraint_fn=constraint_fn,
             wrap_positions=wrap,
             post_drift_fn=post_drift_fn,
-            has_berendsen=any(g.type == "BERENDSEN" for g in sd.groups))
+            has_berendsen=any(g.type == "BERENDSEN" for g in sd.groups),
+            shear_groups=sd.group_table.shear_groups)
 
     def _compile(self):
         grid = self.grid

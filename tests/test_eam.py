@@ -155,6 +155,73 @@ def test_eam_tabular_matches_fs():
     assert float(jnp.abs(f2 - f1).max()) / scale < 2e-2  # linear-interp tables
 
 
+def test_eam_rational_bruteforce_and_fd():
+    """RATIONAL form: FIT-object rational functions of r^2 (density/pair)
+    and rho (embedding); checked against a brute-force numpy evaluation
+    and FD forces (eam_rational.c:27-395)."""
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.potentials.eam import compile_eam
+
+    eV = U.unit_scale("eV")
+    rcut = 0.55                      # nm
+    rc2A = (rcut * 10.0) ** 2        # fit cutoffs are in r^2 (Angstrom^2)
+    a = 3.6                          # Angstrom
+    epsv = 0.012                     # eV
+    db = ObjectDB().compile_string(
+        f"pot POTENTIAL {{ type=EAM; form=RATIONAL; rmax={rcut} nm; "
+        f"density_type=elementwise; }}\n"
+        f"Cu_embedding FIT {{ cutoff=1e30; orderP=2; orderQ=1; "
+        f"P=0 -0.3 0.002; Q=1 0.05; xUnits=NONE; yUnits=eV; }}\n"
+        f"Cu_density FIT {{ cutoff={rc2A}; orderP=0; orderQ=2; "
+        f"P={a ** 4}; Q=0 0 1; xUnits=Angstrom^2; yUnits=NONE; }}\n"
+        f"Cu_Cu_2body FIT {{ cutoff={rc2A}; orderP=0; orderQ=3; "
+        f"P={epsv * a ** 6}; Q=0 0 0 1; xUnits=Angstrom^2; yUnits=eV; }}\n")
+
+    class Sp:
+        name = "Cu"
+
+    parms = compile_eam(db, "pot", [Sp()])
+    tables = eam_device_tables(parms, dtype=jnp.float64)
+
+    r, L = fcc(0.3615, 3)
+    n = len(r)
+    rng = np.random.default_rng(7)
+    r = r + rng.standard_normal(r.shape) * 0.005
+    grid = CellGrid.plan([L] * 3, rcut, 0.1, n, n)
+    Lv = jnp.asarray([L] * 3, jnp.float64)
+    rj = jnp.asarray(r, jnp.float64)
+    sidx = jnp.zeros(n, jnp.int32)
+    fmask = jnp.ones(n, jnp.float64)
+
+    def e_of(rj):
+        nbr, _, ov = build_neighbor_list(rj, fmask, Lv, grid)
+        assert not bool(ov)
+        return eam_eval(rj, sidx, fmask, nbr, Lv, tables)
+
+    f, e, vir, pe = e_of(rj)
+
+    # brute force in numpy (external units, then convert)
+    dr = r[:, None, :] - r[None, :, :]
+    dr -= L * np.round(dr / L)
+    x = np.sum(dr * dr, axis=-1) * 100.0        # r^2 in Angstrom^2
+    np.fill_diagonal(x, np.inf)
+    ok = x < rc2A
+    rho = np.sum(np.where(ok, a ** 4 / x ** 2, 0.0), axis=1)
+    phi = np.sum(np.where(ok, epsv * a ** 6 / x ** 3, 0.0))
+    F = (-0.3 * rho + 0.002 * rho ** 2) / (1.0 + 0.05 * rho)
+    e_ref = (0.5 * phi + F.sum()) * eV
+    assert float(e) == pytest.approx(e_ref, rel=1e-10)
+
+    # FD forces
+    h = 1e-6
+    for i in (0, 29, 77):
+        for ax in range(3):
+            ep = float(e_of(rj.at[i, ax].add(h))[1])
+            em = float(e_of(rj.at[i, ax].add(-h))[1])
+            fd = -(ep - em) / (2 * h)
+            assert float(f[i, ax]) == pytest.approx(fd, rel=1e-5, abs=1e-6)
+
+
 def test_pairenergy_series_fd():
     """PAIRENERGY series pair potential: FD force check."""
     from ddcmd_tpu.objects import ObjectDB
