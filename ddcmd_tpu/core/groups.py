@@ -101,6 +101,42 @@ def group_from_deck(db: ObjectDB, name: str, index: int) -> Group:
         if gtype == "SHEAR":
             g.parms["top_center"] = obj.get_with_units("top_center", "-1", "l")
             g.parms["bot_center"] = obj.get_with_units("bottom_center", "-1", "l")
+    elif gtype == "DOUBLE_MIRROR":
+        # two moving reflective planes (doubleMirror_parms,
+        # /root/reference/src/doubleMirror.c:238-280)
+        import numpy as _np
+
+        n1 = _np.asarray(obj.get_floatv("normal1") if obj.has("normal1")
+                         else [0.0, 0.0, 1.0])
+        n2 = _np.asarray(obj.get_floatv("normal2") if obj.has("normal2")
+                         else [0.0, 0.0, -1.0])
+        g.parms = dict(
+            point1=tuple(obj.get_with_unitsv("point1", "0 0 -1", "l")),
+            point2=tuple(obj.get_with_unitsv("point2", "0 0 1", "l")),
+            normal1=tuple(n1 / _np.linalg.norm(n1)),
+            normal2=tuple(n2 / _np.linalg.norm(n2)),
+            v1=obj.get_with_units("v1", "0.0", "l/t"),
+            v2=obj.get_with_units("v2", "0.0", "l/t"),
+            output_rate=obj.get_int("outputRate", 0))
+    elif gtype == "UNIONGROUP":
+        # composition of member groups: plain kick + sum of each member's
+        # deviation from the plain kick (unionGroup_velocityUpdate,
+        # /root/reference/src/unionGroup.c:134-182).  Members must be
+        # affine-family groups (LANGEVIN/FREE/FROZEN/FIXEDVELOCITY/
+        # EXTFORCE/PISTON).
+        members = []
+        for mname in obj.get_strv("groups"):
+            m = group_from_deck(db, mname, -1)
+            if m.type not in _AFFINE_TYPES and m.type != "PISTON":
+                raise ValueError(
+                    f"UNIONGROUP {name}: member {mname} of type {m.type} "
+                    f"is not an affine-family group")
+            members.append(m)
+        g.parms["members"] = members
+    elif gtype == "IONIZATION":
+        # the reference's ionization group is an intentional no-op stub
+        # (group.c:31: `void ionization_parms(GROUP *gp){}`); FREE matches
+        g.type = "FREE"
     elif gtype in ("FREE", "FROZEN", "QUENCH", "NONE"):
         pass
     else:
@@ -124,10 +160,23 @@ class GroupTable:
 
     KIND = {"FREE": 0, "LANGEVIN": 1, "FROZEN": 2, "FIXEDVELOCITY": 3,
             "EXTFORCE": 0, "QUENCH": 4, "BERENDSEN": 5, "NONE": 0,
-            "PISTON": 3, "SHEAR": 0, "SHWALL": 0}  # slice-hook groups
+            "PISTON": 3, "SHEAR": 0, "SHWALL": 0, "DOUBLE_MIRROR": 0,
+            "UNIONGROUP": 0, "IONIZATION": 0}  # 0 + hook where needed
 
     @classmethod
     def build(cls, groups: list[Group]) -> "GroupTable":
+        # UNIONGROUP members become hidden trailing groups so their affine
+        # coefficients refresh with everyone else's (incl. Teq schedules);
+        # particles can never be assigned to them from decks.
+        groups = list(groups)
+        for g in list(groups):
+            if g.type == "UNIONGROUP":
+                idxs = []
+                for m in g.parms["members"]:
+                    m.index = len(groups)
+                    idxs.append(m.index)
+                    groups.append(m)
+                g.parms["member_idx"] = tuple(idxs)
         kind = np.array([cls.KIND.get(g.type, 0) for g in groups], dtype=np.int32)
         tau = np.array([g.tau for g in groups], dtype=np.float64)
         vcm = np.array([g.vcm for g in groups], dtype=np.float64)
@@ -135,9 +184,20 @@ class GroupTable:
 
     @property
     def shear_groups(self):
-        """Static per-SHEAR-group parameter dicts for velocity_update."""
-        return tuple(dict(gidx=g.index, **g.parms)
-                     for g in self.groups if g.type in ("SHEAR", "SHWALL"))
+        """Static hook-group parameter dicts for velocity_update:
+        SHEAR/SHWALL slices, DOUBLE_MIRROR planes, UNIONGROUP members."""
+        hooks = []
+        for g in self.groups:
+            if g.type in ("SHEAR", "SHWALL"):
+                hooks.append(dict(gidx=g.index, **g.parms))
+            elif g.type == "DOUBLE_MIRROR":
+                p = {k: v for k, v in g.parms.items()}
+                p.update(style="mirror", gidx=g.index)
+                hooks.append(p)
+            elif g.type == "UNIONGROUP":
+                hooks.append(dict(style="union", gidx=g.index,
+                                  members=g.parms["member_idx"]))
+        return tuple(hooks)
 
     def coefficients(self, time: float, dt: float, dtype=jnp.float32):
         """Per-group (a, c_on, kBTeq_over_tau2, vcm) for the affine kick.
@@ -271,6 +331,55 @@ def _apply_shear(mode, p, v, v_pre, z, f, mass, group_ids, n_valid_mask,
     return jnp.where(member[:, None], v + dv, v)
 
 
+def _apply_mirror(p, v, r, box_lengths, group_ids, n_valid_mask):
+    """DOUBLE_MIRROR: elastic bounce off the nearer of two moving planes
+    (doubleMirror_velocityUpdate, /root/reference/src/doubleMirror.c:98-161).
+    Applied after the plain kick in both modes; p['point1'/'point2'] are
+    the CURRENT (time-advanced, wrapped) plane points supplied by the
+    integrator (doubleMirror_Update, doubleMirror.c:51-65)."""
+    n1 = jnp.asarray(p["normal1"], v.dtype)
+    n2 = jnp.asarray(p["normal2"], v.dtype)
+    r1 = r - jnp.asarray(p["point1"], v.dtype)
+    r1 = r1 - box_lengths * jnp.round(r1 / box_lengths)
+    r2 = r - jnp.asarray(p["point2"], v.dtype)
+    r2 = r2 - box_lengths * jnp.round(r2 / box_lengths)
+    d1 = r1 @ n1
+    d2 = r2 @ n2
+    use2 = jnp.abs(d1) > jnp.abs(d2)
+    nrm = jnp.where(use2[:, None], n2[None, :], n1[None, :])
+    dot = jnp.where(use2, d2, d1)
+    vm = jnp.where(use2, p["v2"], p["v1"])
+    vpar = jnp.sum(v * nrm, axis=1)
+    member = (group_ids == p["gidx"]) & n_valid_mask
+    bounce = member & (dot <= 0) & ((vpar - vm) <= 0)
+    return jnp.where(bounce[:, None],
+                     v + (2.0 * (vm - vpar))[:, None] * nrm, v)
+
+
+def _apply_union(mode, p, v, v_pre, f, mass, group_ids, n_valid_mask,
+                 coeffs, dt, key):
+    """UNIONGROUP: plain kick + sum of member-group deviations from it
+    (unionGroup_velocityUpdate, /root/reference/src/unionGroup.c:134-182;
+    the clearly-intended semantics -- the reference body double-kicks vy
+    and never kicks vz, unionGroup.c:148-150, which we do not copy)."""
+    a_g, c_on_g, noise_g, vcm_g, kind_g, ber_g = coeffs
+    plain = v_pre + (dt / mass)[:, None] * f
+    acc = plain
+    for j, m in enumerate(p["members"]):
+        gkey = jax.random.fold_in(key, 7919 + 31 * p["gidx"] + j)
+        gn = jax.random.normal(gkey, v.shape, dtype=v.dtype)
+        c = (c_on_g[m] * dt / mass)[:, None]
+        d = jnp.sqrt(noise_g[m] * dt / mass)[:, None]
+        vcm = vcm_g[m]
+        if mode == "front":
+            vm = vcm + a_g[m] * (v_pre - vcm) + c * f + d * gn
+        else:
+            vm = vcm + a_g[m] * ((v_pre - vcm) + c * f + d * gn)
+        acc = acc + (vm - plain)
+    member = (group_ids == p["gidx"]) & n_valid_mask
+    return jnp.where(member[:, None], acc, v)
+
+
 def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
                     coeffs, dt, key, n_valid_mask, has_berendsen: bool = True,
                     shear_ctx=None):
@@ -311,8 +420,17 @@ def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
     else:
         raise ValueError(mode)
     if shear_ctx is not None:
-        z, Lz, shear_groups = shear_ctx
-        for p in shear_groups:
-            v = _apply_shear(mode, p, v, state_v, z, state_f, state_mass,
-                             group_ids, n_valid_mask, dt, Lz)
+        r, box_lengths, hook_groups = shear_ctx
+        for p in hook_groups:
+            style = p.get("style", "shear")
+            if style in ("shear", "shwall"):
+                v = _apply_shear(mode, p, v, state_v, r[:, 2], state_f,
+                                 state_mass, group_ids, n_valid_mask, dt,
+                                 box_lengths[2])
+            elif style == "mirror":
+                v = _apply_mirror(p, v, r, box_lengths, group_ids,
+                                  n_valid_mask)
+            elif style == "union":
+                v = _apply_union(mode, p, v, state_v, state_f, state_mass,
+                                 group_ids, n_valid_mask, coeffs, dt, key)
     return jnp.where(n_valid_mask[:, None], v, 0.0)

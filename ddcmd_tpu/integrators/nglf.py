@@ -36,6 +36,25 @@ from ..core.groups import velocity_update
 from ..objects import units as U
 
 
+def _hooks_at(time, box, hook_groups):
+    """Advance DOUBLE_MIRROR plane points to the current time
+    (doubleMirror_Update, /root/reference/src/doubleMirror.c:51-65:
+    point += v*n*dt each half step, wrapped back into the box)."""
+    hooks = []
+    for p in hook_groups:
+        if p.get("style") == "mirror":
+            q = dict(p)
+            dt_el = time - p.get("t0", 0.0)
+            for key, vkey, nkey in (("point1", "v1", "normal1"),
+                                    ("point2", "v2", "normal2")):
+                pt = jnp.asarray(p[key]) + p[vkey] * jnp.asarray(p[nkey]) * dt_el
+                q[key] = box.back_in_box(pt[None, :])[0]
+            hooks.append(q)
+        else:
+            hooks.append(p)
+    return tuple(hooks)
+
+
 @struct.dataclass
 class StepState:
     """Everything that evolves across steps (a single pytree)."""
@@ -105,7 +124,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
 
         # --- front half kick ---------------------------------------------
         k1, k2 = jax.random.split(jax.random.fold_in(key, 0))
-        shear_ctx = ((state.r[:, 2], box.lengths[2], shear_groups)
+        shear_ctx = ((state.r, box.lengths,
+                      _hooks_at(ss.time, box, shear_groups))
                      if shear_groups else None)
         v = velocity_update("front", state.v, state.f, state.mass, state.group,
                             coeffs, half, k1, mask, has_berendsen,
@@ -127,7 +147,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
         state = state.replace(f=f, pe=pe)
 
         # --- back half kick -------------------------------------------------
-        shear_ctx = ((state.r[:, 2], box.lengths[2], shear_groups)
+        shear_ctx = ((state.r, box.lengths,
+                      _hooks_at(ss.time + dt, box, shear_groups))
                      if shear_groups else None)
         v = velocity_update("back", state.v, state.f, state.mass, state.group,
                             coeffs, half, k2, mask, has_berendsen,

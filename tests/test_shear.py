@@ -12,6 +12,11 @@ from ddcmd_tpu.core.groups import Group, GroupTable, velocity_update
 from ddcmd_tpu.objects import units as U
 
 
+def _r3(z):
+    zj = jnp.asarray(z)
+    return jnp.stack([jnp.zeros_like(zj), jnp.zeros_like(zj), zj], axis=1)
+
+
 def make_setup(seed=0, n=400, Lz=8.0):
     rng = np.random.default_rng(seed)
     z = rng.uniform(-Lz / 2, Lz / 2, n)
@@ -96,7 +101,7 @@ def test_shear_kick_matches_oracle(mode):
         mode, jnp.asarray(v), jnp.asarray(f), jnp.asarray(mass),
         jnp.zeros(n, jnp.int32), coeffs, dt, jax.random.PRNGKey(0), mask,
         has_berendsen=False,
-        shear_ctx=(jnp.asarray(z), jnp.asarray(Lz), gt.shear_groups))
+        shear_ctx=(_r3(z), jnp.full(3, Lz), gt.shear_groups))
     v_ref = oracle_kick(mode, p, z, v, f, mass, dt, Lz)
     assert np.abs(np.asarray(vj) - v_ref).max() < 1e-10
 
@@ -120,7 +125,7 @@ def test_shwall_kick_matches_oracle(mode):
         mode, jnp.asarray(v), jnp.asarray(f), jnp.asarray(mass),
         jnp.zeros(n, jnp.int32), coeffs, dt, jax.random.PRNGKey(0), mask,
         has_berendsen=False,
-        shear_ctx=(jnp.asarray(z), jnp.asarray(Lz), gt.shear_groups))
+        shear_ctx=(_r3(z), jnp.full(3, Lz), gt.shear_groups))
 
     # oracle
     edge = Lz / 2
@@ -144,6 +149,91 @@ def test_shwall_kick_matches_oracle(mode):
     assert np.abs(np.asarray(vj) - v_ref).max() < 1e-10
 
 
+def test_double_mirror_bounces():
+    """DOUBLE_MIRROR: elastic reflection off the nearer plane, only for
+    wrong-side approaching particles (doubleMirror.c:98-161)."""
+    rng = np.random.default_rng(2)
+    n = 200
+    L = 6.0
+    r = rng.uniform(-L / 2, L / 2, (n, 3))
+    v = rng.standard_normal((n, 3)) * 0.5
+    f = rng.standard_normal((n, 3)) * 10.0
+    mass = rng.uniform(30.0, 80.0, n)
+    p1 = np.array([0.0, 0.0, -2.0])
+    p2 = np.array([0.0, 0.0, 2.0])
+    n1 = np.array([0.0, 0.0, 1.0])
+    n2 = np.array([0.0, 0.0, -1.0])
+    vm1, vm2 = 0.05, -0.03
+    pd = dict(style="mirror", gidx=0, point1=tuple(p1), point2=tuple(p2),
+              normal1=tuple(n1), normal2=tuple(n2), v1=vm1, v2=vm2,
+              output_rate=0)
+    dt = 0.002
+    groups = [Group(name="m", index=0, type="DOUBLE_MIRROR", parms={})]
+    gt = GroupTable.build(groups)
+    coeffs = gt.coefficients(0.0, dt, dtype=jnp.float64)
+    mask = jnp.ones(n, bool)
+    vj = velocity_update(
+        "front", jnp.asarray(v), jnp.asarray(f), jnp.asarray(mass),
+        jnp.zeros(n, jnp.int32), coeffs, dt, jax.random.PRNGKey(0), mask,
+        has_berendsen=False,
+        shear_ctx=(jnp.asarray(r), jnp.full(3, L), (pd,)))
+
+    v_ref = v + dt * f / mass[:, None]
+    for k in range(n):
+        r1 = r[k] - p1
+        r1 -= L * np.round(r1 / L)
+        r2 = r[k] - p2
+        r2 -= L * np.round(r2 / L)
+        d1, d2 = r1 @ n1, r2 @ n2
+        nrm, dot, vm = (n2, d2, vm2) if abs(d1) > abs(d2) else (n1, d1, vm1)
+        if dot > 0:
+            continue
+        vpar = v_ref[k] @ nrm
+        if vpar - vm > 0:
+            continue
+        v_ref[k] = v_ref[k] + 2.0 * (vm - vpar) * nrm
+    assert np.abs(np.asarray(vj) - v_ref).max() < 1e-12
+    # sanity: some particles actually bounced
+    assert np.abs(np.asarray(vj) - (v + dt * f / mass[:, None])).max() > 0.01
+
+
+def test_uniongroup_composes_members():
+    """UNIONGROUP(LANGEVIN Teq=0, FIXEDVELOCITY u) front kick reduces to
+    v' = a*v + u (deviation sum, unionGroup.c:134-182)."""
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.core.groups import group_from_deck
+
+    db = ObjectDB().compile_string(
+        "u GROUP { type=UNIONGROUP; groups=lang fixed; }\n"
+        "lang GROUP { type=LANGEVIN; Teq=0K; tau=0.5ps; }\n"
+        "fixed GROUP { type=FIXEDVELOCITY; velocity=0.001 0 0 ; }\n")
+    g = group_from_deck(db, "u", 0)
+    gt = GroupTable.build([g])
+    assert len(gt.groups) == 3          # union + 2 hidden members
+    hooks = gt.shear_groups
+    assert hooks[0]["style"] == "union" and hooks[0]["members"] == (1, 2)
+
+    rng = np.random.default_rng(4)
+    n = 64
+    v = rng.standard_normal((n, 3)) * 0.3
+    f = rng.standard_normal((n, 3)) * 5.0
+    mass = rng.uniform(30.0, 80.0, n)
+    dt = 0.002
+    coeffs = gt.coefficients(0.0, dt, dtype=jnp.float64)
+    mask = jnp.ones(n, bool)
+    vj = velocity_update(
+        "front", jnp.asarray(v), jnp.asarray(f), jnp.asarray(mass),
+        jnp.zeros(n, jnp.int32), coeffs, dt, jax.random.PRNGKey(0), mask,
+        has_berendsen=False,
+        shear_ctx=(jnp.zeros((n, 3)), jnp.full(3, 10.0), hooks))
+    a = np.exp(-dt / 0.5)
+    u = np.array([0.1, 0.0, 0.0])   # 0.001 Ang/fs in internal nm/ps
+    # deviation sum: plain + [(a v + c f) - plain] + [u - plain]
+    #              = (a - 1) v + u
+    v_ref = (a - 1.0) * v + u
+    assert np.abs(np.asarray(vj) - v_ref).max() < 1e-12
+
+
 def test_shear_drives_slices():
     """Repeated front kicks pull slice mean vy toward the set velocities
     and slice temperature toward the set temperatures."""
@@ -157,7 +247,7 @@ def test_shear_drives_slices():
     gt = GroupTable.build(groups)
     coeffs = gt.coefficients(0.0, dt, dtype=jnp.float64)
     mask = jnp.ones(n, bool)
-    ctx = (jnp.asarray(z), jnp.asarray(Lz), gt.shear_groups)
+    ctx = (_r3(z), jnp.full(3, Lz), gt.shear_groups)
     vj = jnp.asarray(v)
     fj = jnp.asarray(f)
     mj = jnp.asarray(mass)
