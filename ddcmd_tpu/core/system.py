@@ -64,6 +64,7 @@ class SystemDef:
     molecules: object | None = None
     random_seed: int = 0
     bonded: object | None = None  # potentials.bonded.BondedTerms
+    box_time: dict | None = None  # prescribed box(t) (boxPrescriptiveTime.c)
 
 
 def _find_simulate(db: ObjectDB) -> SimulateConfig:
@@ -88,6 +89,60 @@ def _find_simulate(db: ObjectDB) -> SimulateConfig:
         printinfo_name=sim.get_str("printinfo", "") or None,
         ddc_update_rate=_ddc_update_rate(db, sim),
     )
+
+
+def _parse_box_time(boxobj) -> dict | None:
+    """Prescribed time-dependent box (boxPrescriptiveTimeParse,
+    /root/reference/src/boxPrescriptiveTime.c:10-95).
+
+    Modes: STRAIN (per-element dudt eq targets, h *= exp(int u dt)),
+    VOLUME_FUNCTION_OF_TIME (Veq = per-atom volume eq target),
+    DEFORMATION_RATE (h <- h expm(D dt)).  The TPU box is orthorhombic:
+    only the diagonal components are supported; off-diagonal terms or
+    rotationMatrix raise at deck load.
+    """
+    import warnings
+
+    from ..objects.eq import eq_parse
+
+    if boxobj.has("dudt"):
+        u = boxobj.get_strv("dudt")
+        n = len(u)
+        if n == 0:
+            diag = ["0.0"] * 3
+        elif n == 1:
+            diag = [u[0]] * 3
+        elif n == 2:
+            diag = [u[0], u[1], u[1]]
+        elif n == 3:
+            diag = list(u)
+        elif n == 9:
+            diag = [u[0], u[4], u[8]]
+            off = [u[i] for i in (1, 2, 3, 5, 6, 7)]
+            if any(float(x.rstrip("/fsp")) if x[0] in "0123456789-." else 1.0
+                   for x in off):
+                raise DeckError("time-dependent box: off-diagonal dudt "
+                                "unsupported (orthorhombic TPU box)")
+        else:
+            raise DeckError(f"dudt expects 1/2/3/9 elements, got {n}")
+        return dict(mode="strain",
+                    eqs=tuple(eq_parse(x, "1/t", "t") for x in diag))
+    veq = boxobj.get_literal("Veq", "")
+    if veq.strip():
+        return dict(mode="volume",
+                    eq=eq_parse(veq.replace(" ", ""), "l^3", "t"))
+    if boxobj.has("deformationRate"):
+        d = boxobj.get_with_unitsv("deformationRate", "0 0 0 0 0 0 0 0 0",
+                                   "1/t")
+        if any(abs(x) > 0 for x in d):
+            off = [d[i] for i in (1, 2, 3, 5, 6, 7)]
+            if any(abs(x) > 0 for x in off):
+                raise DeckError("time-dependent box: off-diagonal "
+                                "deformationRate unsupported")
+            return dict(mode="deformation", diag=(d[0], d[4], d[8]))
+    if boxobj.has("rotationMatrix"):
+        warnings.warn("BOX rotationMatrix ignored (orthorhombic TPU box)")
+    return None
 
 
 def _ddc_update_rate(db: ObjectDB, sim) -> int:
@@ -118,6 +173,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
     if hvals is None:
         hvals = [v * U.ANG_TO_LENGTH for v in col.header.get_floatv("h")]
     box = Box.from_h(np.asarray(hvals).reshape(3, 3), pbc=pbc, dtype=dtype)
+    box_time = _parse_box_time(boxobj)
 
     # --- species -------------------------------------------------------------
     sp_names_decl = sysobj.get_strv("species")
@@ -289,6 +345,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         neighbor_deltaR=deltaR, rcut_max=rcut_max,
         integrator_type=itype, integrator_parms=iparms,
         n_constraints=n_constraints, random_seed=seed, bonded=bonded,
+        box_time=box_time,
     )
 
 

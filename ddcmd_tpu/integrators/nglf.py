@@ -76,7 +76,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                    molecular_virial_fn: Callable | None = None,
                    wrap_positions: bool = True,
                    post_drift_fn: Callable | None = None,
-                   shear_groups: tuple = ()):
+                   shear_groups: tuple = (),
+                   has_box_time: bool = False):
     """Build the jittable MD step.
 
     force_fn(state, box, nbr_idx) -> (f (N,3), e_pot, virial (3,3), pe (N,))
@@ -91,7 +92,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
       cell assignment -- the driver wraps at each rebuild instead.
     """
 
-    def step(ss: StepState, nbr_idx, key, coeffs=None) -> StepState:
+    def step(ss: StepState, nbr_idx, key, coeffs=None,
+             box_lam=None) -> StepState:
         state, box = ss.state, ss.box
         half = 0.5 * dt
         if coeffs is None:
@@ -136,6 +138,11 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
 
         # --- drift (+ wrap unless the pair engine forbids it) ---------------
         r = state.r + dt * state.v
+        # prescribed box(t): h <- h(t+dt), positions affinely rescaled
+        # (scalePositionsByBoxChange, /root/reference/src/nglf.c:89)
+        if has_box_time and box_lam is not None:
+            box = box.scale(box_lam)
+            r = r * box_lam[None, :]
         if wrap_positions:
             r = box.back_in_box(r)
         state = state.replace(r=r)

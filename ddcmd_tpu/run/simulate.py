@@ -159,11 +159,16 @@ class Simulation:
             from ..integrators.nptglf import make_nptglf_step
 
             ip = sd.integrator_parms
-            self.step_fn = make_nptglf_step(
+            npt_step = make_nptglf_step(
                 self.force_fn, self.coeffs, sd.cfg.dt,
                 n_global=sd.state.n_local, Gamma=ip["Gamma"],
                 Peq=ip["pressure"], n_constraints=sd.n_constraints,
                 wrap_positions=wrap)
+
+            def step_fn(ss, nbr_idx, key, coeffs=None, box_lam=None):
+                return npt_step(ss, nbr_idx, key, coeffs)
+
+            self.step_fn = step_fn
             return
         if itype in ("NVEGLF", "NVEGLF_SIMPLE"):
             # NVE variants ignore thermostats: plain leapfrog kicks
@@ -187,7 +192,8 @@ class Simulation:
             wrap_positions=wrap,
             post_drift_fn=post_drift_fn,
             has_berendsen=any(g.type == "BERENDSEN" for g in sd.groups),
-            shear_groups=sd.group_table.shear_groups)
+            shear_groups=sd.group_table.shear_groups,
+            has_box_time=sd.box_time is not None)
 
     def _compile(self):
         grid = self.grid
@@ -211,7 +217,7 @@ class Simulation:
                     ss.state.r, ss.state.fmask, ss.box.lengths, grid)
                 return ss, nbr_idx, overflow
 
-        def rebuild_block(ss, key, coeffs, n_steps):
+        def rebuild_block(ss, key, coeffs, box_lam, n_steps):
             """One neighbor rebuild + n_steps MD steps (all on device).
 
             Also returns the max particle displacement over the block: the
@@ -222,7 +228,8 @@ class Simulation:
             r0 = ss.state.r
 
             def body(carry, i):
-                ss = step_fn(carry, nbr_idx, jax.random.fold_in(key, i), coeffs)
+                ss = step_fn(carry, nbr_idx, jax.random.fold_in(key, i), coeffs,
+                             box_lam)
                 e = ss.energy
                 scal = jnp.stack([
                     e.eion, e.rk,
@@ -239,7 +246,8 @@ class Simulation:
             max_disp2 = jnp.max(jnp.sum(dr * dr, axis=-1) * ss.state.fmask)
             return ss, scal, overflow, max_disp2
 
-        def superchunk(ss, key, coeffs, n_rebuilds, steps_per_rebuild):
+        def superchunk(ss, key, coeffs, box_lam, n_rebuilds,
+                       steps_per_rebuild):
             """Scan over rebuild blocks: ONE dispatch per
             n_rebuilds*steps_per_rebuild MD steps.  The neighbor rebuild
             runs on-device inside the scan; overflow flags are OR-reduced
@@ -248,7 +256,8 @@ class Simulation:
             def block(carry, j):
                 ss, ov, md2 = carry
                 ss, scal, ov_j, md2_j = rebuild_block(
-                    ss, jax.random.fold_in(key, j), coeffs, steps_per_rebuild)
+                    ss, jax.random.fold_in(key, j), coeffs, box_lam,
+                    steps_per_rebuild)
                 return (ss, ov | ov_j, jnp.maximum(md2, md2_j)), scal
 
             (ss, overflow, max_disp2), scal = jax.lax.scan(
@@ -260,7 +269,7 @@ class Simulation:
             ss, handle, _ = build_nbr(ss)
             return first_energy_call(ss, force_fn, handle)
 
-        self._chunk_jit = jax.jit(superchunk, static_argnums=(3, 4))
+        self._chunk_jit = jax.jit(superchunk, static_argnums=(4, 5))
         self._first_jit = jax.jit(first)
         self._build_nbr_jit = jax.jit(build_nbr)
 
@@ -364,9 +373,10 @@ class Simulation:
             if self._time_dependent_groups:
                 self.coeffs = self.sysdef.group_table.coefficients(
                     float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype)
+            box_lam = self._box_lam(k)
             with PROFILE.phase("loop"):
                 ss_new, scal, overflow, max_disp2 = self._chunk_jit(
-                    self.ss, sub, self.coeffs, n_rebuilds, spr)
+                    self.ss, sub, self.coeffs, box_lam, n_rebuilds, spr)
                 scal = np.asarray(scal, dtype=np.float64)  # device sync
             PROFILE.count("md_steps", k)
             if bool(overflow):
@@ -423,6 +433,28 @@ class Simulation:
         for a in self.analyses:
             a.output(self, self.run_dir)
         return self.ss
+
+    def _box_lam(self, n_steps: int):
+        """Per-step diagonal box scale for the prescribed box(t) modes
+        (boxPrescriptiveTime, /root/reference/src/boxPrescriptiveTime.c:96-145).
+        Constant across the dispatch; schedules refresh at dispatch
+        granularity (exact at dispatch boundaries)."""
+        bt = self.sysdef.box_time
+        if bt is None:
+            return jnp.ones(3, self.dtype)
+        t = float(self.ss.time)
+        dt = self.sysdef.cfg.dt
+        S = max(1, n_steps)
+        if bt["mode"] == "strain":
+            lam = [math.exp(eq.integral(t, t + S * dt) / S)
+                   for eq in bt["eqs"]]
+        elif bt["mode"] == "deformation":
+            lam = [math.exp(d * dt) for d in bt["diag"]]
+        else:  # volume: hit n*Veq(t + S dt) exactly at the dispatch end
+            v_now = float(self.ss.box.volume)
+            v_tgt = self.sysdef.state.n_local * float(bt["eq"](t + S * dt))
+            lam = [(v_tgt / v_now) ** (1.0 / (3.0 * S))] * 3
+        return jnp.asarray(lam, self.dtype)
 
     def _emit_group_files(self):
         """Per-group temperature/KE files (printinfo.c:261-279), written
