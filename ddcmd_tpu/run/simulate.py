@@ -496,6 +496,13 @@ class Simulation:
             group_names=list(sd.collection.group_names),
             h=np.asarray(self.ss.box.h, dtype=np.float64).copy(),
         )
+        # extras used by SHOCK / CUSTOM (time bookkeeping, file output)
+        ctx.time = float(self.ss.time)
+        ctx.dt = sd.cfg.dt
+        ctx.rate = next((rate for _, t, rate in self.transforms
+                         if t is tobj), 1)
+        ctx.run_dir = self.run_dir
+        ctx.base_dir = self._base_dir
         apply_transform(ctx, tobj)
         from ..core.box import Box
 
