@@ -554,6 +554,281 @@ class CoarseGrain(Analysis):
                                 f"{T:10.3f}\n")
 
 
+class Quaternion(Analysis):
+    """quaternion: per-particle grain-orientation color from antiparallel
+    bond pairs (quaternion_calc, /root/reference/src/quaternion.c:83-237).
+
+    For each particle: of the 4*nPairs nearest neighbors, keep those with
+    r^2 < rfcut * mean(6 nearest r^2); over all ordered pairs of kept bonds
+    with cos(theta) in [-1.001, -0.945) pick the difference directions
+    maximizing (dx+dy+dz) and (-dx+dy+dz); if the antiparallel-pair count
+    equals NNs, build the local frame and emit the (QR,QG,QB) color,
+    else (-0.1,-0.1,-0.1)."""
+
+    def setup(self):
+        self.n_pairs = self.obj.get_int("nPairs", 7)
+        self.rcut = self.obj.get_with_units("rcut", "0.0", "l")
+        self.rfcut = self.obj.get_float("rfcut", 1.65)
+        self.nns = self.obj.get_int("NNs", 8)
+        self.filename = self.obj.get_str("filename", "quaternion")
+
+    def eval(self, sim):
+        pass  # computed at output (quaternion_eval is empty, :64-67)
+
+    def compute(self, r, L):
+        n = len(r)
+        K = 4 * self.n_pairs
+        d = r[:, None, :] - r[None, :, :]
+        d = d - L * np.round(d / L)
+        r2 = (d * d).sum(-1)
+        np.fill_diagonal(r2, np.inf)
+        # environment-invariant neighbor order: (r2, dx, dy, dz) so
+        # equivalent atoms scan their bond pairs identically (the
+        # reference relies on its pair-finder order, quaternion.c:93)
+        rows = np.arange(n)[:, None]
+        order = np.lexsort((-d[..., 2], -d[..., 1], -d[..., 0], r2), axis=1)
+        idx = order[:, :K]
+        disp = -d[rows, idx]                       # displacement TO neighbor
+        r2s = r2[rows, idx]                        # (n,K) ascending
+        r2_1 = self.rfcut * r2s[:, :6].mean(axis=1)
+        N0 = (r2s < r2_1[:, None]).sum(axis=1)     # prefix count (sorted)
+        jj = np.arange(K)
+        ok = (jj[None, :, None] < N0[:, None, None]) \
+            & (jj[None, None, :] < N0[:, None, None])
+        dots = np.einsum("njx,nkx->njk", disp, disp)
+        norm = np.sqrt(r2s[:, :, None] * r2s[:, None, :])
+        cth = dots / norm
+        anti = ok & (cth >= -1.001) & (cth < -0.945)
+        nns = anti.sum(axis=(1, 2))
+        dd = disp[:, :, None, :] - disp[:, None, :, :]
+        dn = np.linalg.norm(dd, axis=-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            u = dd / dn[..., None]
+        s1 = np.where(anti, u.sum(-1), -np.inf).reshape(n, -1)
+        s2 = np.where(anti, -u[..., 0] + u[..., 1] + u[..., 2],
+                      -np.inf).reshape(n, -1)
+        uf = u.reshape(n, -1, 3)
+        # reference keeps the LAST maximum (>= updates, quaternion.c:137-148)
+        last = s1.shape[1] - 1
+        nvec = uf[rows[:, 0], last - np.argmax(s1[:, ::-1], axis=1)]
+        mvec = uf[rows[:, 0], last - np.argmax(s2[:, ::-1], axis=1)]
+        p = np.cross(nvec, mvec)
+        pnorm = np.linalg.norm(p, axis=1, keepdims=True)
+        frame_ok = pnorm[:, 0] > 1e-10
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = p / np.where(pnorm > 0, pnorm, 1.0)
+        f = 1.0 - 1e-5
+        with np.errstate(invalid="ignore", divide="ignore"):
+            theta = np.arccos(np.clip(f * nvec.sum(1) / np.sqrt(3.0), -1, 1))
+            st = np.sin(theta)
+            zero = theta == 0.0
+            phi = np.where(zero, 0.0,
+                           np.arcsin(np.clip(f * (-nvec[:, 1] + nvec[:, 2])
+                                             / (np.sqrt(2.0) * np.where(zero, 1, st)), -1, 1)))
+            psi = np.where(zero,
+                           np.arccos(np.clip(f * (-p[:, 1] + p[:, 2]) / np.sqrt(2.0), -1, 1)),
+                           np.arcsin(np.clip(f * p.sum(1)
+                                             / (np.sqrt(3.0) * np.where(zero, 1, st)), -1, 1)))
+        QR = (1.0 + np.sin(theta / 2) * np.cos((phi - psi) / 2)) / 2
+        QG = (1.0 + np.sin(theta / 2) * np.sin((phi - psi) / 2)) / 2
+        QB = (1.0 + np.cos(theta / 2) * np.sin((phi + psi) / 2)) / 2
+        good = (nns == self.nns) & frame_ok
+        QR = np.where(good, QR, -0.1)
+        QG = np.where(good, QG, -0.1)
+        QB = np.where(good, QB, -0.1)
+        return QR, QG, QB
+
+    def output(self, sim, run_dir="."):
+        sd = sim.sysdef
+        n = sd.state.n_local
+        r = np.asarray(sim.ss.state.r[:n], dtype=np.float64)
+        L = np.asarray(sim.ss.box.lengths, dtype=np.float64)
+        QR, QG, QB = self.compute(r, L)
+        loop = int(sim.ss.loop)
+        outdir = os.path.join(run_dir, f"snapshot.{loop:012d}")
+        os.makedirs(outdir, exist_ok=True)
+        gid = sd.collection.gid
+        rw = r - L * np.round(r / L)
+        import zlib
+
+        lrec = 112
+        with open(os.path.join(outdir, self.filename + "#000000"), "wb") as fh:
+            hdr = (f"quaternion FILEHEADER {{type=FIXRECORDASCII; lrec={lrec};"
+                   f" nrecord={n}; nfields=10;\n"
+                   "field_names=checksum label rx ry rz quaternion_0 "
+                   "quaternion_1 quaternion_2 quaternion_3 quaternion_h;\n"
+                   "field_types=u u f f f f f f f f;\n}\n\n")
+            fh.write(hdr.encode())
+            for i in range(n):
+                q = (QR[i], QG[i], QB[i])
+                line = ("%08x %12d %14.4f %14.4f %14.4f %8.4f %8.4f %8.4f "
+                        "%8.4f %8.4f" % (
+                            0, int(gid[i]),
+                            rw[i, 0] * U.LENGTH_TO_ANG,
+                            rw[i, 1] * U.LENGTH_TO_ANG,
+                            rw[i, 2] * U.LENGTH_TO_ANG,
+                            (q[0] + q[1] + q[2]) / 3.0, q[0], q[1], q[2],
+                            q[0] * q[1] * q[2]))
+                line = line.ljust(lrec - 1) + "\n"
+                ck = zlib.crc32(line[8:].encode()) & 0xFFFFFFFF
+                fh.write(("%08x" % ck).encode() + line[8:].encode())
+
+
+class CholAnalysis(Analysis):
+    """cholAnalysis: out-of-plane distances of the CHOL ring beads
+    (cholAnalysis_eval, /root/reference/src/cholAnalysis.c:109-163):
+    dR1 = A.(BxC)/|BxC| with A,B,C bonds from bead 0 to 1,2,3;
+    dR5 = -D.(ExF)/|ExF| with D,E,F bonds from bead 4 to 5,3,6.
+    Histograms + running min/max/ave appended to dataFilename."""
+
+    def setup(self):
+        self.resname = self.obj.get_str("resName", "CHOL")
+        self.filename = self.obj.get_str("filename", "cholAnalysis.distn")
+        self.data_filename = self.obj.get_str("dataFilename",
+                                              "cholAnalysis.data")
+        self.rmin = self.obj.get_with_units("rmin", "0", "l")
+        self.rmax = self.obj.get_with_units("rmax", "0", "l")
+        delta = self.obj.get_with_units("delta", "0.1", "l")
+        self.nbins = max(1, round((self.rmax - self.rmin) / delta))
+        self.delta = (self.rmax - self.rmin) / self.nbins
+        self.state["cnt"] = np.zeros((2, self.nbins))
+        self.state["acc"] = []
+
+    def _rings(self, sim):
+        inst = sim.sysdef.residue_instances or []
+        return [rows for name, rows in inst if name == self.resname]
+
+    def eval(self, sim):
+        n = sim.sysdef.state.n_local
+        r = np.asarray(sim.ss.state.r[:n], dtype=np.float64)
+        L = np.asarray(sim.ss.box.lengths, dtype=np.float64)
+
+        def bond(a, b):
+            d = r[b] - r[a]
+            return d - L * np.round(d / L)
+
+        for rows in self._rings(sim):
+            A = bond(rows[0], rows[1])
+            B = bond(rows[0], rows[2])
+            C = bond(rows[0], rows[3])
+            D = bond(rows[4], rows[5])
+            E = bond(rows[4], rows[3])
+            F = bond(rows[4], rows[6])
+            x1 = np.cross(B, C)
+            dR1 = float(x1 @ A / np.linalg.norm(x1))
+            x3 = np.cross(E, F)
+            dR5 = float(-(x3 @ D) / np.linalg.norm(x3))
+            self.state["acc"].append((dR1, dR5))
+            for col, v in ((0, dR1), (1, dR5)):
+                b = int(min(max((v - self.rmin) / self.delta, 0),
+                            self.nbins - 1))
+                self.state["cnt"][col, b] += 1
+
+    def output(self, sim, run_dir="."):
+        acc = np.asarray(self.state["acc"]) if self.state["acc"] else \
+            np.zeros((0, 2))
+        cnt = self.state["cnt"]
+        lc = U.LENGTH_TO_ANG
+        if len(acc):
+            with open(os.path.join(run_dir, self.data_filename), "a") as f:
+                f.write("%d %f %f %f %f %f %f %f\n" % (
+                    int(sim.ss.loop), float(sim.ss.time),
+                    acc[:, 0].min() * lc, acc[:, 0].max() * lc,
+                    acc[:, 0].mean() * lc,
+                    acc[:, 1].min() * lc, acc[:, 1].max() * lc,
+                    acc[:, 1].mean() * lc))
+        c1 = max(cnt[0].sum(), 1.0)
+        c3 = max(cnt[1].sum(), 1.0)
+        with open(os.path.join(run_dir, self.filename), "w") as f:
+            for i in range(self.nbins):
+                rr = self.rmin + (i + 0.5) * self.delta
+                f.write(" %e %e %e\n" % (
+                    rr * lc, cnt[0, i] / lc / (c1 * self.delta),
+                    cnt[1, i] / lc / (c3 * self.delta)))
+        self.state["cnt"] = np.zeros((2, self.nbins))
+        self.state["acc"] = []
+
+
+class DataSubset(Analysis):
+    """dataSubset: time-averaged per-subset scalars appended to a file
+    (/root/reference/src/dataSubset.c).  fields from {time, nSamples,
+    nParticles, Etotal, Ekinetic, Epotential, Rx..Rz, Vx..Vz, Fx..Fz},
+    species= selects the subset; values in external units (eV, Ang...)."""
+
+    FIELDS = ("time", "nSamples", "nParticles", "Etotal", "Ekinetic",
+              "Epotential", "Rx", "Ry", "Rz", "Vx", "Vy", "Vz",
+              "Fx", "Fy", "Fz")
+
+    def setup(self):
+        self.fields = self.obj.get_strv("fields") or list(self.FIELDS[:6])
+        for f in self.fields:
+            if f not in self.FIELDS:
+                raise DeckError(f"dataSubset: unknown field {f}")
+        self.species = self.obj.get_strv("species")
+        self.filename = self.obj.get_str("filename", self.name + ".data")
+        self._clear()
+
+    def _clear(self):
+        self.state["sums"] = np.zeros(len(self.FIELDS))
+        self.state["nsamples"] = 0
+
+    def eval(self, sim):
+        sd = sim.sysdef
+        n = sd.state.n_local
+        sel = np.ones(n, dtype=bool)
+        if self.species:
+            sel = np.isin(np.asarray(sd.collection.species_names),
+                          self.species)
+        st = sim.ss.state
+        m = np.asarray(st.mass[:n])[sel]
+        v = np.asarray(st.v[:n])[sel]
+        rr = np.asarray(st.r[:n])[sel]
+        ff = np.asarray(st.f[:n])[sel]
+        pe = np.asarray(st.pe[:n])[sel]
+        ke = 0.5 * m * (v * v).sum(1)
+        s = self.state["sums"]
+        s[0] += float(sim.ss.time)
+        s[1] += 1
+        s[2] += sel.sum()
+        s[3] += (ke + pe).sum()
+        s[4] += ke.sum()
+        s[5] += pe.sum()
+        s[6:9] += rr.sum(0)
+        s[9:12] += v.sum(0)
+        s[12:15] += ff.sum(0)
+        self.state["nsamples"] += 1
+
+    def output(self, sim, run_dir="."):
+        if self.state["nsamples"] == 0:
+            return
+        ns = self.state["nsamples"]
+        s = self.state["sums"] / ns
+        nparticles = max(s[2], 1.0)
+        conv = {"time": U.TIME_TO_FS, "nSamples": 1.0, "nParticles": 1.0,
+                "Etotal": 1.0 / U.unit_scale("eV"),
+                "Ekinetic": 1.0 / U.unit_scale("eV"),
+                "Epotential": 1.0 / U.unit_scale("eV"),
+                "Rx": U.LENGTH_TO_ANG, "Ry": U.LENGTH_TO_ANG,
+                "Rz": U.LENGTH_TO_ANG}
+        vals = []
+        for f in self.fields:
+            i = self.FIELDS.index(f)
+            x = s[i]
+            if f == "nSamples":
+                x = ns
+            elif f in ("Rx", "Ry", "Rz", "Vx", "Vy", "Vz",
+                       "Fx", "Fy", "Fz"):
+                x = x / nparticles
+            vals.append(x * conv.get(f, 1.0))
+        path = os.path.join(run_dir, self.filename)
+        new = not os.path.exists(path)
+        with open(path, "a") as fh:
+            if new:
+                fh.write("# " + " ".join(self.fields) + "\n")
+            fh.write(" ".join("%16.8g" % v for v in vals) + "\n")
+        self._clear()
+
+
 REGISTRY = {
     "COARSEGRAIN": CoarseGrain,
     "DSF": Dsf,
@@ -569,6 +844,9 @@ REGISTRY = {
     "SUBSETWRITE": SubsetWrite,
     "STRESSWRITE": StressWrite,
     "FORCEAVERAGE": ForceAverage,
+    "QUATERNION": Quaternion,
+    "CHOLANALYSIS": CholAnalysis,
+    "DATASUBSET": DataSubset,
 }
 
 

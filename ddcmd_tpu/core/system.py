@@ -65,6 +65,7 @@ class SystemDef:
     random_seed: int = 0
     bonded: object | None = None  # potentials.bonded.BondedTerms
     box_time: dict | None = None  # prescribed box(t) (boxPrescriptiveTime.c)
+    residue_instances: list | None = None  # (res_name, state rows) pairs
 
 
 def _find_simulate(db: ObjectDB) -> SimulateConfig:
@@ -305,6 +306,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
             res_types = compile_residue_types(db, martini[1], parms.rcut)
         instances = scan_residues(res_types, col.species_names, col.gid)
         bonded = instantiate_bonded(res_types, instances, parms.rcut)
+        residue_instances = instances
 
     # --- neighbor config ----------------------------------------------------------
     nbrobj = db.find(sysobj.get_str("neighbor", "nbr"), "NEIGHBOR")
@@ -346,6 +348,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         integrator_type=itype, integrator_parms=iparms,
         n_constraints=n_constraints, random_seed=seed, bonded=bonded,
         box_time=box_time,
+        residue_instances=locals().get("residue_instances"),
     )
 
 

@@ -78,3 +78,110 @@ def test_dsf_accumulates_and_outputs(tmp_path):
     a.output(sim, str(tmp_path))
     data = np.loadtxt(tmp_path / "dsf.dat")
     assert data.shape[1] == 3 and np.isfinite(data[:, 2]).all()
+
+
+def test_quaternion_bcc_uniform_color(tmp_path):
+    """BCC (8 antiparallel (111) bond pairs, unique direction maxima):
+    every atom gets the same valid (QR,QG,QB); a rotated crystal gets a
+    different color (quaternion.c:83-237).  rfcut=1.2 keeps only the
+    first shell (second-shell ratio is 4/3)."""
+    a = 1.0
+    r, L = bcc(a, 4)
+    rng = np.random.default_rng(5)
+    r = r + rng.standard_normal(r.shape) * 2e-4  # break lattice ties
+    q = _analysis("qa ANALYSIS { type=QUATERNION; NNs=8; rfcut=1.2; "
+                  "eval_rate=1; outputrate=1; rcut=5 Angstrom; }", "qa")
+    q.setup()
+    QR, QG, QB = q.compute(r, np.array([L] * 3))
+    assert (QR >= 0).all() and (QR <= 1).all()
+    assert np.ptp(QR) < 0.02 and np.ptp(QG) < 0.02 and np.ptp(QB) < 0.02
+
+    # rotate the lattice (PBC broken at edges; compare interior atoms)
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    r2 = r @ R.T
+    QR2, QG2, QB2 = q.compute(r2, np.array([100.0] * 3))
+    inner = (np.abs(r) < L / 4).all(axis=1)
+    assert inner.sum() > 10
+    assert np.ptp(QR2[inner]) < 0.02
+    assert (abs(QR2[inner].mean() - QR.mean())
+            + abs(QG2[inner].mean() - QG.mean())
+            + abs(QB2[inner].mean() - QB.mean())) > 5e-3
+
+    # NNs=12 on BCC (8 pairs) -> everything unknown
+    q12 = _analysis("q12 ANALYSIS { type=QUATERNION; NNs=12; rfcut=1.2; "
+                    "eval_rate=1; outputrate=1; rcut=5 Angstrom; }", "q12")
+    q12.setup()
+    QRx, _, _ = q12.compute(r, np.array([L] * 3))
+    assert (QRx == -0.1).all()
+
+    # file output path
+    sim = FakeSim(r, L)
+    sim.sysdef.collection = type("C", (), {})()
+    sim.sysdef.collection.gid = np.arange(len(r))
+    sim.sysdef.state = sim.ss.state
+    sim.ss.time = 0.0
+    q.output(sim, str(tmp_path))
+    import glob
+
+    files = glob.glob(str(tmp_path / "snapshot.*/qu*"))
+    assert files and "quaternion_0" in open(files[0]).read()
+
+
+def test_cholanalysis_known_geometry(tmp_path):
+    """dR1/dR5 match a hand-built 7-bead geometry
+    (cholAnalysis.c:109-163)."""
+    p = np.zeros((7, 3))
+    p[1] = [0.3, 0.4, 0.25]       # A
+    p[2] = [1.0, 0.0, 0.0]        # B
+    p[3] = [0.0, 1.0, 0.0]        # C (also E endpoint)
+    p[4] = [0.0, 1.0, -1.0]       # ring-2 anchor
+    p[5] = p[4] + [0.1, 0.5, 0.2]  # D
+    p[6] = p[4] + [1.0, 0.0, 0.0]  # F
+    sim = FakeSim(p, 50.0)
+    sim.sysdef.residue_instances = [("CHOL", list(range(7)))]
+    sim.ss.time = 0.0
+
+    ca = _analysis("ch ANALYSIS { type=CHOLANALYSIS; eval_rate=1; "
+                   "outputrate=1; rmin=-10 Angstrom; rmax=10 Angstrom; "
+                   "delta=0.5 Angstrom; }", "ch")
+    ca.setup()
+    ca.eval(sim)
+    assert ca.state["acc"][0][0] == pytest.approx(0.25, abs=1e-12)
+    assert ca.state["acc"][0][1] == pytest.approx(-0.5, abs=1e-12)
+    ca.output(sim, str(tmp_path))
+    data = (tmp_path / "cholAnalysis.data").read_text().split()
+    assert float(data[2]) == pytest.approx(2.5)   # dR1 min in Angstrom
+    assert float(data[5]) == pytest.approx(-5.0)  # dR5 min in Angstrom
+    assert (tmp_path / "cholAnalysis.distn").exists()
+
+
+def test_datasubset_averages(tmp_path):
+    from ddcmd_tpu.objects import units as U
+
+    rng = np.random.default_rng(0)
+    n = 20
+    r = rng.uniform(-2, 2, (n, 3))
+    sim = FakeSim(r, 10.0)
+    v = rng.standard_normal((n, 3)) * 0.1
+    sim.ss.state = sim.ss.state.replace(v=jnp.asarray(v))
+    sim.sysdef.state = sim.ss.state
+    sim.sysdef.collection = type("C", (), {})()
+    sim.sysdef.collection.species_names = ["A"] * 10 + ["B"] * 10
+    sim.ss.time = 2.0
+
+    ds = _analysis("ds ANALYSIS { type=DATASUBSET; eval_rate=1; "
+                   "outputrate=1; species=A; "
+                   "fields=time nSamples nParticles Ekinetic Vz; }", "ds")
+    ds.setup()
+    ds.eval(sim)
+    ds.eval(sim)
+    ds.output(sim, str(tmp_path))
+    lines = (tmp_path / "ds.data").read_text().splitlines()
+    vals = [float(x) for x in lines[1].split()]
+    ke = 0.5 * (v[:10] ** 2).sum() / U.unit_scale("eV")
+    assert vals[0] == pytest.approx(2.0 * U.TIME_TO_FS)
+    assert vals[1] == 2 and vals[2] == 10
+    assert vals[3] == pytest.approx(ke, rel=1e-6)
+    assert vals[4] == pytest.approx(v[:10, 2].mean(), rel=1e-6)
