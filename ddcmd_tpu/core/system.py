@@ -307,6 +307,11 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         instances = scan_residues(res_types, col.species_names, col.gid)
         bonded = instantiate_bonded(res_types, instances, parms.rcut)
         residue_instances = instances
+        if getattr(parms, "_charmm_chain", None) is not None:
+            # CHARMM chains: +X/-X inter-residue links + CMAP terms
+            from ..potentials.charmm import add_chain_links
+
+            add_chain_links(bonded, parms, instances, col.gid, parms.rcut)
 
     # --- neighbor config ----------------------------------------------------------
     nbrobj = db.find(sysobj.get_str("neighbor", "nbr"), "NEIGHBOR")

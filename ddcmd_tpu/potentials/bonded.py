@@ -79,12 +79,20 @@ class BondedTerms:
     cons_pairs: np.ndarray = None     # (G, max_n, 2) local atom slots in group
     cons_dist: np.ndarray = None      # (G, max_n) r0, pad=0
     n_constraints: int = 0
+    # CMAP phi/psi correction terms (charmm.add_chain_links)
+    cmap_atoms: np.ndarray = None     # (M,5) rows [-C, N, CA, C, +N]
+    cmap_type: np.ndarray = None      # (M,)
+    cmap_grid: np.ndarray = None      # (K, 24, 24) internal energy
+    cmap_y1: np.ndarray = None        # d/dphi per node (deg^-1 scale)
+    cmap_y2: np.ndarray = None
+    cmap_y12: np.ndarray = None
 
     def counts(self):
         c = {}
-        for k in ("bonds", "angles", "torsions", "impropers", "bpairs", "exclusions"):
+        for k in ("bonds", "angles", "torsions", "impropers", "bpairs",
+                  "exclusions", "cmap_atoms"):
             a = getattr(self, k)
-            c[k] = 0 if a is None else len(a)
+            c["cmaps" if k == "cmap_atoms" else k] = 0 if a is None else len(a)
         c["cons_groups"] = 0 if self.cons_atoms is None else len(self.cons_atoms)
         c["n_constraints"] = self.n_constraints
         return c
@@ -390,6 +398,79 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
             + jnp.einsum("ba,bc->ac", fk, d2_) \
             + jnp.einsum("ba,bc->ac", fl, d3)
 
+    if "cmap_atoms" in terms:
+        # CMAP phi/psi bicubic correction (calculateCMAPValues,
+        # /root/reference/src/bioCharmmCovalentEnergies.c:395-497; grid
+        # coordinate u = 180 - deg(dihedral), resCmap :670-677).  Forces
+        # by reverse-mode AD like the torsion terms.
+        idx = terms["cmap_atoms"]         # (M,5) [-C, N, CA, C, +N]
+        ctype = terms["cmap_type"]
+        grid = terms["cmap_grid"]
+        y1 = terms["cmap_y1"]
+        y2 = terms["cmap_y2"]
+        y12 = terms["cmap_y12"]
+        ng = grid.shape[-1]
+        res = 360.0 / ng
+        from .charmm import _CMAP_AINV
+
+        ainv = jnp.asarray(_CMAP_AINV, dtype=dtype)
+        rj_ = r[idx[:, 1]]                # anchor at N
+        dP = _min_image(r[idx[:, 0]] - rj_, L)
+        dCA = _min_image(r[idx[:, 2]] - rj_, L)
+        dC = _min_image(r[idx[:, 3]] - rj_, L)
+        dN2 = _min_image(r[idx[:, 4]] - rj_, L)
+
+        def dihed(b1, b2, b3):
+            n1 = jnp.cross(b1, b2)
+            n2 = jnp.cross(b2, b3)
+            b2n = jnp.sqrt(jnp.sum(b2 * b2, axis=-1))
+            x = jnp.sum(n1 * n2, axis=-1)
+            y = jnp.sum(jnp.cross(n1, n2) * b2, axis=-1) / b2n
+            return jnp.arctan2(y, x)
+
+        def cmap_energy(dP, dCA, dC, dN2):
+            phi = dihed(-dP, dCA, dC - dCA)
+            psi = dihed(dCA, dC - dCA, dN2 - dC)
+            u = 180.0 - phi * (180.0 / jnp.pi)
+            v = 180.0 - psi * (180.0 / jnp.pi)
+            iu = jax.lax.stop_gradient(
+                jnp.clip(jnp.floor(u / res), 0, ng - 1).astype(jnp.int32))
+            iv = jax.lax.stop_gradient(
+                jnp.clip(jnp.floor(v / res), 0, ng - 1).astype(jnp.int32))
+            iup = (iu + 1) % ng
+            ivp = (iv + 1) % ng
+
+            def corners(tab, scale):
+                return [tab[ctype, iu, iv] * scale, tab[ctype, iup, iv] * scale,
+                        tab[ctype, iu, ivp] * scale, tab[ctype, iup, ivp] * scale]
+
+            x16 = jnp.stack(corners(grid, 1.0) + corners(y1, res)
+                            + corners(y2, res) + corners(y12, res * res))
+            coef = ainv @ x16                     # (16, M)
+            c = coef.reshape(4, 4, -1).transpose(1, 0, 2)  # c[i,j] = coef[j,i]
+            t1 = (u - iu.astype(dtype) * res) / res
+            t2 = (v - iv.astype(dtype) * res) / res
+            p1 = jnp.stack([jnp.ones_like(t1), t1, t1 * t1, t1 ** 3])
+            p2 = jnp.stack([jnp.ones_like(t2), t2, t2 * t2, t2 ** 3])
+            return jnp.einsum("ijm,im,jm->m", c, p1, p2)
+
+        e_t, pull = jax.vjp(
+            lambda a, b, cc, d: jnp.sum(cmap_energy(a, b, cc, d)),
+            dP, dCA, dC, dN2)
+        gP, gCA, gC, gN2 = pull(jnp.ones((), dtype=dtype))
+        e_terms = cmap_energy(dP, dCA, dC, dN2)
+        fP, fCA, fC, fN2 = -gP, -gCA, -gC, -gN2
+        fN = -(fP + fCA + fC + fN2)
+        f = (f.at[idx[:, 0]].add(fP).at[idx[:, 1]].add(fN)
+              .at[idx[:, 2]].add(fCA).at[idx[:, 3]].add(fC)
+              .at[idx[:, 4]].add(fN2))
+        e = e + e_t
+        pe = pe.at[idx[:, 1]].add(e_terms)
+        virial = virial + jnp.einsum("ba,bc->ac", fP, dP) \
+            + jnp.einsum("ba,bc->ac", fCA, dCA) \
+            + jnp.einsum("ba,bc->ac", fC, dC) \
+            + jnp.einsum("ba,bc->ac", fN2, dN2)
+
     if "bpairs" in terms:
         idx, parm = terms["bpairs"], terms["bpair_parms"]
         dr = _min_image(r[idx[:, 0]] - r[idx[:, 1]], L)
@@ -458,6 +539,11 @@ def device_bonded_tables(bt: BondedTerms, dtype, *, lj_sigma=None, lj_eps=None,
         t["bpairs"] = jnp.asarray(bt.bpairs)
         t["bpair_parms"] = jnp.asarray(bt.bpair_parms, dtype=dtype)
         t["bpair_rcut2"] = jnp.asarray(rcut ** 2, dtype=dtype)
+    if bt.cmap_atoms is not None:
+        t["cmap_atoms"] = jnp.asarray(bt.cmap_atoms)
+        t["cmap_type"] = jnp.asarray(bt.cmap_type)
+        for k in ("cmap_grid", "cmap_y1", "cmap_y2", "cmap_y12"):
+            t[k] = jnp.asarray(getattr(bt, k), dtype=dtype)
     if bt.exclusions is not None and lj_sigma is not None:
         ex = bt.exclusions
         tmap = np.asarray(species_lj_type)

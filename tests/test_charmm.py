@@ -175,3 +175,161 @@ def test_charmm_dynamics_stable(tmp_path):
     assert np.isfinite(float(sim.ss.energy.eion))
     T = float(sim.ss.energy.temperature(sim.sysdef.state.n_local))
     assert 0 < T < 2000
+
+
+# ---------------------------------------------------------------------------
+# inter-residue chain links + CMAP
+
+CHAIN_RTF = """
+MASS 1 NH1 14.007
+MASS 2 CT 12.011
+MASS 3 CC 12.011
+MASS 4 O 15.999
+RESI AME 0.0
+GROUP
+ATOM N NH1 -0.47
+ATOM CA CT 0.07
+ATOM C CC 0.51
+ATOM O O -0.11
+BOND N CA CA C C O
+BOND C +N
+CMAP -C N CA C N CA C +N
+END
+"""
+
+CHAIN_PAR_HEAD = """
+BONDS
+NH1 CT 320.0 1.45
+CT CC 250.0 1.52
+CC O 620.0 1.23
+CC NH1 370.0 1.33
+ANGLES
+NH1 CT CC 50.0 107.0
+CT CC O 80.0 121.0
+CT CC NH1 80.0 116.5
+O CC NH1 80.0 122.5
+CC NH1 CT 50.0 120.0
+DIHEDRALS
+X CT CC X 0.2 3 0.0
+X CC NH1 X 1.0 2 180.0
+X NH1 CT X 0.1 3 0.0
+"""
+
+CHAIN_PAR_TAIL = """
+NONBONDED
+NH1 0.0 -0.20 1.85
+CT 0.0 -0.02 2.27
+CC 0.0 -0.07 2.00
+O 0.0 -0.12 1.70
+END
+"""
+
+
+def _cmap_grid_text():
+    """24x24 analytic grid g(phi,psi) = 2cos(phi) + sin(psi), kcal/mol,
+    rows phi = -180 + 15i."""
+    lines = ["CMAP", "CC NH1 CT CC NH1 CT CC NH1 24"]
+    for i in range(24):
+        phi = np.radians(-180.0 + 15.0 * i)
+        vals = [2.0 * np.cos(phi) + np.sin(np.radians(-180.0 + 15.0 * j))
+                for j in range(24)]
+        for k in range(0, 24, 6):
+            lines.append(" ".join("%.8f" % v for v in vals[k:k + 6]))
+    return "\n".join(lines) + "\n"
+
+
+def make_chain_fixture(tmp_path, cmap=True, n_res=3, L=30.0):
+    (tmp_path / "top.rtf").write_text(CHAIN_RTF)
+    par = CHAIN_PAR_HEAD + (_cmap_grid_text() if cmap else "") + CHAIN_PAR_TAIL
+    (tmp_path / "par.prm").write_text(par)
+    template = np.array([[0.0, 0.0, 0.0], [1.2, 0.8, 0.0],
+                         [2.5, 0.3, 0.5], [2.7, -0.9, 0.7]])
+    shift = np.array([3.8, 0.3, 0.2])
+    rng = np.random.default_rng(3)
+    rows = []
+    gid = 0
+    for i in range(n_res):
+        for k, name in enumerate(("N", "CA", "C", "O")):
+            p = template[k] + i * shift + rng.standard_normal(3) * 0.02
+            rows.append(f"{gid} ATOM {name}xAME free "
+                        + " ".join("%.6f" % x for x in p) + " 0 0 0")
+            gid += 1
+    n = len(rows)
+    hdr = (f"particle FILEHEADER {{type=MULTILINE; datatype=VARRECORDASCII;"
+           f" checksum=NONE;\nloop=0; time=0.0;\nnfiles=1; nrecord={n};"
+           f" nfields=10;\n"
+           f"field_names=id class type group rx ry rz vx vy vz;\n"
+           f"field_types=u s s s f f f f f f;\n"
+           f"h= {L} 0 0 0 {L} 0 0 0 {L} ;\n}}\n\n")
+    (tmp_path / "atoms#000000").write_text(hdr + "\n".join(rows) + "\n")
+    (tmp_path / "object.data").write_text(DECK.format(L=L, n=n))
+    return n
+
+
+def _np_dihedral(p0, p1, p2, p3):
+    b1, b2, b3 = p1 - p0, p2 - p1, p3 - p2
+    n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+    x = n1 @ n2
+    y = np.cross(n1, n2) @ b2 / np.linalg.norm(b2)
+    return np.degrees(np.arctan2(y, x))
+
+
+def test_charmm_chain_links_and_cmap(tmp_path):
+    """3-residue chain: +N links create cross-junction bonds/angles/
+    dihedrals; the middle residue gets one CMAP term whose energy matches
+    the analytic grid function (with the reference's u=180-deg mapping);
+    FD forces stay exact through the CMAP AD path."""
+    import shutil
+
+    make_chain_fixture(tmp_path, cmap=True)
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                     dtype=jnp.float64, engine="nlist")
+    bt = sim.sysdef.bonded
+    c = bt.counts()
+    # 3 residues x 3 intra bonds + 2 cross C-N(+UB none) = 11 bonds
+    assert c["cmaps"] == 1
+    assert c["bonds"] >= 11
+    assert c["torsions"] > 3 * 1      # cross-junction dihedrals exist
+    sim.first_energy()
+    e_with = float(sim.ss.energy.eion)
+    f = np.asarray(sim.ss.state.f[:12])
+
+    # same system without the CMAP table -> energy difference is the term
+    d2 = tmp_path / "nocmap"
+    d2.mkdir()
+    make_chain_fixture(d2, cmap=False)
+    dbn = load_db([str(d2 / "object.data")], None, str(d2))
+    simn = Simulation(dbn, str(d2), run_dir=str(d2),
+                      dtype=jnp.float64, engine="nlist")
+    assert simn.sysdef.bonded.counts()["cmaps"] == 0
+    simn.first_energy()
+    e_without = float(simn.ss.energy.eion)
+
+    from ddcmd_tpu.objects import units as U
+
+    r = np.asarray(sim.ss.state.r[:12]) / U.ANG_TO_LENGTH  # Angstrom
+    # atoms: res0 [N CA C O], res1 [N CA C O], ...
+    phi = _np_dihedral(r[2], r[4], r[5], r[6])   # -C, N, CA, C
+    psi = _np_dihedral(r[4], r[5], r[6], r[8])   # N, CA, C, +N
+    kcal = U.unit_scale("kcal/mol")
+    # reference mapping evaluates the file grid at (-phi, -psi)
+    expect = (2.0 * np.cos(np.radians(-phi))
+              + np.sin(np.radians(-psi))) * kcal
+    assert e_with - e_without == pytest.approx(expect, abs=0.02 * kcal)
+
+    # FD forces through everything incl. CMAP
+    rj = sim.ss.state.r
+    h = 1e-6
+
+    def e_of(rj):
+        sim.ss = sim.ss.replace(state=sim.ss.state.replace(r=rj))
+        sim.first_energy()
+        return float(sim.ss.energy.eion)
+
+    for i in (2, 4, 6):
+        for ax in range(3):
+            ep = e_of(rj.at[i, ax].add(h))
+            em = e_of(rj.at[i, ax].add(-h))
+            fd = -(ep - em) / (2 * h)
+            assert f[i, ax] == pytest.approx(fd, rel=2e-5, abs=1e-5), (i, ax)
