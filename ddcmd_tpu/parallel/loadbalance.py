@@ -1,0 +1,99 @@
+"""Load balancing: equal-work domain walls.
+
+Reference: loadBalance.c registry with zRamp (zRampLoadBalance.c:55-239)
+and bisection (recbis ORCB) balancers.  TPU-idiomatic shape: domains are
+fixed-capacity shards, so "balance" means choosing the slab/brick WALL
+positions so per-device particle counts (and pair work ~ density^2)
+equalize -- that is what bounds the padded capacity and the wasted lanes.
+
+zramp_walls is a faithful port of the zRamp algorithm: bin the particle
+density along the axis (optionally smeared), square it (work ~ rho^2,
+zRampLoadBalance.c:62-66), then integrate to equal-work wall positions
+(findCenters, zRampLoadBalance.c:173-209).  The reference converts walls
+to Voronoi centers because its DDC assigns by nearest center; our shards
+partition by the walls directly, which is the identical ownership map.
+
+tensor_walls generalizes per-axis for the 3D brick mesh (the
+tensor-product restriction of ORCB that a fixed brick topology admits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _density(x, lo, length, nz, smear_radius=0.0, smear="impulse"):
+    """Binned density along one axis (computeDensity,
+    zRampLoadBalance.c:73-171); x in [lo, lo+length)."""
+    r = (x - lo) * nz / length
+    bins = np.zeros(nz)
+    if smear_radius <= 0:
+        idx = np.clip(r.astype(int), 0, nz - 1)
+        np.add.at(bins, idx, 1.0)
+        return bins
+    l_smear = min(2.0 * smear_radius * nz / length, 1.0)
+    inv = 1.0 / l_smear
+    wall = np.floor(r + 0.5)
+    delta = np.clip(wall - r, -0.5 * l_smear, 0.5 * l_smear)
+    if smear == "hat":
+        w0 = 0.5 + 2 * delta * inv * (1.0 - np.abs(delta) * inv)
+    else:
+        w0 = 0.5 + delta * inv
+    i0 = (wall.astype(int) - 1) % nz
+    i1 = wall.astype(int) % nz
+    np.add.at(bins, np.clip(i0, 0, nz - 1), w0)
+    np.add.at(bins, np.clip(i1, 0, nz - 1), 1.0 - w0)
+    return bins
+
+
+def _equal_work_walls(density, n_dev):
+    """Wall positions (in bin units) splitting the density into n_dev
+    equal integrals (findCenters walls loop, zRampLoadBalance.c:180-209)."""
+    nz = len(density)
+    total = density.sum()
+    target = total / n_dev
+    walls = np.zeros(n_dev + 1)
+    for ii in range(n_dev - 1):
+        fpos = walls[ii]
+        ipos = int(np.floor(fpos))
+        acc = 0.0
+        delta = 0.0
+        while True:
+            weight = 1.0 - (fpos - np.floor(fpos))
+            if ipos >= nz or acc + density[ipos] * weight > target:
+                break
+            acc += density[ipos] * weight
+            delta += weight
+            ipos += 1
+            fpos = ipos
+        frac = (target - acc) / max(density[min(ipos, nz - 1)], 1e-300)
+        walls[ii + 1] = walls[ii] + delta + min(max(frac, 0.0), 1.0)
+    walls[n_dev] = nz
+    return walls / nz
+
+
+def zramp_walls(x, lo, length, n_dev, *, nz=0, smear_radius=0.0,
+                smear="impulse", work_power=2):
+    """Equal-work wall FRACTIONS (n_dev+1,) in [0,1] along one axis.
+
+    work_power=2 reproduces the reference's work ~ density^2 weighting;
+    use 1 for pure count balancing.
+    """
+    nz = nz or max(8 * n_dev, 64)
+    d = _density(np.asarray(x, dtype=np.float64), lo, length, nz,
+                 smear_radius, smear)
+    w = d ** work_power
+    if w.sum() <= 0:
+        return np.linspace(0.0, 1.0, n_dev + 1)
+    walls = _equal_work_walls(w, n_dev)
+    walls[0], walls[-1] = 0.0, 1.0
+    return walls
+
+
+def tensor_walls(r, box_lengths, shape, **kw):
+    """Per-axis equal-count walls for a brick mesh (tensor-product ORCB)."""
+    out = []
+    for ax, n in enumerate(shape):
+        L = float(box_lengths[ax])
+        out.append(zramp_walls(np.asarray(r)[:, ax], -0.5 * L, L, n, **kw))
+    return out

@@ -73,13 +73,34 @@ class SlabPlan:
     halo_cap: int        # max ghosts per side
     migrate_cap: int     # max migrants per side per rebuild
     rlist: float
+    # non-uniform wall FRACTIONS (n_dev+1,) from the load balancer
+    # (parallel.loadbalance.zramp_walls); None = uniform slabs
+    walls: tuple | None = None
 
 
-def slab_bounds(box_lx, n_dev: int, dev_idx):
+def slab_bounds(box_lx, n_dev: int, dev_idx, walls=None):
     """[lo, hi) of slab dev_idx in origin-centered global coordinates."""
+    if walls is not None:
+        w = jnp.asarray(walls)
+        lo = (w[dev_idx.astype(jnp.int32)] - 0.5) * box_lx \
+            if hasattr(dev_idx, "astype") else (w[int(dev_idx)] - 0.5) * box_lx
+        hi = (w[(dev_idx.astype(jnp.int32) if hasattr(dev_idx, "astype")
+                 else int(dev_idx)) + 1] - 0.5) * box_lx
+        return lo, hi
     w = box_lx / n_dev
     lo = -0.5 * box_lx + w * dev_idx
     return lo, lo + w
+
+
+def _slab_of(x, box_lx, plan):
+    """Owning slab per particle (walls-aware)."""
+    frac = x / box_lx + 0.5
+    if plan.walls is not None:
+        w = jnp.asarray(plan.walls)
+        return jnp.clip(jnp.searchsorted(w, frac, side="right") - 1,
+                        0, plan.n_dev - 1).astype(jnp.int32)
+    return jnp.clip(jnp.floor(frac * plan.n_dev).astype(jnp.int32),
+                    0, plan.n_dev - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -93,7 +114,8 @@ def halo_exchange(fields: dict, valid_mask, box_lx, plan: SlabPlan):
     Returns (ghost fields dict (2*halo_cap, ...), ghost_valid mask, overflow).
     """
     me = jax.lax.axis_index(AXIS)
-    lo, hi = slab_bounds(box_lx, plan.n_dev, me.astype(fields["r"].dtype))
+    lo, hi = slab_bounds(box_lx, plan.n_dev, me.astype(fields["r"].dtype),
+                         plan.walls)
     x = fields["r"][:, 0]
 
     send_right_mask = valid_mask & (x >= hi - plan.rlist)
@@ -124,9 +146,7 @@ def migrate(fields: dict, valid_mask, box_lx, plan: SlabPlan):
     me = jax.lax.axis_index(AXIS)
     x = fields["r"][:, 0]
     dtype = fields["r"].dtype
-    w = box_lx / plan.n_dev
-    dest = jnp.floor((x / box_lx + 0.5) * plan.n_dev).astype(jnp.int32)
-    dest = jnp.clip(dest, 0, plan.n_dev - 1)
+    dest = _slab_of(x, box_lx, plan)
 
     stay = valid_mask & (dest == me)
     go_right = valid_mask & (dest == (me + 1) % plan.n_dev) & (plan.n_dev > 1)
@@ -159,8 +179,13 @@ def distribute(arrays: dict, box_lx: float, plan: SlabPlan):
     """Split host arrays by x-slab into flat (n_dev*local_cap, ...) buffers
     (sharded on axis 0 -> per-device shape is exactly (local_cap, ...))."""
     x = np.asarray(arrays["r"])[:, 0]
-    dest = np.clip(np.floor((x / box_lx + 0.5) * plan.n_dev).astype(int),
-                   0, plan.n_dev - 1)
+    if plan.walls is not None:
+        dest = np.clip(np.searchsorted(np.asarray(plan.walls),
+                                       x / box_lx + 0.5, side="right") - 1,
+                       0, plan.n_dev - 1)
+    else:
+        dest = np.clip(np.floor((x / box_lx + 0.5) * plan.n_dev).astype(int),
+                       0, plan.n_dev - 1)
     out = {}
     counts = np.zeros(plan.n_dev, dtype=np.int32)
     for d in range(plan.n_dev):

@@ -111,3 +111,74 @@ def test_sharded_step_and_migration():
     # (collect drops row structure; ownership is checked via distribute's rule)
     x = out["r"][:, 0]
     assert len(x) == n
+
+
+def test_zramp_walls_balance_skewed_density():
+    """zRamp walls equalize per-slab work for a skewed density
+    (zRampLoadBalance.c:55-239)."""
+    from ddcmd_tpu.parallel.loadbalance import zramp_walls
+
+    rng = np.random.default_rng(0)
+    L = 10.0
+    # half the particles crowded into a thin blob, half uniform
+    x = np.concatenate([rng.normal(2.0, 0.4, 4000),
+                        rng.uniform(-5, 5, 4000)])
+    x = np.clip(x, -4.999, 4.999)
+    n_dev = 4
+    walls = zramp_walls(x, -L / 2, L, n_dev, work_power=1)
+    dest = np.clip(np.searchsorted(walls, x / L + 0.5, side="right") - 1,
+                   0, n_dev - 1)
+    counts = np.bincount(dest, minlength=n_dev)
+    assert counts.max() / counts.min() < 1.2     # balanced
+    # uniform slabs are badly unbalanced on this input
+    dest_u = np.clip(((x / L + 0.5) * n_dev).astype(int), 0, n_dev - 1)
+    cu = np.bincount(dest_u, minlength=n_dev)
+    assert cu.max() / max(cu.min(), 1) > 2.0
+    # work_power=2 squeezes the dense region into narrower slabs
+    walls2 = zramp_walls(x, -L / 2, L, n_dev, work_power=2)
+    blob = 2.0 / L + 0.5
+    w1 = np.diff(walls)[np.searchsorted(walls, blob) - 1]
+    w2 = np.diff(walls2)[np.searchsorted(walls2, blob) - 1]
+    assert w2 < w1
+
+
+def test_sharded_forces_match_with_zramp_walls():
+    """Non-uniform (load-balanced) slab walls give the same physics."""
+    from ddcmd_tpu.parallel.loadbalance import zramp_walls
+
+    arrays, L, rcut, skin, tables, plan, grid, n = setup()
+    f_ref, e_ref, virial_ref = single_device_forces(
+        arrays, L, rcut, skin, tables, n)
+
+    walls = zramp_walls(arrays["r"][:, 0], -L / 2, L, N_DEV, work_power=1)
+    import dataclasses
+
+    plan = dataclasses.replace(plan, walls=tuple(walls))
+    mesh = make_mesh(N_DEV)
+    coeffs = GroupTable.build(
+        [Group(name="free", index=0, type="FREE")]).coefficients(0.0, 0.01)
+    step_fn, first_fn, migrate_fn = make_sharded_step(
+        mesh, plan, grid, tables, coeffs, dt=0.02, box_lengths=[L] * 3,
+        species_lj_type=np.array([0, 1], dtype=np.int32), n_global=n)
+    buf, mask, counts = distribute(arrays, L, plan)
+    assert counts.max() - counts.min() <= counts.max() // 4  # balanced-ish
+    shard = lambda a: jax.device_put(jnp.asarray(a),
+                                     NamedSharding(mesh, P(AXIS)))
+    fields = {k: shard(v) for k, v in buf.items()}
+    maskd = shard(mask)
+    f, e, virial, ov = first_fn(fields, maskd, jax.random.PRNGKey(0))
+    assert int(ov) == 0
+    assert float(e) == pytest.approx(e_ref, rel=1e-5, abs=1e-2)
+    out = collect(dict(fields, f=f), np.asarray(maskd), plan)
+    gid = out["gid"][:, 0].astype(np.int64)
+    order = np.argsort(gid)
+    scale = max(1.0, np.abs(f_ref).max())
+    assert np.abs(out["f"][order] - f_ref).max() / scale < 1e-5
+    # dynamics + migration stay consistent across non-uniform walls
+    for i in range(3):
+        fields, f, scalars, ov = step_fn(fields, maskd, f,
+                                         jax.random.PRNGKey(i))
+        assert int(ov) == 0
+    fields, maskd, ov = migrate_fn(fields, maskd)
+    assert int(ov) == 0
+    assert int(np.asarray(maskd).sum()) == n
