@@ -56,6 +56,9 @@ class ResidueType:
     bpairs: list[tuple]         # (i, j, sigma, eps)
     cons_groups: list[list[tuple]]  # groups of (i, j, r0)
     exclusions: list[tuple]     # (i, j)
+    # species names override (terminal-patched CHARMM variants use the
+    # n/c delimiter instead of x<name>); None = <atom>x<name>
+    species_sig: list[str] | None = None
 
 
 @dataclass
@@ -182,7 +185,7 @@ def scan_residues(res_types: dict[str, ResidueType], species_names, gid):
     order = np.argsort(np.asarray(gid), kind="stable")
     seq = [species_names[i] for i in order]
     # residue signature: list of species names in atom order
-    sigs = {rn: [f"{an}x{rn}" for an in rt.atom_names]
+    sigs = {rn: (rt.species_sig or [f"{an}x{rn}" for an in rt.atom_names])
             for rn, rt in res_types.items()}
     instances = []  # (res_name, [state rows])
     i, n = 0, len(seq)

@@ -189,6 +189,7 @@ RESI AME 0.0
 GROUP
 ATOM N NH1 -0.47
 ATOM CA CT 0.07
+GROUP
 ATOM C CC 0.51
 ATOM O O -0.11
 BOND N CA CA C C O
@@ -328,6 +329,130 @@ def test_charmm_chain_links_and_cmap(tmp_path):
         return float(sim.ss.energy.eion)
 
     for i in (2, 4, 6):
+        for ax in range(3):
+            ep = e_of(rj.at[i, ax].add(h))
+            em = e_of(rj.at[i, ax].add(-h))
+            fd = -(ep - em) / (2 * h)
+            assert f[i, ax] == pytest.approx(fd, rel=2e-5, abs=1e-5), (i, ax)
+
+
+CHAIN_RTF_TER = CHAIN_RTF.replace("END", "") + """
+MASS 5 NH3 14.007
+MASS 6 HC 1.008
+MASS 7 OC 15.999
+PRES NTER 1.00
+GROUP
+ATOM N NH3 -0.30
+ATOM HT1 HC 0.33
+ATOM HT2 HC 0.33
+ATOM CA CT 0.13
+BOND HT1 N HT2 N
+PRES CTER -1.00
+GROUP
+ATOM C CC 0.34
+ATOM OT1 OC -0.67
+ATOM OT2 OC -0.67
+BOND C OT2
+DELETE ATOM O
+END
+"""
+
+CHAIN_PAR_TER_EXTRA = """
+BONDS
+NH3 CT 200.0 1.48
+HC NH3 400.0 1.04
+CC OC 525.0 1.26
+ANGLES
+HC NH3 CT 30.0 109.5
+HC NH3 HC 44.0 109.5
+NH3 CT CC 50.0 107.0
+CT CC OC 40.0 118.0
+OC CC OC 100.0 124.0
+NH1 CT CC 50.0 107.0
+DIHEDRALS
+X NH3 CT X 0.1 3 0.0
+"""
+
+TER_NONBONDED = """
+NONBONDED
+NH1 0.0 -0.20 1.85
+CT 0.0 -0.02 2.27
+CC 0.0 -0.07 2.00
+O 0.0 -0.12 1.70
+NH3 0.0 -0.20 1.85
+HC 0.0 -0.046 0.22
+OC 0.0 -0.12 1.70
+END
+"""
+
+
+def make_ter_fixture(tmp_path, L=30.0):
+    (tmp_path / "top.rtf").write_text(CHAIN_RTF_TER)
+    par = (CHAIN_PAR_HEAD + CHAIN_PAR_TER_EXTRA + _cmap_grid_text()
+           + TER_NONBONDED)
+    (tmp_path / "par.prm").write_text(par)
+    rng = np.random.default_rng(4)
+    shift = np.array([3.8, 0.3, 0.2])
+    pos = {
+        "N": [0.0, 0.0, 0.0], "CA": [1.2, 0.8, 0.0],
+        "C": [2.5, 0.3, 0.5], "O": [2.7, -0.9, 0.7],
+        "HT1": [-0.5, -0.6, 0.6], "HT2": [-0.6, 0.5, -0.6],
+        "OT1": [2.7, -0.9, 0.7], "OT2": [3.0, 1.2, 1.1],
+    }
+    residues = [("n", ("N", "HT1", "HT2", "CA", "C", "O")),
+                ("x", ("N", "CA", "C", "O")),
+                ("c", ("N", "CA", "C", "OT1", "OT2"))]
+    rows = []
+    gid = 0
+    for i, (delim, atoms) in enumerate(residues):
+        for name in atoms:
+            p = np.asarray(pos[name]) + i * shift \
+                + rng.standard_normal(3) * 0.02
+            rows.append(f"{gid} ATOM {name}{delim}AME free "
+                        + " ".join("%.6f" % x for x in p) + " 0 0 0")
+            gid += 1
+    n = len(rows)
+    hdr = (f"particle FILEHEADER {{type=MULTILINE; datatype=VARRECORDASCII;"
+           f" checksum=NONE;\nloop=0; time=0.0;\nnfiles=1; nrecord={n};"
+           f" nfields=10;\n"
+           f"field_names=id class type group rx ry rz vx vy vz;\n"
+           f"field_types=u s s s f f f f f f;\n"
+           f"h= {L} 0 0 0 {L} 0 0 0 {L} ;\n}}\n\n")
+    (tmp_path / "atoms#000000").write_text(hdr + "\n".join(rows) + "\n")
+    (tmp_path / "object.data").write_text(DECK.format(L=L, n=n))
+    return n
+
+
+def test_charmm_terminal_patches(tmp_path):
+    """NTER/CTER PRES variants: species with n/c delimiters select the
+    patched residue types; patched termini carry the patch atoms/bonds
+    and the chain still links + gets its CMAP; FD forces exact."""
+    n = make_ter_fixture(tmp_path)
+    assert n == 15
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                     dtype=jnp.float64, engine="nlist")
+    inst = sim.sysdef.residue_instances
+    assert [nm for nm, _ in inst] == ["AME__nter", "AME", "AME__cter"]
+    c = sim.sysdef.bonded.counts()
+    assert c["cmaps"] == 1
+    # charges follow the patches
+    q = np.asarray(sim.sysdef.state.q[:n])
+    ke = 1.0  # charge units internal = e
+    assert q[1] == pytest.approx(0.33)      # HT1
+    assert q[-1] == pytest.approx(-0.67)    # OT2
+    sim.first_energy()
+    assert np.isfinite(float(sim.ss.energy.eion))
+    f = np.asarray(sim.ss.state.f[:n])
+    rj = sim.ss.state.r
+    h = 1e-6
+
+    def e_of(rj):
+        sim.ss = sim.ss.replace(state=sim.ss.state.replace(r=rj))
+        sim.first_energy()
+        return float(sim.ss.energy.eion)
+
+    for i in (0, 1, 7, 13, 14):   # N-term N, HT1, mid C, OT1, OT2
         for ax in range(3):
             ep = e_of(rj.at[i, ax].add(h))
             em = e_of(rj.at[i, ax].add(-h))
