@@ -75,11 +75,14 @@ class CellBlockGrid:
 
 
 def _axis_offsets(n: int):
-    if n >= 3:
-        return (-1, 0, 1)
-    if n == 2:
-        return (0, 1)
-    return (0,)
+    """Always (-1, 0, 1): for n == 2 the -1 and +1 offsets reach the SAME
+    neighbor cell through DIFFERENT images (distinct static shifts) and
+    both must be present -- collapsing to (0, 1) silently drops the
+    wrapped-image pairs (the cutoff mask keeps at most one image in
+    range because the cell edge >= rlist).  For n == 1 the entries are
+    the cell's own periodic images; they only matter when L < 2 rcut."""
+    del n
+    return (-1, 0, 1)
 
 
 def _build_stencil(ncells):

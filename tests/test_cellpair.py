@@ -60,3 +60,47 @@ def test_cellpair_overflow_flag():
     perm, ov = build_cell_slots(jnp.asarray(r), jnp.ones(n, jnp.float32),
                                 jnp.asarray([3.0] * 3, jnp.float32), grid)
     assert bool(ov)
+
+
+def test_cellpair_two_cell_axis_images():
+    """Axes with only 2 cells: the -1 and +1 offsets reach the same
+    neighbor cell through different periodic images and BOTH must be in
+    the stencil (regression: collapsing to (0,1) dropped wrapped-image
+    pairs, ~35% energy error on thin boxes)."""
+    rng = np.random.default_rng(0)
+    L = np.array([3.2, 3.2, 1.5])
+    rcut, skin = 0.6, 0.15
+    g = np.stack(np.meshgrid(np.arange(8), np.arange(8), np.arange(4),
+                             indexing="ij"), -1).reshape(-1, 3)
+    r = (g + 0.5) / [8, 8, 4] * L - L / 2 \
+        + rng.standard_normal((256, 3)) * 0.02
+    n = len(r)
+    grid = CellBlockGrid.plan(L, rcut, skin, n)
+    assert grid.ncells[2] == 2
+    q = rng.uniform(-1, 1, n)
+    tables = dict(sigma=jnp.full((1, 1), 0.4), eps=jnp.full((1, 1), 1.0),
+                  shift=jnp.zeros((1, 1)), rcut2=jnp.asarray(rcut ** 2),
+                  krf=jnp.asarray(0.5 / rcut ** 3),
+                  crf=jnp.asarray(1.5 / rcut), keR=jnp.asarray(138.935))
+    rj = jnp.asarray(r)
+    perm, ov = build_cell_slots(rj, jnp.ones(n), jnp.asarray(L), grid)
+    assert not bool(ov)
+    f, e, vir, pe = cellpair_eval(rj, jnp.asarray(q),
+                                  jnp.zeros(n, jnp.int32), perm,
+                                  jnp.asarray(L), grid, tables)
+    d = r[:, None, :] - r[None, :, :]
+    d -= L * np.round(d / L)
+    r2 = (d * d).sum(-1)
+    np.fill_diagonal(r2, np.inf)
+    m = r2 < rcut ** 2
+    ir2 = np.where(m, 1 / r2, 0.0)
+    s6 = (0.4 ** 2 * ir2) ** 3
+    kqq = 138.935 * q[:, None] * q[None, :]
+    ir = np.sqrt(ir2)
+    epair = np.where(m, 4 * (s6 * s6 - s6)
+                     + kqq * (ir + 0.5 / rcut ** 3 * r2 - 1.5 / rcut), 0.0)
+    assert float(e) == pytest.approx(0.5 * epair.sum(), rel=1e-8)
+    coef = np.where(m, 24 * (s6 - 2 * s6 * s6) * ir2
+                    + kqq * (2 * 0.5 / rcut ** 3 - ir2 * ir), 0.0)
+    f_ref = -(coef[:, :, None] * d).sum(1)
+    assert np.abs(np.asarray(f) - f_ref).max() < 1e-8
