@@ -1,0 +1,77 @@
+"""Sharded bonded terms: gid-keyed covalent topology on a device mesh.
+
+Reference analog: ddcMD keeps covalent term lists on every rank and the
+MOLECULE ddcRule rewrites migration destinations so whole molecules stay
+on one rank (ddcRuleMolecule, /root/reference/src/ddcRuleMolecule.c:43);
+each rank then evaluates the terms whose atoms it owns.
+
+TPU shape: the per-term PARAMETERS are row-independent constants, so the
+full term lists ride along as replicated device arrays keyed by GID.
+Each device resolves gids -> local pool rows (sorted local+ghost gids +
+searchsorted -- a pure gather, no communication) every force call, masks
+the terms whose first atom it owns, and reuses the single-chip
+bonded_eval with per-term weights.  Molecule-coherent migration (anchor
+= head-bead position, parallel/brick.py) guarantees every owned term's
+atoms are local.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_gid(gid_pair):
+    """(n,2) uint32 [lo, hi] -> int64 (bio gids fit in 63 bits)."""
+    g = gid_pair.astype(jnp.int64)
+    return g[:, 0] + (g[:, 1] << 32)
+
+
+def bonded_gid_tables(bt, gid, device_tables):
+    """Host-side: replace the state-row index arrays in device_bonded_tables
+    output with GID index arrays (int64).  `gid` maps rows -> gids."""
+    gid = np.asarray(gid, dtype=np.int64)
+    out = dict(device_tables)
+    for fam in ("bonds", "angles", "torsions", "impropers", "bpairs",
+                "exclusions"):
+        arr = getattr(bt, fam, None)
+        if arr is not None and fam in out:
+            out[fam + "_gids"] = jnp.asarray(gid[np.asarray(arr)])
+            del out[fam]          # rows are resolved per device per call
+    for k in ("cmap_atoms", "cmap_type", "cmap_grid", "cmap_y1",
+              "cmap_y2", "cmap_y12"):
+        out.pop(k, None)          # CMAP not sharded yet (single-chip path)
+    return out
+
+
+def resolve_terms(tables, pool_gid64, pool_mask, local_cap):
+    """Per-device: map gid-keyed term tables to pool-row tables + weights.
+
+    pool_gid64: (n_pool,) int64 gids of local+ghost rows; padded rows
+    must be masked off by pool_mask.  A term is owned iff ALL its atoms
+    resolve AND its first atom is a local (not ghost) row -- molecule
+    coherence makes ownership unambiguous and exactly-once across the
+    mesh."""
+    n_pool = pool_gid64.shape[0]
+    big = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+    keyed = jnp.where(pool_mask, pool_gid64, big)
+    order = jnp.argsort(keyed)
+    sg = keyed[order]
+
+    out = {}
+    for fam in ("bonds", "angles", "torsions", "impropers", "bpairs",
+                "exclusions"):
+        g = tables.get(fam + "_gids")
+        if g is None:
+            continue
+        pos = jnp.clip(jnp.searchsorted(sg, g), 0, n_pool - 1)
+        rows = order[pos]
+        found = sg[pos] == g
+        owned = jnp.all(found, axis=-1) & (rows[:, 0] < local_cap)
+        out[fam] = jnp.where(found, rows, 0).astype(jnp.int32)
+        out[fam + "_w"] = owned.astype(jnp.float32)
+    # per-term constants pass through unchanged
+    for k, v in tables.items():
+        if not k.endswith("_gids") and k not in out:
+            out[k] = v
+    return out

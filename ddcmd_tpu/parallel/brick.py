@@ -113,7 +113,12 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
 
 def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
     """Staged 1-hop migration along x, then y, then z (<=1 brick hop per
-    axis per rebuild, mirroring the lazy re-bisect assumption)."""
+    axis per rebuild, mirroring the lazy re-bisect assumption).
+
+    Molecule coherence: when fields carry 'hgid' (head-bead gid per
+    particle), migration destinations use the HEAD bead's position so a
+    molecule always moves as one unit -- the ddcRule MOLECULE analog
+    (/root/reference/src/ddcRuleMolecule.c:43)."""
     overflow = jnp.zeros((), bool)
     cur = fields
     mask = valid_mask
@@ -124,7 +129,21 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         me = jax.lax.axis_index(axis)
         dtype = cur["r"].dtype
         lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype)
-        x = cur["r"][:, ax_i]
+        if "hgid" in cur:
+            from .bonded_shard import pack_gid
+
+            g64 = pack_gid(cur["gid"])
+            h64 = pack_gid(cur["hgid"])
+            big = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+            keyed = jnp.where(mask, g64, big)
+            order = jnp.argsort(keyed)
+            sgg = keyed[order]
+            pos = jnp.clip(jnp.searchsorted(sgg, h64), 0, keyed.shape[0] - 1)
+            hrow = order[pos]
+            ok = sgg[pos] == h64
+            x = jnp.where(ok, cur["r"][hrow, ax_i], cur["r"][:, ax_i])
+        else:
+            x = cur["r"][:, ax_i]
         go_lo = mask & (x < lo)
         go_hi = mask & (x >= hi)
         stay = mask & ~(go_lo | go_hi)
@@ -147,6 +166,14 @@ def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
     """Host-side: split arrays into flat (n_dev*local_cap, ...) by brick.
     Device order matches Mesh(devices.reshape(shape), AXES) raveling."""
     r = np.asarray(arrays["r"])
+    if "hgid" in arrays:
+        # molecule coherence: destination from the head bead's position
+        g64 = (arrays["gid"][:, 0].astype(np.int64)
+               + (arrays["gid"][:, 1].astype(np.int64) << 32))
+        h64 = (arrays["hgid"][:, 0].astype(np.int64)
+               + (arrays["hgid"][:, 1].astype(np.int64) << 32))
+        row_of = {int(g): i for i, g in enumerate(g64)}
+        r = r[[row_of[int(h)] for h in h64]]
     nx, ny, nz = plan.shape
     L = np.asarray(box_lengths, dtype=np.float64)
     cj = [np.clip(np.floor((r[:, a] / L[a] + 0.5) * plan.shape[a]).astype(int),

@@ -9,7 +9,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.groups import velocity_update
 from ..nbr.celllist import CellGrid, build_neighbor_list
+from ..potentials.bonded import bonded_eval
 from ..potentials.martini import martini_nonbond
+from .bonded_shard import pack_gid, resolve_terms
 from .brick import AXES, BrickPlan, halo_exchange_3d, migrate_3d
 
 FIELD_KEYS = ("r", "v", "q", "mass", "species", "group", "gid")
@@ -22,15 +24,17 @@ def make_brick_mesh(shape, devices=None) -> Mesh:
 
 def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                     coeffs, dt: float, box_lengths, species_lj_type,
-                    n_global: int):
+                    n_global: int, bonded_tables=None,
+                    field_keys=FIELD_KEYS):
     Lv = jnp.asarray(box_lengths)
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
     full_axes = tuple(AXES)
+    halo_keys = ("r", "q", "species") + (("gid",) if bonded_tables else ())
 
     def local_forces(fields, mask):
         ghosts, gmask, ov = halo_exchange_3d(
-            {k: fields[k] for k in ("r", "q", "species")}, mask,
+            {k: fields[k] for k in halo_keys}, mask,
             Lv, plan)
         r_ext = jnp.concatenate([fields["r"], ghosts["r"]], axis=0)
         q_ext = jnp.concatenate([fields["q"], ghosts["q"]], axis=0)
@@ -43,6 +47,17 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         f, e_pot, virial, pe, _ = martini_nonbond(
             r_ext, q_ext, tidx, row_mask, nbr_idx, Lv, tables)
         n_loc = fields["r"].shape[0]
+        if bonded_tables is not None:
+            # gid-keyed covalent terms resolved to pool rows on-device
+            g64 = pack_gid(jnp.concatenate([fields["gid"], ghosts["gid"]]))
+            pmask = jnp.concatenate([mask, gmask])
+            bterms = resolve_terms(bonded_tables, g64, pmask, n_loc)
+            fb, eb, vb, peb = bonded_eval(r_ext, Lv, bterms,
+                                          r_ext.shape[0], r_ext.dtype)
+            f = f + fb
+            e_pot = e_pot + eb
+            virial = virial + vb
+            pe = pe + peb
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov
 
     def step(fields, mask, f_prev, key):
@@ -85,7 +100,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         packed, new_mask, ov = migrate_3d(fields, mask, Lv, plan)
         return packed, new_mask, jax.lax.pmax(ov.astype(jnp.int32), full_axes)
 
-    pspec_fields = {k: P(("bx", "by", "bz")) for k in FIELD_KEYS}
+    pspec_fields = {k: P(("bx", "by", "bz")) for k in field_keys}
     PS = P(("bx", "by", "bz"))
 
     step_sharded = jax.jit(jax.shard_map(

@@ -293,7 +293,25 @@ def _min_image(dr, L):
 
 def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
     """Evaluate all bonded term families.  terms: device arrays built by
-    device_bonded_tables.  Returns (f, e, virial, pe)."""
+    device_bonded_tables.  Returns (f, e, virial, pe).
+
+    Optional per-family weights terms["<family>_w"] (T,) gate individual
+    terms (0 = off); the sharded path (parallel/bonded_shard.py) uses
+    them to mask terms not owned by / resolvable on this device."""
+
+    def famw(key, x):
+        w = terms.get(key + "_w")
+        return x if w is None else x * w
+
+    def sanitize(key, dr, unit):
+        """Masked-off terms resolve to arbitrary (possibly coincident)
+        rows; replace their geometry with a fixed non-degenerate vector so
+        1/r and AD paths stay finite (0 * inf = nan otherwise)."""
+        w = terms.get(key + "_w")
+        if w is None:
+            return dr
+        u = jnp.asarray(unit, dtype=dr.dtype)
+        return jnp.where((w > 0)[:, None], dr, u)
     L = box_lengths
     f = jnp.zeros((n_pad, 3), dtype=dtype)
     pe = jnp.zeros((n_pad,), dtype=dtype)
@@ -303,11 +321,11 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
     if "bonds" in terms:
         idx, parm = terms["bonds"], terms["bond_parms"]
         ri, rj = r[idx[:, 0]], r[idx[:, 1]]
-        dr = _min_image(ri - rj, L)
+        dr = sanitize("bonds", _min_image(ri - rj, L), (1.0, 0.0, 0.0))
         b = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
         db = b - parm[:, 1]
-        eb = parm[:, 0] * db * db                     # kb (b-b0)^2, no 1/2
-        fi = (-2.0 * parm[:, 0] * db / b)[:, None] * dr
+        eb = famw("bonds", parm[:, 0] * db * db)      # kb (b-b0)^2, no 1/2
+        fi = famw("bonds", -2.0 * parm[:, 0] * db / b)[:, None] * dr
         f = f.at[idx[:, 0]].add(fi).at[idx[:, 1]].add(-fi)
         virial = virial + jnp.einsum("ba,bc->ac", fi, dr)
         e = e + jnp.sum(eb)
@@ -315,8 +333,10 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
 
     if "angles" in terms:
         idx, parm, kind = terms["angles"], terms["angle_parms"], terms["angle_kind"]
-        rij = _min_image(r[idx[:, 0]] - r[idx[:, 1]], L)
-        rkj = _min_image(r[idx[:, 2]] - r[idx[:, 1]], L)
+        rij = sanitize("angles", _min_image(r[idx[:, 0]] - r[idx[:, 1]], L),
+                       (1.0, 0.0, 0.0))
+        rkj = sanitize("angles", _min_image(r[idx[:, 2]] - r[idx[:, 1]], L),
+                       (0.0, 1.0, 0.0))
         bij = jnp.sqrt(jnp.sum(rij * rij, axis=-1))
         bkj = jnp.sqrt(jnp.sum(rkj * rkj, axis=-1))
         uij = rij / bij[:, None]
@@ -340,9 +360,12 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         e_r = kt * aD_c * aD_c / sin2
         coef_r = -2.0 * kt * aD_c * (1.0 - cosA * t0) / (sin2 * sin2)
 
-        e_a = jnp.select([kind == 0, kind == 1, kind == 2], [e_h, e_c, e_r])
-        coef = jnp.select([kind == 0, kind == 1, kind == 2],
-                          [coef_h, coef_c, coef_r])
+        e_a = famw("angles",
+                   jnp.select([kind == 0, kind == 1, kind == 2],
+                              [e_h, e_c, e_r]))
+        coef = famw("angles",
+                    jnp.select([kind == 0, kind == 1, kind == 2],
+                               [coef_h, coef_c, coef_r]))
         fi = (coef / bij)[:, None] * (ukj - uij * cosA[:, None])
         fk = (coef / bkj)[:, None] * (uij - ukj * cosA[:, None])
         f = (f.at[idx[:, 0]].add(fi)
@@ -361,9 +384,12 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         # gather the four corner positions as min-image displacements about
         # atom j so the energy is a smooth function of the local geometry
         rj_ = r[idx[:, 1]]
-        d0 = _min_image(r[idx[:, 0]] - rj_, L)
-        d2_ = _min_image(r[idx[:, 2]] - rj_, L)
-        d3 = _min_image(r[idx[:, 3]] - rj_, L)
+        d0 = sanitize(key, _min_image(r[idx[:, 0]] - rj_, L),
+                      (1.0, 0.0, 0.0))
+        d2_ = sanitize(key, _min_image(r[idx[:, 2]] - rj_, L),
+                       (0.0, 1.0, 0.0))
+        d3 = sanitize(key, _min_image(r[idx[:, 3]] - rj_, L),
+                      (0.0, 1.0, 1.0))
 
         def torsion_energy(d0, d2_, d3, parm=parm, harmonic=harmonic):
             b1 = -d0                    # r_j - r_i
@@ -383,12 +409,15 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
             kchi, nper, delta = parm[:, 0], parm[:, 1], parm[:, 2]
             return kchi * (1.0 + jnp.cos(nper * phi - delta))
 
+        def torsion_energy_w(a, b, c, key=key):
+            return famw(key, torsion_energy(a, b, c))
+
         # forces by reverse-mode AD of the per-term energies (exact; the
         # hand-derived force decomposition is easy to get subtly wrong)
-        e_t, pull = jax.vjp(lambda a, b, c: jnp.sum(torsion_energy(a, b, c)),
+        e_t, pull = jax.vjp(lambda a, b, c: jnp.sum(torsion_energy_w(a, b, c)),
                             d0, d2_, d3)
         g0, g2, g3 = pull(jnp.ones((), dtype=dtype))
-        e_terms = torsion_energy(d0, d2_, d3)
+        e_terms = torsion_energy_w(d0, d2_, d3)
         fi = -g0
         fk = -g2
         fl = -g3
@@ -476,13 +505,14 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
 
     if "bpairs" in terms:
         idx, parm = terms["bpairs"], terms["bpair_parms"]
-        dr = _min_image(r[idx[:, 0]] - r[idx[:, 1]], L)
+        dr = sanitize("bpairs", _min_image(r[idx[:, 0]] - r[idx[:, 1]], L),
+                      (1.0, 0.0, 0.0))
         r2 = jnp.sum(dr * dr, axis=-1)
         ir2 = 1.0 / r2
         s2 = parm[:, 0] * parm[:, 0] * ir2
         s6 = s2 * s2 * s2
         s12 = s6 * s6
-        within = (r2 < terms["bpair_rcut2"]).astype(dtype)
+        within = famw("bpairs", (r2 < terms["bpair_rcut2"]).astype(dtype))
         e_p = (4.0 * parm[:, 1] * (s12 - s6) + parm[:, 2]) * within
         dvdr = 24.0 * parm[:, 1] * (s6 - 2.0 * s12) * ir2 * within
         fi = -dvdr[:, None] * dr
@@ -497,7 +527,9 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         idx = terms["exclusions"]
         tidx = terms["excl_tidx"]
         qq = terms["excl_qq"]
-        dr = _min_image(r[idx[:, 0]] - r[idx[:, 1]], L)
+        dr = sanitize("exclusions",
+                      _min_image(r[idx[:, 0]] - r[idx[:, 1]], L),
+                      (1.0, 0.0, 0.0))
         r2 = jnp.sum(dr * dr, axis=-1)
         within = r2 < terms["rcut2"]
         ir2 = 1.0 / r2
@@ -508,7 +540,7 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         s2 = sig * sig * ir2
         s6 = s2 * s2 * s2
         s12 = s6 * s6
-        w = within.astype(dtype)
+        w = famw("exclusions", within.astype(dtype))
         e_x = -(4.0 * eps * (s12 - s6) + shf + qq * ir) * w
         dvdr = -(24.0 * eps * (s6 - 2.0 * s12) * ir2 - qq * ir2 * ir) * w
         fi = -dvdr[:, None] * dr

@@ -2,9 +2,10 @@
 
 Makes the ddc decomposition usable from decks/CLI: `ddc DDC {lx=2; ly=2;
 lz=2;}` (reference domain lattice keywords, ddc.c:35-137) selects a
-brick mesh; a bare device count gives 1D slabs.  Martini/PAIR nonbond +
-Langevin/FREE NVT paths are supported sharded; constraints/barostat stay
-single-chip for now.
+brick mesh.  Martini nonbond + gid-keyed sharded bonded terms (bonds/
+angles/torsions/impropers/bpairs/exclusions) with molecule-coherent
+migration (ddcRuleMolecule analog) + Langevin/FREE NVT are supported
+sharded; constraints/barostat/CMAP stay single-chip for now.
 """
 
 from __future__ import annotations
@@ -66,11 +67,40 @@ class ParallelSimulation:
         self.mesh = make_brick_mesh(self.shape)
         self.coeffs = sd.group_table.coefficients(sd.cfg.time, 0.5 * sd.cfg.dt,
                                                   dtype=dtype)
+        # gid-keyed bonded terms + molecule-coherent migration when the
+        # system has covalent topology
+        bonded_gid_tab = None
+        field_keys = None
+        gid64 = sd.collection.gid
+        hgid64 = None
+        bt = sd.bonded
+        if bt is not None and bt.counts().get("bonds", 0) + \
+                bt.counts().get("angles", 0) > 0:
+            from ..parallel.bonded_shard import bonded_gid_tables
+            from ..parallel.brickstep import FIELD_KEYS
+            from ..potentials.bonded import device_bonded_tables
+
+            dtab = device_bonded_tables(
+                bt, dtype, lj_sigma=parms.sigma, lj_eps=parms.eps,
+                lj_shift=parms.shift, rcut=parms.rcut,
+                keR=U.ke / parms.epsilon_r,
+                charges=np.asarray(sd.state.q),
+                species_lj_type=parms.species_lj_type,
+                species_per_particle=np.asarray(sd.state.species))
+            bonded_gid_tab = bonded_gid_tables(bt, gid64, dtab)
+            field_keys = FIELD_KEYS + ("hgid",)
+            # head bead = first atom of each residue instance
+            hgid64 = gid64.copy()
+            for _name, rows in (sd.residue_instances or []):
+                hgid64[np.asarray(rows)] = gid64[rows[0]]
+
         self.step_fn, self.first_fn, self.migrate_fn = make_brick_step(
             self.mesh, self.plan, self.grid, self.tables, self.coeffs,
-            dt=sd.cfg.dt, box_lengths=L, species_lj_type=tmap, n_global=n)
+            dt=sd.cfg.dt, box_lengths=L, species_lj_type=tmap, n_global=n,
+            bonded_tables=bonded_gid_tab,
+            field_keys=field_keys or ("r", "v", "q", "mass", "species",
+                                      "group", "gid"))
 
-        gid64 = sd.collection.gid
         arrays = dict(
             r=np.asarray(sd.state.r[:n], dtype=np.float32),
             v=np.asarray(sd.state.v[:n], dtype=np.float32),
@@ -81,6 +111,10 @@ class ParallelSimulation:
             gid=np.stack([(gid64 & 0xFFFFFFFF).astype(np.uint32),
                           (gid64 >> 32).astype(np.uint32)], axis=1),
         )
+        if hgid64 is not None:
+            arrays["hgid"] = np.stack(
+                [(hgid64 & 0xFFFFFFFF).astype(np.uint32),
+                 (hgid64 >> 32).astype(np.uint32)], axis=1)
         buf, mask, counts = distribute_bricks(arrays, L, self.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, P(("bx", "by", "bz"))))
