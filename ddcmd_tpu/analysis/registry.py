@@ -554,6 +554,32 @@ class CoarseGrain(Analysis):
                                 f"{T:10.3f}\n")
 
 
+class PairAnalysis(Analysis):
+    """pairAnalysis (nbrList method): count pairs within rmax and print
+    the count; output (re)creates an empty file -- faithful to the
+    reference's shipped behavior, whose geom/grid methods are commented
+    out (pairAnalysis.c:90-379)."""
+
+    def setup(self):
+        self.rmax = self.obj.get_with_units("rmax", "0", "l")
+        self.filename = self.obj.get_str("filename", "pairAnalysis.dat")
+
+    def eval(self, sim):
+        n = sim.sysdef.state.n_local
+        r = np.asarray(sim.ss.state.r[:n], dtype=np.float64)
+        L = np.asarray(sim.ss.box.lengths, dtype=np.float64)
+        d = r[:, None, :] - r[None, :, :]
+        d -= L * np.round(d / L)
+        r2 = (d * d).sum(-1)
+        np.fill_diagonal(r2, np.inf)
+        cnt = int((r2 < self.rmax ** 2).sum())  # ordered pairs, as reference
+        self.state["cnt"] = cnt
+        print(f"cnt={cnt}")
+
+    def output(self, sim, run_dir="."):
+        open(os.path.join(run_dir, self.filename), "w").close()
+
+
 class Quaternion(Analysis):
     """quaternion: per-particle grain-orientation color from antiparallel
     bond pairs (quaternion_calc, /root/reference/src/quaternion.c:83-237).
@@ -845,6 +871,7 @@ REGISTRY = {
     "STRESSWRITE": StressWrite,
     "FORCEAVERAGE": ForceAverage,
     "QUATERNION": Quaternion,
+    "PAIRANALYSIS": PairAnalysis,
     "CHOLANALYSIS": CholAnalysis,
     "DATASUBSET": DataSubset,
 }

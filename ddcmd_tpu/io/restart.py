@@ -18,9 +18,60 @@ from .collection import write_collection
 
 def write_snapshot(sim, run_dir: str = ".") -> str:
     """Lightweight trajectory dump at snapshotrate (writeBXYZ analog,
-    /root/reference/src/io.c:144): atoms shard + profile, NO restart
-    symlink update."""
-    return write_checkpoint(sim, run_dir, update_symlink=False)
+    /root/reference/src/io.c:144): atoms shard + bxyz + profile, NO
+    restart symlink update."""
+    snapdir = write_checkpoint(sim, run_dir, update_symlink=False)
+    write_bxyz(sim, snapdir)
+    return snapdir
+
+
+def write_bxyz(sim, snapdir: str) -> str:
+    """bxyz: compact binary per-particle dump (collection_writeBXYZ
+    mode 1, /root/reference/src/collection_write.c:338-410):
+    checksum u4 | id b8 | pinfo b2 | rx ry rz vx vy vz energy virial f4
+    in external units (Angstrom, Angstrom/fs, eV)."""
+    import zlib
+
+    sd = sim.sysdef
+    ss = sim.ss
+    n = sd.state.n_local
+    r = np.asarray(ss.state.r[:n], dtype=np.float64) * U.LENGTH_TO_ANG
+    v = np.asarray(ss.state.v[:n], dtype=np.float64) \
+        * (U.LENGTH_TO_ANG / U.TIME_TO_FS)
+    pe = np.asarray(ss.state.pe[:n], dtype=np.float64) / U.unit_scale("eV")
+    gid = ss.state.gid64()[:n]
+    col = sd.collection
+    groups = [g.name for g in sd.groups]
+    specs = [s.name for s in sd.species]
+    smap = {s: i for i, s in enumerate(specs)}
+    gmap = {g: i for i, g in enumerate(groups)}
+    n_groups = max(1, len(groups))
+    pinfo = np.array([smap.get(s, 0) * n_groups + gmap.get(g, 0)
+                      for s, g in zip(col.species_names, col.group_names)],
+                     dtype="<u2")
+    lrec = 4 + 8 + 2 + 8 * 4
+    recs = np.zeros((n, lrec), dtype=np.uint8)
+    recs[:, 4:12] = gid.astype("<u8").view(np.uint8).reshape(n, 8)
+    recs[:, 12:14] = pinfo.view(np.uint8).reshape(n, 2)
+    payload = np.concatenate(
+        [r, v, pe[:, None], np.zeros((n, 1))], axis=1).astype("<f4")
+    recs[:, 14:] = payload.view(np.uint8).reshape(n, 32)
+    for i in range(n):
+        ck = zlib.crc32(recs[i, 4:].tobytes()) & 0xFFFFFFFF
+        recs[i, 0:4] = np.frombuffer(
+            np.uint32(ck).astype("<u4").tobytes(), dtype=np.uint8)
+    path = os.path.join(snapdir, "bxyz#000000")
+    hdr = (f"bxyz FILEHEADER {{type=FIXRECORDBINARY; lrec={lrec};"
+           f" nrecord={n}; nfields=11; endian_key=875770417;\n"
+           "field_names=checksum id pinfo rx ry rz vx vy vz energy virial;\n"
+           "field_types=u4 b8 b2 f4 f4 f4 f4 f4 f4 f4 f4;\n"
+           "field_units=1 1 1 Angstrom Angstrom Angstrom Angstrom/fs "
+           "Angstrom/fs Angstrom/fs eV eV;\n"
+           f"groups={' '.join(groups)};\nspecies={' '.join(specs)};\n}}\n\n")
+    with open(path, "wb") as f:
+        f.write(hdr.encode())
+        f.write(recs.tobytes())
+    return path
 
 
 def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> str:

@@ -185,3 +185,55 @@ def test_datasubset_averages(tmp_path):
     assert vals[1] == 2 and vals[2] == 10
     assert vals[3] == pytest.approx(ke, rel=1e-6)
     assert vals[4] == pytest.approx(v[:10, 2].mean(), rel=1e-6)
+
+
+def test_pairanalysis_counts(capsys, tmp_path):
+    r, L = fcc(1.0, 3)
+    sim = FakeSim(r, L)
+    pa = _analysis("pa ANALYSIS { type=PAIRANALYSIS; rmax=8 Angstrom; "
+                   "eval_rate=1; outputrate=1; }", "pa")
+    pa.setup()
+    pa.eval(sim)
+    # FCC: 12 nearest at 0.707 < 0.8 nm -> 12 ordered pairs per atom
+    assert pa.state["cnt"] == 12 * len(r)
+    assert "cnt=" in capsys.readouterr().out
+    pa.output(sim, str(tmp_path))
+    assert (tmp_path / "pairAnalysis.dat").exists()
+
+
+def test_bxyz_write(tmp_path):
+    """bxyz record layout: checksum u4 | id b8 | pinfo b2 | 8 x f4."""
+    import zlib
+
+    r, L = fcc(1.0, 2)
+    sim = FakeSim(r, L)
+    sim.sysdef.collection = type("C", (), {})()
+    n = len(r)
+    sim.sysdef.collection.species_names = ["A"] * n
+    sim.sysdef.collection.group_names = ["free"] * n
+
+    class G:
+        name = "free"
+
+    class S:
+        name = "A"
+
+    sim.sysdef.groups = [G()]
+    sim.sysdef.species = [S()]
+    from ddcmd_tpu.io.restart import write_bxyz
+    from ddcmd_tpu.objects import units as U
+
+    path = write_bxyz(sim, str(tmp_path))
+    blob = open(path, "rb").read()
+    hdr_end = blob.index(b"}\n\n") + 3
+    assert b"FIXRECORDBINARY" in blob[:hdr_end]
+    lrec = 4 + 8 + 2 + 32
+    body = blob[hdr_end:]
+    assert len(body) == n * lrec
+    rec = np.frombuffer(body[:lrec], dtype=np.uint8)
+    ck = np.frombuffer(rec[:4].tobytes(), "<u4")[0]
+    assert ck == (zlib.crc32(rec[4:].tobytes()) & 0xFFFFFFFF)
+    gid0 = np.frombuffer(rec[4:12].tobytes(), "<u8")[0]
+    assert gid0 == 0
+    rx = np.frombuffer(rec[14:18].tobytes(), "<f4")[0]
+    assert rx == pytest.approx(r[0, 0] * U.LENGTH_TO_ANG, rel=1e-6)
