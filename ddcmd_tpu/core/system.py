@@ -41,6 +41,7 @@ class SimulateConfig:
     printinfo_name: str | None
     ddc_update_rate: int
     heap_size: int = 0
+    nfiles: int = 1            # checkpoint shard count (Pio_setNumWriteFiles)
 
 
 @dataclass
@@ -89,6 +90,7 @@ def _find_simulate(db: ObjectDB) -> SimulateConfig:
         system_name=sim.get_str("system", "system"),
         printinfo_name=sim.get_str("printinfo", "") or None,
         ddc_update_rate=_ddc_update_rate(db, sim),
+        nfiles=max(1, sim.get_int("nfiles", 1)),
     )
 
 

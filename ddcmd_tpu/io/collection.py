@@ -230,6 +230,16 @@ def _read_binary(paths, header, gid_hex):
                           r=r, v=v, header=header)
 
 
+def _strip_header(blob: bytes) -> bytes:
+    head = blob[:256].decode("utf-8", errors="replace")
+    if head.lstrip().split(None, 2)[1:2] == ["FILEHEADER"]:
+        end = blob.index(b"}") + 1
+        while end < len(blob) and blob[end:end + 1] in (b"\n", b"\r", b" "):
+            end += 1
+        return blob[end:]
+    return blob
+
+
 def _body_of(p):
     with open(p, "rb") as f:
         blob = f.read()
@@ -263,7 +273,8 @@ types = {types} ;
 def write_collection(path: str, *, gid, species_names, group_names, class_names,
                      r, v, h, loop: int = 0, time_fs: float = 0.0,
                      group_list=(), species_list=(), type_list=("ATOM",),
-                     gid_format: str = "dec", datatype: str = "VARRECORDASCII") -> None:
+                     gid_format: str = "dec", datatype: str = "VARRECORDASCII",
+                     nfiles: int = 1) -> None:
     """Write one atoms# shard compatible with collection_read.
 
     `r` in internal nm (written as Ang), `v` in nm/ps (written as Ang/fs),
@@ -272,8 +283,44 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
     VARRECORDASCII writes newline-delimited records without a checksum
     column (as in the committed waterbox snapshot); FIXRECORDASCII pads
     every record to a fixed length and prepends a crc32 checksum field.
+
+    nfiles > 1 splits the records across atoms#000000..#00000k shards
+    with the FILEHEADER only in shard 0 (pio N-writer layout,
+    Pio_setNumWriteFiles, /root/reference/src/simulate.c:212).
     """
     n = len(gid)
+    if nfiles > 1 and datatype.upper() not in ("FIXRECORDBINARY", "BINARY"):
+        assert path.endswith("000000"), path
+        base = path[:-6]
+        cuts = np.linspace(0, n, nfiles + 1).astype(int)
+        sl = slice(cuts[0], cuts[1])
+        write_collection(path, gid=gid[sl], species_names=species_names[sl],
+                         group_names=group_names[sl],
+                         class_names=class_names[sl], r=r[sl], v=v[sl], h=h,
+                         loop=loop, time_fs=time_fs, group_list=group_list,
+                         species_list=species_list, type_list=type_list,
+                         gid_format=gid_format, datatype=datatype)
+        # patch the shard-0 header's nfiles/nrecord to global values
+        blob = open(path, "rb").read()
+        blob = blob.replace(b"nfiles=1;", b"nfiles=%d;" % nfiles, 1)
+        blob = blob.replace(b"nrecord=%d;" % (cuts[1] - cuts[0]),
+                            b"nrecord=%d;" % n, 1)
+        open(path, "wb").write(blob)
+        for k in range(1, nfiles):
+            sl = slice(cuts[k], cuts[k + 1])
+            tmp = base + "%06d" % k
+            write_collection(tmp, gid=gid[sl],
+                             species_names=species_names[sl],
+                             group_names=group_names[sl],
+                             class_names=class_names[sl], r=r[sl], v=v[sl],
+                             h=h, loop=loop, time_fs=time_fs,
+                             group_list=group_list, species_list=species_list,
+                             type_list=type_list, gid_format=gid_format,
+                             datatype=datatype)
+            # continuation shards carry records only (header lives in #000000)
+            blob = open(tmp, "rb").read()
+            open(tmp, "wb").write(_strip_header(blob))
+        return
     if datatype.upper() in ("FIXRECORDBINARY", "BINARY"):
         return _write_binary(path, gid=gid, species_names=species_names,
                              group_names=group_names, r=r, v=v, h=h,

@@ -108,6 +108,7 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
         species_list=[s.name for s in sd.species],
         gid_format="hex" if sd.cfg.gidFormat == "hex" else "dec",
         datatype=mode,
+        nfiles=sd.cfg.nfiles,
     )
 
     hang = h * U.LENGTH_TO_ANG

@@ -94,3 +94,33 @@ def test_waterbox_checkpoint_roundtrip(wb_db, waterbox_dir, tmp_path):
     v1 = np.asarray(sim.ss.state.v[:n])
     v2 = np.asarray(sim2.ss.state.v[:n])
     assert np.abs(v1 - v2).max() < 1e-5
+
+
+def test_multishard_checkpoint(waterbox_dir, tmp_path):
+    """nfiles=3 in the deck -> three atoms# shards, restart-readable
+    (Pio_setNumWriteFiles analog)."""
+    from ddcmd_tpu.io.collection import read_collection
+    from ddcmd_tpu.io.restart import write_checkpoint
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.simulate import Simulation
+
+    db = load_db([str(waterbox_dir / "object.data")],
+                 str(waterbox_dir / "snapshot.mem" / "restart"),
+                 str(waterbox_dir))
+    db.compile_string("simulate SIMULATE { nfiles=3; }")
+    sim = Simulation(db, str(waterbox_dir), run_dir=str(tmp_path),
+                     engine="nlist")
+    sim.first_energy()
+    snapdir = write_checkpoint(sim, str(tmp_path))
+    import os
+
+    shards = sorted(x for x in os.listdir(snapdir) if x.startswith("atoms#"))
+    assert shards == ["atoms#000000", "atoms#000001", "atoms#000002"]
+    col = read_collection(os.path.join(os.path.basename(snapdir), "atoms#"),
+                          str(tmp_path))
+    n = sim.sysdef.state.n_local
+    assert col.n == n
+    r = np.asarray(sim.ss.state.r[:n])
+    order_a = np.argsort(col.gid)
+    order_b = np.argsort(sim.sysdef.collection.gid)
+    assert np.abs(col.r[order_a] - r[order_b]).max() < 1e-5
