@@ -1,0 +1,120 @@
+"""Cell-blocked EAM: the two-pass embedded-atom evaluation on the same
+dense cell-block layout as the nonbond engine (ops/cellpair.py).
+
+Pass 1 accumulates densities rho_i and pair energies per slot over the
+27-stencil blocks; the embedding F(rho), dF/drho is evaluated per slot;
+pass 2 sweeps the same blocks again with coefficients
+(dphi + (dF_i + dF_j) drho)/r (eam.c:166-190 combine rule).  dF values
+are re-blocked exactly like positions, so both passes are pure
+batched-matmul + VPU sweeps -- no scatter, no per-pair gather.
+
+Functional forms are shared with the (N,K)-list path
+(potentials.eam._pair_eval/_embedding), which stays as the validation
+reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..potentials.eam import _embedding, _pair_eval
+from .cellpair import CellBlockGrid
+
+
+def eam_cellblock_eval(r, sidx, fmask, perm, box_lengths,
+                       grid: CellBlockGrid, tables):
+    """Forces/energy/virial/per-particle pe for EAM on cell blocks.
+
+    Physics identical to potentials.eam.eam_eval (validated by parity
+    test); tables from eam_device_tables."""
+    n_pad = r.shape[0]
+    sentinel = n_pad
+    dt = r.dtype
+    ncell, cap = grid.ncell, grid.cap
+    S = grid.n_stencil
+    T = tables["n_species"]
+    form = tables["form"]
+
+    r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=dt)], axis=0)
+    s_ext = jnp.concatenate([sidx, jnp.zeros((1,), dtype=sidx.dtype)], axis=0)
+
+    P = r_ext[perm].reshape(ncell, cap, 3)
+    Pt = s_ext[perm].reshape(ncell, cap)
+    Pv = (perm != sentinel).reshape(ncell, cap) & \
+        (jnp.concatenate([fmask, jnp.zeros(1, fmask.dtype)])[perm] > 0
+         ).reshape(ncell, cap)
+
+    stencil = jnp.asarray(grid.stencil_cells)
+    wrap = jnp.asarray(grid.wrap, dtype=dt)
+    L = jnp.asarray(box_lengths, dtype=dt)
+
+    Q = P[stencil] + (wrap * L)[:, :, None, :]
+    # cell-centered coordinates (see cellpair.py: f32 MXU cancellation)
+    nc3 = jnp.asarray(grid.ncells, dtype=dt)
+    cells = np.arange(grid.ncell)
+    ny, nz = grid.ncells[1], grid.ncells[2]
+    cx, rem = np.divmod(cells, ny * nz)
+    cy, cz = np.divmod(rem, nz)
+    c3 = jnp.asarray(np.stack([cx, cy, cz], axis=1), dtype=dt)
+    centers = ((c3 + 0.5) / nc3 - 0.5) * L
+    Pc = P - centers[:, None, :]
+    Q = (Q - centers[:, None, None, :]).reshape(ncell, S * cap, 3)
+    Qt = Pt[stencil].reshape(ncell, S * cap)
+    Qv = Pv[stencil].reshape(ncell, S * cap)
+
+    slot = jnp.arange(ncell * cap, dtype=jnp.int32).reshape(ncell, cap)
+    Qslot = slot[stencil].reshape(ncell, S * cap)
+
+    hi = jax.lax.Precision.HIGHEST
+    p2 = jnp.sum(Pc * Pc, axis=-1)
+    q2 = jnp.sum(Q * Q, axis=-1)
+    pq = jnp.einsum("ncd,nsd->ncs", Pc, Q, preferred_element_type=dt,
+                    precision=hi)
+    d2 = p2[:, :, None] + q2[:, None, :] - 2.0 * pq
+
+    mask = (Pv[:, :, None] & Qv[:, None, :]
+            & (slot[:, :, None] != Qslot[:, None, :])
+            & (d2 < tables["rcut2"]) & (d2 > 0))
+    w = mask.astype(dt)
+    d2s = jnp.where(mask, d2, jnp.asarray(1.0, dt))
+    ir2 = 1.0 / d2s
+    ir = jnp.sqrt(ir2)
+
+    pair_idx = Pt[:, :, None] * T + Qt[:, None, :]
+
+    # pass 1: pair energy + density
+    e1, p1 = _pair_eval(form, tables["pair"], pair_idx, d2s, ir, ir2, False)
+    rho_slot = jnp.sum(p1 * w, axis=-1)                 # (C,c)
+    pe_pair = 0.5 * jnp.sum(e1 * w, axis=-1)
+
+    F_slot, dF_slot = _embedding(form, tables["embed"], Pt, rho_slot)
+    wv = Pv.astype(dt)
+    F_slot = F_slot * wv
+    dF_slot = dF_slot * wv
+
+    # pass 2: block the dF values like positions and combine
+    dFq = dF_slot[stencil].reshape(ncell, S * cap)
+    de, dp = _pair_eval(form, tables["pair"], pair_idx, d2s, ir, ir2, True)
+    coef = (de + dp * (dF_slot[:, :, None] + dFq[:, None, :])) * w
+
+    csum = jnp.sum(coef, axis=-1)
+    F = -Pc * csum[:, :, None] + jnp.einsum(
+        "ncs,nsd->ncd", coef, Q, preferred_element_type=dt, precision=hi)
+
+    # virial = 0.5 sum_ordered f_ij (x) dr_ij = -0.5 [A - B - B^T + C]
+    A = jnp.einsum("nc,ncd,nce->de", csum, Pc, Pc)
+    CQ = jnp.einsum("ncs,nsd->ncd", coef, Q, preferred_element_type=dt,
+                    precision=hi)
+    B = jnp.einsum("ncd,nce->de", Pc, CQ)
+    qsum = jnp.sum(coef, axis=1)
+    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q)
+    virial = -0.5 * (A - B - B.T + Cm)
+
+    pe_slot = pe_pair + F_slot
+    f = jnp.zeros((n_pad + 1, 3), dtype=dt).at[perm].set(
+        F.reshape(-1, 3), mode="drop")[:n_pad]
+    pe = jnp.zeros((n_pad + 1,), dtype=dt).at[perm].set(
+        pe_slot.reshape(-1), mode="drop")[:n_pad]
+    return f, jnp.sum(pe_slot), virial, pe

@@ -99,14 +99,17 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             from ..potentials.eam import eam_device_tables, eam_eval
 
             etables = eam_device_tables(parms, dtype=dtype)
-            if engine == "cellblock":
-                raise NotImplementedError(
-                    "EAM runs on the nlist engine for now; "
-                    "Simulation auto-selects it")
+            if engine in ("cellblock", "pallas"):
+                from ..ops.cellpair_eam import eam_cellblock_eval
 
-            def eam_term(state, box, nbr_idx, etables=etables):
-                return eam_eval(state.r, state.species, state.fmask, nbr_idx,
-                                box.lengths, etables)
+                def eam_term(state, box, perm, etables=etables, grid=grid):
+                    return eam_cellblock_eval(
+                        state.r, state.species, state.fmask, perm,
+                        box.lengths, grid, etables)
+            else:
+                def eam_term(state, box, nbr_idx, etables=etables):
+                    return eam_eval(state.r, state.species, state.fmask,
+                                    nbr_idx, box.lengths, etables)
 
             terms.append(eam_term)
         elif ptype == "ORDERSH":

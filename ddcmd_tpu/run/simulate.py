@@ -48,8 +48,10 @@ class Simulation:
         self.dtype = dtype
         self.sysdef = build_system(db, base_dir, dtype=dtype)
         sd = self.sysdef
-        if any(p[0] in ("EAM", "PAIRENERGY", "ORDERSH") for p in sd.potentials):
+        if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
             engine = "nlist"  # cell-block variants pending
+        if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
+            engine = "cellblock"  # pallas kernel covers LJ/RF only
         self.engine = engine
         if engine in ("cellblock", "pallas"):
             from ..ops.cellpair import CellBlockGrid

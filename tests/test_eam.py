@@ -296,3 +296,39 @@ def test_ordersh_q6_and_forces():
             em = float(ev(rd.at[i, ax].add(-h), fm, nbr2, Lv)[1])
             fd = -(ep - em) / (2 * h)
             assert float(f2[i, ax]) == pytest.approx(fd, rel=1e-5, abs=1e-6)
+
+
+def test_eam_cellblock_matches_nlist():
+    """Cell-block EAM engine == (N,K)-list engine on a perturbed FCC
+    crystal, for the FS analytic and RATIONAL forms."""
+    from ddcmd_tpu.ops.cellpair import CellBlockGrid, build_cell_slots
+    from ddcmd_tpu.ops.cellpair_eam import eam_cellblock_eval
+
+    a_lat = 0.3615
+    r, L = fcc(a_lat, 3)
+    n = len(r)
+    rng = np.random.default_rng(2)
+    r = r + rng.standard_normal(r.shape) * 0.006
+    rcut = 0.55
+    for make in (make_fs_parms, make_sc_parms):
+        parms = make(rcut)
+        tables = eam_device_tables(parms, dtype=jnp.float64)
+        Lv = jnp.asarray([L] * 3, jnp.float64)
+        rj = jnp.asarray(r, jnp.float64)
+        sidx = jnp.zeros(n, jnp.int32)
+        fmask = jnp.ones(n, jnp.float64)
+
+        grid1 = CellGrid.plan([L] * 3, rcut, 0.1, n, n)
+        nbr, _, _ = build_neighbor_list(rj, fmask, Lv, grid1)
+        f1, e1, v1, pe1 = eam_eval(rj, sidx, fmask, nbr, Lv, tables)
+
+        cgrid = CellBlockGrid.plan([L] * 3, rcut, 0.1, n)
+        perm, ov = build_cell_slots(rj, fmask, Lv, cgrid)
+        assert not bool(ov)
+        f2, e2, v2, pe2 = eam_cellblock_eval(rj, sidx, fmask, perm, Lv,
+                                             cgrid, tables)
+        assert float(e2) == pytest.approx(float(e1), rel=1e-9)
+        scale = float(jnp.abs(f1).max())
+        assert float(jnp.abs(f2 - f1).max()) / scale < 1e-9
+        assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=1e-7)
+        assert np.abs(np.asarray(pe2 - pe1)).max() < 1e-9
