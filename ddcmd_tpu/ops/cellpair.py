@@ -216,10 +216,17 @@ def cellpair_eval(r, q, tidx, perm, box_lengths, grid: CellBlockGrid, tables,
     ir = jnp.sqrt(ir2)
 
     T = tables["sigma"].shape[0]
-    pair_t = Pt[:, :, None] * T + Qt[:, None, :]
-    sig = tables["sigma"].reshape(-1)[pair_t]
-    eps = tables["eps"].reshape(-1)[pair_t]
-    shf = tables["shift"].reshape(-1)[pair_t]
+    if T == 1:
+        # uniform-type system (e.g. the Martini waterbox): the three big
+        # (C,c,Sc) table gathers collapse to scalars -- a large HBM saving
+        sig = tables["sigma"][0, 0]
+        eps = tables["eps"][0, 0]
+        shf = tables["shift"][0, 0]
+    else:
+        pair_t = Pt[:, :, None] * T + Qt[:, None, :]
+        sig = tables["sigma"].reshape(-1)[pair_t]
+        eps = tables["eps"].reshape(-1)[pair_t]
+        shf = tables["shift"].reshape(-1)[pair_t]
 
     s2 = sig * sig * ir2
     s6 = s2 * s2 * s2

@@ -49,6 +49,20 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                                 * tables["keR"] * tables["crf"])
                     return f, e + jnp.sum(e_self_i), virial, pe + e_self_i
             elif engine == "cellblock":
+                # uniform-type fast path: collapse the LJ tables to 1x1
+                # when the collection uses a single LJ type
+                n_loc = sysdef.state.n_local
+                used = np.unique(np.asarray(parms.species_lj_type)[
+                    np.asarray(sysdef.state.species[:n_loc])])
+                if len(used) == 1:
+                    t0 = int(used[0])
+                    tables = dict(
+                        tables,
+                        sigma=tables["sigma"][t0:t0 + 1, t0:t0 + 1],
+                        eps=tables["eps"][t0:t0 + 1, t0:t0 + 1],
+                        shift=tables["shift"][t0:t0 + 1, t0:t0 + 1])
+                    tmap = jnp.zeros_like(tmap)
+
                 def martini_term(state, box, handle, tables=tables, tmap=tmap):
                     tidx = tmap[state.species]
                     f, e, virial, pe = cellpair_eval(
