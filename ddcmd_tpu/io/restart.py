@@ -122,6 +122,14 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
             f.write(f"{sd.cfg.integrator_name} INTEGRATOR {{ zeta={zeta_ext:.12e} ; }}\n")
         f.write(f"collection COLLECTION {{ mode={mode}; size={n};"
                 f" files={os.path.basename(snapdir)}/atoms#;}}\n")
+        # RNG continuity: the PRNG key is the TPU-native analog of the
+        # reference's per-particle random-stream serialization (lcg64.c
+        # bwrite); restoring it makes restarted thermostat noise identical
+        key = np.asarray(getattr(sim, "key", np.zeros(2, np.uint32)))
+        rname = sd.db.get(sd.cfg.system_name, "SYSTEM").get_str(
+            "random", "random")
+        f.write("%s RANDOM { keyData=%d %d; }\n"
+                % (rname, int(key[0]), int(key[1])))
 
     # per-phase timing table into the snapshot (dumpprofile, ddcMD.c:209-223)
     from ..utils.profile import PROFILE

@@ -130,6 +130,12 @@ class Simulation:
                 self.transforms.append((tname, tobj, tobj.get_int("rate", 0)))
 
         self.key = jax.random.PRNGKey(sd.random_seed)
+        robj = db.find(db.get(sd.cfg.system_name, "SYSTEM")
+                       .get_str("random", "random"), "RANDOM")
+        if robj is not None and robj.has("keyData"):
+            # restart continuity (written by io.restart.write_checkpoint)
+            kd = [int(x) for x in robj.get_strv("keyData")]
+            self.key = jnp.asarray(kd[:2], dtype=jnp.uint32)
         zeta0 = sd.integrator_parms["zeta"] if sd.integrator_type == "NPTGLF" else 0.0
         self.ss = StepState(
             state=sd.state, box=sd.box, energy=EnergyInfo.zero(dtype),
