@@ -600,6 +600,18 @@ class Simulation:
             from ..utils.profile import PROFILE
 
             print(PROFILE.table())
+        if "analysis" in text:
+            # DO_ANALYSIS flag: force every registered analysis to eval +
+            # output now (readCmds.c:47)
+            for a in self.analyses:
+                a.eval(self)
+                a.output(self, self.run_dir)
+        if "hpm" in text:
+            # HPM_PRINT: hardware-counter wrapper is a no-op stub in the
+            # reference release too (hpmWrapper.c:20-23)
+            print("hpm: no-op (reference stubs HPM in this release)")
+        if "exit" in text and "checkpoint" not in text and on_checkpoint:
+            on_checkpoint(self)   # exit = STOP | CHECKPOINT (readCmds.c:44)
         if "kill" in text or "exit" in text or "stop" in text:
             stop = True
         return stop
