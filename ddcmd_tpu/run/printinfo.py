@@ -35,6 +35,7 @@ class PrintInfo:
     u_len: str
     print_molecular_pressure: bool
     print_stress: bool
+    print_graphs: bool = False
     datafile: str = "data"
     _wrote_header: bool = False
 
@@ -57,6 +58,7 @@ class PrintInfo:
             u_time=u_t, u_energy=u_e, u_temp=u_T, u_press=u_p, u_vol=u_v, u_len=u_l,
             print_molecular_pressure=bool(obj.get_int("printMolecularPressure", 0)) if obj else False,
             print_stress=bool(obj.get_int("printStress", 0)) if obj else False,
+            print_graphs=bool(obj.get_int("printGraphs", 0)) if obj else False,
         )
 
     def header(self) -> str:

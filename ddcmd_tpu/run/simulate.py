@@ -416,6 +416,8 @@ class Simulation:
                 self._forced_spr = max(1, spr // 2)
             with PROFILE.phase("printinfo"):
                 self._emit_prints(scal, k, print_fn)
+            if self.printinfo.print_graphs:
+                self._emit_graphs(k)
             if len(self.sysdef.groups) > 1 and cfg.printrate \
                     and int(self.ss.loop) % cfg.printrate == 0:
                 self._emit_group_files()
@@ -464,6 +466,25 @@ class Simulation:
             v_tgt = self.sysdef.state.n_local * float(bt["eq"](t + S * dt))
             lam = [(v_tgt / v_now) ** (1.0 / (3.0 * S))] * 3
         return jnp.asarray(lam, self.dtype)
+
+    def _emit_graphs(self, k):
+        """Load-diagnostics file (graphWrite analog,
+        /root/reference/src/graph.c:23-110): per-dispatch particle and
+        pair-work statistics.  On TPU the interesting numbers are the
+        cell occupancy vs capacity (wasted lanes) and the pair-slot
+        count the dense engine actually sweeps."""
+        g = self.grid
+        n = self.sysdef.state.n_local
+        if hasattr(g, "cap"):       # cell-block engine
+            pair_slots = g.ncell * getattr(g, "n_stencil", 27) * g.cap * g.cap
+            line = (f"{int(self.ss.loop):10d} {float(self.ss.time):12.6f} "
+                    f"nlocal={n} ncell={g.ncell} cap={g.cap} "
+                    f"pair_slots={pair_slots} steps={k}")
+        else:
+            line = (f"{int(self.ss.loop):10d} {float(self.ss.time):12.6f} "
+                    f"nlocal={n} steps={k}")
+        with open(os.path.join(self.run_dir, "graphs"), "a") as f:
+            f.write(line + "\n")
 
     def _emit_group_files(self):
         """Per-group temperature/KE files (printinfo.c:261-279), written
