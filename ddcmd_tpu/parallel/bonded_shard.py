@@ -22,15 +22,29 @@ import numpy as np
 
 
 def pack_gid(gid_pair):
-    """(n,2) uint32 [lo, hi] -> int64 (bio gids fit in 63 bits)."""
-    g = gid_pair.astype(jnp.int64)
-    return g[:, 0] + (g[:, 1] << 32)
+    """(n,2) uint32 [lo, hi] -> sortable scalar key.
+
+    With jax_enable_x64: int64 lo + (hi << 32) (full bio gids).  In
+    32-bit mode int64 is unavailable on device, so gids must fit the
+    low word (hi == 0) and the key is the int32 low word -- callers with
+    mol<<32 bio gids must enable x64 for the sharded bonded path."""
+    import jax
+
+    if jax.config.jax_enable_x64:
+        g = gid_pair.astype(jnp.int64)
+        return g[:, 0] + (g[:, 1] << 32)
+    return gid_pair[:, 0].astype(jnp.int32)
 
 
 def bonded_gid_tables(bt, gid, device_tables):
     """Host-side: replace the state-row index arrays in device_bonded_tables
     output with GID index arrays (int64).  `gid` maps rows -> gids."""
+    import jax
+
     gid = np.asarray(gid, dtype=np.int64)
+    if not jax.config.jax_enable_x64 and gid.max() >= 2 ** 31:
+        raise ValueError("sharded bonded terms with >31-bit gids require "
+                         "jax_enable_x64 (pack_gid key width)")
     out = dict(device_tables)
     for fam in ("bonds", "angles", "torsions", "impropers", "bpairs",
                 "exclusions"):
@@ -53,7 +67,7 @@ def resolve_terms(tables, pool_gid64, pool_mask, local_cap):
     coherence makes ownership unambiguous and exactly-once across the
     mesh."""
     n_pool = pool_gid64.shape[0]
-    big = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+    big = jnp.asarray(jnp.iinfo(pool_gid64.dtype).max, pool_gid64.dtype)
     keyed = jnp.where(pool_mask, pool_gid64, big)
     order = jnp.argsort(keyed)
     sg = keyed[order]

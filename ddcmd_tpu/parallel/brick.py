@@ -134,7 +134,7 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
 
             g64 = pack_gid(cur["gid"])
             h64 = pack_gid(cur["hgid"])
-            big = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+            big = jnp.asarray(jnp.iinfo(g64.dtype).max, g64.dtype)
             keyed = jnp.where(mask, g64, big)
             order = jnp.argsort(keyed)
             sgg = keyed[order]
