@@ -232,7 +232,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         elif ptype == "PAIR":
             from ..potentials.pair import compile_pair
 
-            parms = compile_pair(db, pname, species)
+            parms = compile_pair(db, pname, species, base_dir)
             rcut_max = max(rcut_max, parms.rcut)
             potentials.append(("PAIR", pname, parms))
         elif ptype == "EAM":

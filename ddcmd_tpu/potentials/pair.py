@@ -1,5 +1,5 @@
-"""PAIR potential: shifted Lennard-Jones between SPECIES (reference
-/root/reference/src/pair.c:44-322).
+"""PAIR potential: shifted Lennard-Jones or tabulated pair between
+SPECIES (reference /root/reference/src/pair.c:44-322).
 
 Deck form (see annotated template /root/reference/examples/object/object.data):
 
@@ -12,6 +12,13 @@ The reference resolves per-species-pair parameter objects named
   * per-pair objects `A-B PAIRPOTENTIALPARMS {eps=..; sigma=..;}`
 
 Energy: v = 4 eps ((s/r)^12 - (s/r)^6) - v(rc)  (shift=1 default).
+
+function=TableFunction loads a piecewise-polynomial table
+(table_parms/table_function_uniform,
+/root/reference/src/table_function.c:28-101): file rows
+`x a0 a1 ... a_{terms-1}` on uniform intervals, v(r) = sum a_k (r-x_i)^k,
+dv/dr = sum k a_k (r-x_i)^{k-1}; deck keys number_intervals,
+number_terms, filename, table_energyUnits/table_lengthUnits, Rmax.
 """
 
 from __future__ import annotations
@@ -31,10 +38,38 @@ class PairParms:
     eps: np.ndarray
     shift: np.ndarray
     rcut: float
+    # TableFunction variant (None for LJ)
+    table: dict | None = None
 
 
-def compile_pair(db: ObjectDB, name: str, species) -> PairParms:
+def compile_pair(db: ObjectDB, name: str, species, base_dir: str = ".") -> PairParms:
+    import os
+
+    from ..objects import units as U
+
     pot = db.get(name, "POTENTIAL")
+    func = pot.get_str("function", "lennardjones").lower()
+    if func == "tablefunction":
+        n_iv = pot.get_int("number_intervals", 1)
+        n_terms = pot.get_int("number_terms", 1)
+        fname = pot.get_str("filename", "table.data")
+        e_conv = U.unit_scale(pot.get_str("table_energyUnits", "energy"))
+        l_conv = U.unit_scale(pot.get_str("table_lengthUnits", "l"))
+        rmax = pot.get_with_units("Rmax", "0.0", "l")
+        rows = np.loadtxt(os.path.join(base_dir, fname),
+                          ndmin=2)[:n_iv, : n_terms + 1]
+        x = rows[:, 0] * l_conv
+        coeff = rows[:, 1:] * (e_conv / l_conv ** np.arange(n_terms))
+        dx = np.diff(x)
+        if len(dx) and abs(1.0 - dx.mean() ** 2 / (dx ** 2).mean()) > 1e-12:
+            raise DeckError(f"{name}: TableFunction requires uniform "
+                            "intervals (as table_function_uniform)")
+        ns = len(species)
+        table = dict(x0=x[0], dx=float(dx.mean()) if len(dx) else 1.0,
+                     x=x, coeff=coeff, rmax=rmax)
+        return PairParms(n_species=ns, sigma=np.zeros((ns, ns)),
+                         eps=np.zeros((ns, ns)), shift=np.zeros((ns, ns)),
+                         rcut=rmax, table=table)
     rcut = pot.get_with_units("cutoff", "0.0", "l")
     if rcut <= 0:
         raise DeckError(f"{name}: PAIR requires cutoff")
@@ -66,12 +101,19 @@ def compile_pair(db: ObjectDB, name: str, species) -> PairParms:
 
 
 def pair_device_tables(parms: PairParms, dtype=jnp.float32):
-    return dict(
+    t = dict(
         sigma=jnp.asarray(parms.sigma, dtype=dtype),
         eps=jnp.asarray(parms.eps, dtype=dtype),
         shift=jnp.asarray(parms.shift, dtype=dtype),
         rcut2=jnp.asarray(parms.rcut ** 2, dtype=dtype),
     )
+    if parms.table is not None:
+        tb = parms.table
+        t["tab_x"] = jnp.asarray(tb["x"], dtype=dtype)
+        t["tab_coeff"] = jnp.asarray(tb["coeff"], dtype=dtype)
+        t["tab_x0"] = jnp.asarray(tb["x0"], dtype=dtype)
+        t["tab_idx"] = jnp.asarray(1.0 / tb["dx"], dtype=dtype)
+    return t
 
 
 def pair_lj(r, sidx, fmask, nbr_idx, box_lengths, tables):
@@ -86,20 +128,36 @@ def pair_lj(r, sidx, fmask, nbr_idx, box_lengths, tables):
     dr = dr - box_lengths * jnp.round(dr / box_lengths)
     r2 = jnp.sum(dr * dr, axis=-1)
 
-    ns = tables["sigma"].shape[0]
-    pair_t = sidx[:, None] * ns + s_ext[nbr_idx]
-    sig = tables["sigma"].reshape(-1)[pair_t]
-    eps = tables["eps"].reshape(-1)[pair_t]
-    shf = tables["shift"].reshape(-1)[pair_t]
-
     valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0) & (fmask[:, None] > 0)
     r2s = jnp.where(valid, r2, jnp.asarray(1.0, dt))
     ir2 = 1.0 / r2s
-    s2 = sig * sig * ir2
-    s6 = s2 * s2 * s2
-    s12 = s6 * s6
-    e_pair = 4.0 * eps * (s12 - s6) + shf
-    dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
+    if "tab_coeff" in tables:
+        # piecewise polynomial in (r - x_i) (table_function_uniform,
+        # table_function.c:85-101); dvdr here is (dv/dr)/r
+        rr = jnp.sqrt(r2s)
+        i = jnp.clip(((rr - tables["tab_x0"]) * tables["tab_idx"])
+                     .astype(jnp.int32), 0, tables["tab_x"].shape[0] - 1)
+        xr = rr - tables["tab_x"][i]
+        c = tables["tab_coeff"][i]          # (..., K)
+        K = c.shape[-1]
+        v = c[..., K - 1]
+        d = jnp.zeros_like(v)
+        for k in range(K - 2, -1, -1):
+            d = d * xr + (k + 1) * c[..., k + 1]
+            v = v * xr + c[..., k]
+        e_pair = v
+        dvdr = d / rr
+    else:
+        ns = tables["sigma"].shape[0]
+        pair_t = sidx[:, None] * ns + s_ext[nbr_idx]
+        sig = tables["sigma"].reshape(-1)[pair_t]
+        eps = tables["eps"].reshape(-1)[pair_t]
+        shf = tables["shift"].reshape(-1)[pair_t]
+        s2 = sig * sig * ir2
+        s6 = s2 * s2 * s2
+        s12 = s6 * s6
+        e_pair = 4.0 * eps * (s12 - s6) + shf
+        dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
 
     w = valid.astype(dt)
     fij = -(dvdr * w)[:, :, None] * dr

@@ -332,3 +332,83 @@ def test_eam_cellblock_matches_nlist():
         assert float(jnp.abs(f2 - f1).max()) / scale < 1e-9
         assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=1e-7)
         assert np.abs(np.asarray(pe2 - pe1)).max() < 1e-9
+
+
+def test_pair_tablefunction():
+    """PAIR function=TableFunction: piecewise-polynomial table matches an
+    analytic LJ sampled into per-interval Taylor rows
+    (table_function_uniform, table_function.c:85-101)."""
+    import os
+    import tempfile
+
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.potentials.pair import (compile_pair, pair_device_tables,
+                                           pair_lj)
+
+    rcut = 0.54
+    sig, eps = 0.34, 1.2
+
+    def v(r):
+        s6 = (sig / r) ** 6
+        return 4 * eps * (s6 ** 2 - s6)
+
+    def dv(r):
+        s6 = (sig / r) ** 6
+        return 24 * eps * (s6 - 2 * s6 ** 2) / r
+
+    # cubic Taylor rows on uniform intervals
+    x = np.linspace(0.25, 0.56, 312)
+    dx = x[1] - x[0]
+    h = 1e-5
+    rows = []
+    for xi in x:
+        d2 = (dv(xi + h) - dv(xi - h)) / (2 * h)
+        d3 = (dv(xi + h) - 2 * dv(xi) + dv(xi - h)) / h ** 2
+        rows.append([xi * 10.0,              # Angstrom in file
+                     v(xi), dv(xi) * 0.1, d2 * 0.01 / 2, d3 * 0.001 / 6])
+    # file values in kJ/mol + Angstrom: energy conv 1, length conv 0.1
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "table.data"), "w") as f:
+        for row in rows:
+            f.write(" ".join("%.12e" % z for z in row) + "\n")
+
+    db = ObjectDB().compile_string(
+        f"pot POTENTIAL {{ type=PAIR; function=TableFunction; "
+        f"number_intervals={len(x)}; number_terms=4; filename=table.data; "
+        f"table_energyUnits=kJ*mol^-1; table_lengthUnits=Angstrom; "
+        f"Rmax={rcut} nm; }}")
+
+    class Sp:
+        name = "A"
+
+    parms = compile_pair(db, "pot", [Sp()], d)
+    tab = pair_device_tables(parms, jnp.float64)
+
+    rng = np.random.default_rng(1)
+    L = 2.0
+    m = 5
+    g = (np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"), -1)
+         .reshape(-1, 3) + 0.5) / m * L - L / 2
+    r = g + rng.standard_normal(g.shape) * 0.01
+    n = len(r)
+    grid = CellGrid.plan([L] * 3, rcut, 0.05, n, n)
+    Lv = jnp.asarray([L] * 3, jnp.float64)
+    rj = jnp.asarray(r)
+    fm = jnp.ones(n, jnp.float64)
+    sidx = jnp.zeros(n, jnp.int32)
+    nbr, _, _ = build_neighbor_list(rj, fm, Lv, grid)
+    f, e, vir, pe = pair_lj(rj, sidx, fm, nbr, Lv, tab)
+
+    # brute-force analytic reference
+    dmat = r[:, None, :] - r[None, :, :]
+    dmat -= L * np.round(dmat / L)
+    r2 = (dmat ** 2).sum(-1)
+    np.fill_diagonal(r2, np.inf)
+    mm = r2 < rcut ** 2
+    rr = np.sqrt(np.where(mm, r2, 1.0))
+    e_ref = 0.5 * np.where(mm, v(rr), 0.0).sum()
+    assert float(e) == pytest.approx(e_ref, rel=1e-6)
+    coef = np.where(mm, dv(rr) / rr, 0.0)
+    f_ref = -(coef[:, :, None] * dmat).sum(1)
+    scale = np.abs(f_ref).max()
+    assert np.abs(np.asarray(f) - f_ref).max() / scale < 1e-5
