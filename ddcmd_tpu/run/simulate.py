@@ -48,6 +48,13 @@ class Simulation:
         self.dtype = dtype
         self.sysdef = build_system(db, base_dir, dtype=dtype)
         sd = self.sysdef
+        if not sd.box.ortho:
+            # the cell engines assume a diagonal h; refuse loudly instead
+            # of running silently wrong physics (reference GEOM supports
+            # non-orthorhombic binning; a triclinic engine is future work)
+            raise NotImplementedError(
+                "non-orthorhombic (triclinic) boxes are not supported by "
+                "the pair engines yet; h must be diagonal")
         if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
             engine = "nlist"  # cell-block variants pending
         if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
