@@ -33,8 +33,16 @@ def main():
     db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
                  os.path.join(REFERENCE_WATERBOX, "snapshot.mem", "restart"),
                  REFERENCE_WATERBOX)
-    engine = os.environ.get("BENCH_ENGINE", "cellblock")
+    engine = os.environ.get("BENCH_ENGINE", "auto")
     sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp", engine=engine)
+    try:
+        sim.first_energy()
+    except Exception:
+        # robust fallback: the XLA cell-block engine
+        engine = "cellblock"
+        sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp",
+                         engine=engine)
+    engine = sim.engine
     rep = int(os.environ.get("BENCH_REPLICATE", "1"))
     if rep > 1:
         from ddcmd_tpu.objects.parser import DeckObject
@@ -48,7 +56,6 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "4000"))
     dispatch = int(os.environ.get("BENCH_DISPATCH", "1600"))
 
-    sim.first_energy()
     # warmup: compile the dispatch-sized program + run one of them
     sim.run(dispatch, print_fn=lambda s: None, max_steps_per_dispatch=dispatch)
     jax.block_until_ready(sim.ss.state.r)

@@ -6,20 +6,26 @@ keeps the entire per-cell pair tile in VMEM:
 
   grid = (ncell,)
   per program c:
-    P block   <- slots[c*cap:(c+1)*cap]            (auto-pipelined VMEM)
+    P block   <- slots[c]                         (auto-pipelined VMEM)
     loop s in 0..S-1:
-      Q block <- DMA slots[stencil[c,s]*cap ...]   (double-buffered)
+      Q block <- DMA slots[stencil[c,s]]          (double-buffered)
       tile math: d2 = |p|^2+|q|^2-2 p.q (MXU), LJ+RF (VPU),
                  LJ params via one-hot matmuls (MXU; no gathers),
-      accumulate F (cap,3), pe (cap,), e, virial in VMEM
-  outputs: per-slot [fx fy fz pe], per-cell [e, virial(6)]
+      accumulate F (cap,3), pe (cap,1), e, virial in VMEM
+  outputs: per-slot [f, pe], per-cell [e, virial6]
 
-HBM traffic per step ~ S reads of each cell block + one write: ~5 MB for
-the waterbox vs ~700 MB for the XLA path.
+Record layout (v2): TRANSPOSED (ncell, 8, cap) -- fields on SUBLANES
+(x, y, z, q, type, valid, 0, 0), atoms on LANES with cap a multiple of
+128.  A stencil DMA moves one aligned (8, cap) tile = 4KB at cap=128
+(the v1 record-per-row layout needed 128-lane padded records = 16x the
+bytes).  Cells are planned FAT (plan_lanes: ~100 atoms/cell, cap=128)
+so the lanes stay busy.
 
-slots layout (packed host-side, f32, cell-CENTERED coordinates):
-  [:, 0:3] position, [:, 3] charge, [:, 4] LJ type, [:, 5] validity.
-stencil_packed: (ncell, S, 4) int32 [cell_id, dx, dy, dz]; the exact
+Column vectors are derived from sublane rows with tiny MXU dots
+(col = dot(rows, ones/I3) contracting the sublane dim) -- no in-kernel
+transposes.
+
+stencil_packed: (ncell, S*4) int32 [cell_id, dx, dy, dz]*S; the exact
 shift of a q block into p's frame is d * L/ncells per axis (center
 delta + periodic image combined -- see pack_stencil).
 """
@@ -27,7 +33,7 @@ delta + periodic image combined -- see pack_stencil).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+import math as _math
 
 import jax
 import jax.numpy as jnp
@@ -35,149 +41,199 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cellpair import CellBlockGrid
+from .cellpair import CellBlockGrid, _build_stencil
+
+
+def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
+               lane_cap: int = 128, density_safety: float = 1.3
+               ) -> CellBlockGrid:
+    """Plan a FAT cell grid for the lane-parallel kernel: cells as large
+    as the lane capacity allows (expected occupancy * safety <= lane_cap)
+    but never smaller than rlist."""
+    L = np.asarray(box_lengths, dtype=np.float64)
+    rlist = rcut + skin
+    vol = float(np.prod(L))
+    density = n_particles / vol
+
+    def need(nc):
+        return int(density * vol / float(np.prod(nc)) * density_safety) + 4
+
+    edge_cap = ((lane_cap - 4) / (density * density_safety)) ** (1.0 / 3.0)
+    # start feasible (enough cells that expected occupancy fits the lane
+    # capacity; never cells smaller than rlist), then greedily coarsen:
+    # fewer, fatter cells = fuller lanes = less wasted pair math
+    ncells = [min(max(1, int(_math.ceil(l / edge_cap))),
+                  max(1, int(_math.floor(l / rlist)))) for l in L]
+    improved = True
+    while improved:
+        improved = False
+        for i in sorted(range(3), key=lambda j: -ncells[j]):
+            trial = list(ncells)
+            if trial[i] <= 1:
+                continue
+            trial[i] -= 1
+            if need(trial) <= lane_cap:
+                ncells = trial
+                improved = True
+                break
+    ncells = tuple(ncells)
+    cap = max(lane_cap, 128 * int(_math.ceil(need(ncells) / 128.0)))
+    stencil_cells, wrap = _build_stencil(ncells)
+    return CellBlockGrid(ncells=ncells, cap=cap, rlist=rlist,
+                         stencil_cells=stencil_cells, wrap=wrap)
 
 
 def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
             L_ref,            # (1, 8) f32 SMEM: L/ncells (3), rcut2
-            slots_ref,        # (ncell*cap, 128) f32 HBM (tile-aligned records)
-            p_ref,            # (cap, 128) f32 VMEM (this cell's block)
+            slots_ref,        # (ncell, 8, cap) f32 HBM (transposed records)
+            p_ref,            # (1, 8, cap) f32 VMEM (this cell's block)
             sigma_ref, eps_ref, shift_ref,   # (T, T) f32 VMEM
             out_f_ref,        # (cap, 3) f32 VMEM forces
             out_pe_ref,       # (cap, 1) f32 VMEM per-slot energy
-            out_cell_ref,     # (1, 8) f32 SMEM: e + virial6 (scalar stores)
-            q_scratch,        # (2, cap, 128) f32 VMEM double buffer
-            sem,              # DMA semaphores (2,)
-            *, cap: int, n_stencil: int, T: int,
+            out_cell_ref,     # (ncell, 8) f32 SMEM: e + virial6
+            q_scratch,        # (8, S*cap) f32 VMEM: ALL stencil blocks
+            sem,              # DMA semaphores (S,)
+            *, cap: int, n_stencil: int, s_self: int, T: int,
             krf: float, crf: float, keR: float, coulomb: bool):
     c = pl.program_id(0)
+    S = n_stencil
+    W = S * cap
 
     Lnx = L_ref[0, 0]
     Lny = L_ref[0, 1]
     Lnz = L_ref[0, 2]
     rcut2 = L_ref[0, 3]
 
-    P = p_ref[:]
-    px = P[:, 0:3]                                     # (cap,3)
-    pq = P[:, 3:4]                                     # (cap,1)
-    pt = P[:, 4].astype(jnp.int32)
-    pv = P[:, 5:6]                                     # (cap,1)
-    p2 = jnp.sum(px * px, axis=-1, keepdims=True)      # (cap,1)
+    # issue every stencil-block DMA into its lane window up front
+    for s in range(S):
+        cell_id = stencil_ref[c, s * 4 + 0]
+        pltpu.make_async_copy(
+            slots_ref.at[cell_id],
+            q_scratch.at[:, pl.ds(s * cap, cap)],
+            sem.at[s],
+        ).start()
+
+    P = p_ref[0]                                        # (8, cap)
+    Pxyz = P[0:3, :]                                    # (3, cap)
+    pq_row = P[3:4, :]                                  # (1, cap)
+    pt_row = P[4:5, :]
+    pv_row = P[5:6, :]
+
+    ones31 = jnp.ones((3, 1), jnp.float32)
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    I3 = jnp.eye(3, dtype=jnp.float32)
+
+    def col(row):  # (1, cap) -> (cap, 1) via a k=1 MXU dot (no transpose op)
+        return jax.lax.dot_general(row, ones11, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (cap,3)
+    p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (cap,1)
+    pqc = col(pq_row)                                   # (cap,1)
+    pvc = col(pv_row)
+    ptc = col(pt_row)
     tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
-    OP = (pt[:, None] == tids).astype(jnp.float32)     # (cap,T)
+    OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)   # (cap,T)
     sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
     epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
     shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
 
-    def start_dma(s, slot):
-        cell_id = stencil_ref[c, s * 4 + 0]
-        return pltpu.make_async_copy(
-            slots_ref.at[pl.ds(cell_id * cap, cap), :],
-            q_scratch.at[slot],
-            sem.at[slot],
-        )
-
-    start_dma(0, 0).start()
-
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (cap, 3), 1)
-
-    def body(s, carry):
-        facc, peacc, e_acc, vxx, vyy, vzz, vxy, vxz, vyz = carry
-        slot = s % 2
-
-        @pl.when(s + 1 < n_stencil)
-        def _():
-            start_dma(s + 1, (s + 1) % 2).start()
-
-        start_dma(s, slot).wait()
-        Q = q_scratch[slot]
+    # per-block image shifts as a (3, S) matrix from the SMEM scalars,
+    # expanded to lanes with a block-indicator matmul
+    row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
+    col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
+    shift_mat = jnp.zeros((3, S), jnp.float32)
+    for s in range(S):
         sx = stencil_ref[c, s * 4 + 1].astype(jnp.float32) * Lnx
         sy = stencil_ref[c, s * 4 + 2].astype(jnp.float32) * Lny
         sz = stencil_ref[c, s * 4 + 3].astype(jnp.float32) * Lnz
-        shift = jnp.where(lane3 == 0, sx, jnp.where(lane3 == 1, sy, sz))
-        qx = Q[:, 0:3] + shift                          # (cap,3)
-        qqT = Q[:, 3:4].T                               # (1,cap)
-        qt = Q[:, 4].astype(jnp.int32)
-        qvT = Q[:, 5:6].T                               # (1,cap)
+        v = jnp.where(row3s == 0, sx, jnp.where(row3s == 1, sy, sz))
+        shift_mat = jnp.where(col3s == s, v, shift_mat)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
+    indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
+                 == lane_blk).astype(jnp.float32)       # (S, W)
+    Shift3 = jnp.dot(shift_mat, indicator,
+                     preferred_element_type=jnp.float32)  # (3, W)
 
-        q2T = jnp.sum(qx * qx, axis=-1, keepdims=True).T
-        pq_dot = jax.lax.dot_general(
-            px, qx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (cap,cap)
-        d2 = p2 + q2T - 2.0 * pq_dot
+    # self-pair mask: the (0,0,0) stencil entry sits at the STATIC index
+    # s_self (aliased wrapped-image blocks of the same cell must NOT be
+    # excluded -- their shifted pairs are real)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 0)
+    self_pair = lanes == rows + s_self * cap
 
-        qcell = stencil_ref[c, s * 4 + 0]
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
-               == jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1))
-        self_pair = jnp.logical_and(qcell == c, eye)
+    for s in range(S):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            q_scratch.at[:, pl.ds(s * cap, cap)],
+            sem.at[s],
+        ).wait()
 
-        valid = (pv * qvT > 0.0)
-        valid = jnp.logical_and(valid, d2 < rcut2)
-        valid = jnp.logical_and(valid, jnp.logical_not(self_pair))
-        w = valid.astype(jnp.float32)
+    Q = q_scratch[:]                                    # (8, W)
+    Qxyz = Q[0:3, :] + Shift3                           # (3, W)
+    qq_row = Q[3:4, :]
+    qt_row = Q[4:5, :]
+    qv_row = Q[5:6, :]
 
-        d2s = jnp.where(valid, d2, 1.0)
-        ir2 = 1.0 / d2s
-        ir = jax.lax.rsqrt(d2s)
+    q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)   # (1, W)
+    M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (cap, W)
+    d2 = p2c + q2r - 2.0 * M
 
-        OQ = (qt[:, None] == tids).astype(jnp.float32)  # (cap,T)
-        sig = jax.lax.dot_general(sigOP, OQ, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        eps = jax.lax.dot_general(epsOP, OQ, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        shf = jax.lax.dot_general(shfOP, OQ, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    valid = (pvc * qv_row > 0.0)
+    valid = jnp.logical_and(valid, d2 < rcut2)
+    valid = jnp.logical_and(valid, jnp.logical_not(self_pair))
+    w = valid.astype(jnp.float32)
 
-        s2 = sig * sig * ir2
-        s6 = s2 * s2 * s2
-        s12 = s6 * s6
-        e_pair = (4.0 * eps * (s12 - s6) + shf) * w
-        dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
-        if coulomb:
-            kqq = keR * pq * qqT
-            e_pair = e_pair + kqq * (ir + krf * d2s - crf) * w
-            dvdr = dvdr + kqq * (2.0 * krf - ir2 * ir)
-        coef = dvdr * w                                  # (cap,cap)
+    d2s = jnp.where(valid, d2, 1.0)
+    ir2 = 1.0 / d2s
+    ir = jax.lax.rsqrt(d2s)
 
-        csum = jnp.sum(coef, axis=1, keepdims=True)      # (cap,1)
-        cq = jax.lax.dot_general(coef, qx, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        fpart = -px * csum + cq                          # (cap,3)
-        pe_part = 0.5 * jnp.sum(e_pair, axis=1, keepdims=True)  # (cap,1)
+    tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+    OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)  # (T, W)
+    sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
+    eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
+    shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
 
-        facc = facc + fpart
-        peacc = peacc + pe_part
+    s2 = sig * sig * ir2
+    s6 = s2 * s2 * s2
+    s12 = s6 * s6
+    e_pair = (4.0 * eps * (s12 - s6) + shf) * w
+    dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
+    if coulomb:
+        kqq = keR * pqc * qq_row
+        e_pair = e_pair + kqq * (ir + krf * d2s - crf) * w
+        dvdr = dvdr + kqq * (2.0 * krf - ir2 * ir)
+    coef = dvdr * w                                      # (cap, W)
 
-        # virial = -0.5 (A - B - B^T + C) accumulated as 6 comps + energy
-        qsumT = jnp.sum(coef, axis=0, keepdims=True)     # (1,cap)
-        A = jax.lax.dot_general(px * csum, px, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (3,3)
-        B = jax.lax.dot_general(px, cq, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        C = jax.lax.dot_general(qx * qsumT.T, qx, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        vir = -0.5 * (A - B - B.T + C)
-        e_acc = e_acc + jnp.sum(pe_part)
-        return (facc, peacc, e_acc,
-                vxx + vir[0, 0], vyy + vir[1, 1], vzz + vir[2, 2],
-                vxy + vir[0, 1], vxz + vir[0, 2], vyz + vir[1, 2])
+    csum = jnp.sum(coef, axis=1, keepdims=True)          # (cap,1)
+    cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (cap,3)
+    facc = -pxT * csum + cqT
+    peacc = 0.5 * jnp.sum(e_pair, axis=1, keepdims=True)  # (cap,1)
 
-    z = jnp.zeros((), jnp.float32)
-    facc, peacc, e_acc, vxx, vyy, vzz, vxy, vxz, vyz = jax.lax.fori_loop(
-        0, n_stencil, body,
-        (jnp.zeros((cap, 3), jnp.float32), jnp.zeros((cap, 1), jnp.float32),
-         z, z, z, z, z, z, z))
+    # virial = -0.5 (A - B - B^T + C)
+    qsum_r = jnp.sum(coef, axis=0, keepdims=True)        # (1, W)
+    A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)    # (3,3)
+    B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    vir = -0.5 * (A - B - B.T + C)
 
     out_f_ref[:] = facc
     out_pe_ref[:] = peacc
-    out_cell_ref[c, 0] = e_acc
-    out_cell_ref[c, 1] = vxx
-    out_cell_ref[c, 2] = vyy
-    out_cell_ref[c, 3] = vzz
-    out_cell_ref[c, 4] = vxy
-    out_cell_ref[c, 5] = vxz
-    out_cell_ref[c, 6] = vyz
-    out_cell_ref[c, 7] = z
+    out_cell_ref[c, 0] = jnp.sum(peacc)
+    out_cell_ref[c, 1] = vir[0, 0]
+    out_cell_ref[c, 2] = vir[1, 1]
+    out_cell_ref[c, 3] = vir[2, 2]
+    out_cell_ref[c, 4] = vir[0, 1]
+    out_cell_ref[c, 5] = vir[0, 2]
+    out_cell_ref[c, 6] = vir[1, 2]
+    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
 
 
 def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
@@ -185,6 +241,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
     """Returns eval(slots, stencil_packed, L8) ->
     (per-slot (ncell*cap, 8) [f, pe], per-cell (ncell, 8) [e, virial6])."""
     cap = grid.cap
+    assert cap % 128 == 0, "pallas engine needs lane-multiple cell capacity"
     ncell = grid.ncell
     S = grid.n_stencil
     T = int(tables["sigma"].shape[0])
@@ -192,8 +249,11 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
     crf = float(tables.get("crf", 0.0))
     keR = float(tables.get("keR", 0.0))
 
+    # static index of the (0,0,0) stencil entry (same for every cell)
+    wrap0 = np.all(grid.wrap[0] == 0, axis=-1)
+    s_self = int(np.nonzero((grid.stencil_cells[0] == 0) & wrap0)[0][0])
     kernel = functools.partial(
-        _kernel, cap=cap, n_stencil=S, T=T,
+        _kernel, cap=cap, n_stencil=S, s_self=s_self, T=T,
         krf=krf, crf=crf, keR=keR, coulomb=coulomb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -202,7 +262,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # L8 (1,8)
             pl.BlockSpec(memory_space=pltpu.HBM),        # slots stay in HBM
-            pl.BlockSpec((cap, 128), lambda c, stencil: (c, 0)),  # P block
+            pl.BlockSpec((1, 8, cap), lambda c, stencil: (c, 0, 0)),  # P
             pl.BlockSpec(memory_space=pltpu.VMEM),          # sigma
             pl.BlockSpec(memory_space=pltpu.VMEM),          # eps
             pl.BlockSpec(memory_space=pltpu.VMEM),          # shift
@@ -213,8 +273,8 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (ncell,8) resident
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, cap, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((8, S * cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((S,)),
         ],
     )
 
@@ -243,7 +303,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
 # ---------------------------------------------------------------------------
 
 def pack_stencil(grid: CellBlockGrid) -> np.ndarray:
-    """(ncell, S, 4) int32: [cell_id, dx, dy, dz] where d is the UNWRAPPED
+    """(ncell, S*4) int32: [cell_id, dx, dy, dz]*S where d is the UNWRAPPED
     stencil offset (-1/0/+1); the exact q-shift into p's (cell-centered)
     frame is d * L/ncells per axis."""
     ncell = grid.ncell
@@ -263,7 +323,8 @@ def pack_stencil(grid: CellBlockGrid) -> np.ndarray:
 
 
 def pack_slots(r, q, tidx, perm, box_lengths, grid: CellBlockGrid):
-    """(ncell*cap, 128) f32 slots (tile-aligned) in cell-centered coordinates."""
+    """(ncell, 8, cap) f32 transposed slot records in cell-centered
+    coordinates: sublane rows [x, y, z, q, type, valid, 0, 0]."""
     n_pad = r.shape[0]
     dt = jnp.float32
     ncell, cap = grid.ncell, grid.cap
@@ -281,13 +342,14 @@ def pack_slots(r, q, tidx, perm, box_lengths, grid: CellBlockGrid):
     v_ext = jnp.concatenate([jnp.ones((n_pad,), dt), jnp.zeros((1,), dt)])
 
     P = r_ext[perm].reshape(ncell, cap, 3) - centers[:, None, :]
-    return jnp.concatenate([
-        P.reshape(ncell * cap, 3),
-        q_ext[perm][:, None],
-        t_ext[perm][:, None],
-        v_ext[perm][:, None],
-        jnp.zeros((ncell * cap, 122), dt),   # pad records to a full lane tile
-    ], axis=1), centers
+    rec = jnp.concatenate([
+        P,
+        q_ext[perm].reshape(ncell, cap, 1),
+        t_ext[perm].reshape(ncell, cap, 1),
+        v_ext[perm].reshape(ncell, cap, 1),
+        jnp.zeros((ncell, cap, 2), dt),
+    ], axis=2)                                          # (ncell, cap, 8)
+    return jnp.transpose(rec, (0, 2, 1)), centers        # (ncell, 8, cap)
 
 
 def pallas_cellpair_eval(r, q, tidx, perm, box_lengths, grid: CellBlockGrid,

@@ -41,7 +41,7 @@ class Simulation:
     """Owns the compiled step/chunk functions and the host loop."""
 
     def __init__(self, db: ObjectDB, base_dir: str = ".", *,
-                 dtype=jnp.float32, run_dir: str = ".", engine: str = "cellblock"):
+                 dtype=jnp.float32, run_dir: str = ".", engine: str = "auto"):
         self.db = db
         self._base_dir = base_dir
         self.run_dir = run_dir
@@ -55,12 +55,24 @@ class Simulation:
             raise NotImplementedError(
                 "non-orthorhombic (triclinic) boxes are not supported by "
                 "the pair engines yet; h must be diagonal")
+        if engine == "auto":
+            # lane-parallel pallas kernel on real TPU f32; the XLA
+            # cell-block engine elsewhere (pallas has no CPU lowering)
+            on_tpu = jax.default_backend() not in ("cpu",)
+            engine = "pallas" if (on_tpu and dtype == jnp.float32) \
+                else "cellblock"
         if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
             engine = "nlist"  # cell-block variants pending
         if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
             engine = "cellblock"  # pallas kernel covers LJ/RF only
         self.engine = engine
-        if engine in ("cellblock", "pallas"):
+        if engine == "pallas":
+            from ..ops.pallas_cellpair import plan_lanes
+
+            self.grid = plan_lanes(
+                np.asarray(sd.box.lengths, dtype=np.float64),
+                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local)
+        elif engine == "cellblock":
             from ..ops.cellpair import CellBlockGrid
 
             self.grid = CellBlockGrid.plan(
@@ -292,7 +304,11 @@ class Simulation:
     def recapacity(self, factor: float = 1.5):
         """Grow neighbor capacity after an overflow (allocPages analog)."""
         g = self.grid
-        if self.engine in ("cellblock", "pallas"):
+        if self.engine == "pallas":
+            # lane-parallel kernel needs 128-multiple capacities
+            new_cap = 128 * int(math.ceil(g.cap * factor / 128.0))
+            self.grid = g.with_cap(new_cap)
+        elif self.engine == "cellblock":
             self.grid = g.with_cap(int(g.cap * factor))
             self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,
                                            engine=self.engine, grid=self.grid)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from ddcmd_tpu.ops.cellpair import CellBlockGrid, build_cell_slots, cellpair_eval
 from ddcmd_tpu.ops.pallas_cellpair import (make_pallas_cellpair, pack_stencil,
-                                           pallas_cellpair_eval)
+                                           pallas_cellpair_eval, plan_lanes)
 
 from tests.test_nbr_martini import make_system
 
@@ -25,7 +25,8 @@ def test_pallas_matches_xla_cellblock(charged):
         shift=jnp.asarray(shift, jnp.float32), rcut2=jnp.asarray(rcut ** 2, jnp.float32),
         krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
         keR=jnp.asarray(keR, jnp.float32))
-    grid = CellBlockGrid.plan([L] * 3, rcut, skin, n)
+    grid = plan_lanes([L] * 3, rcut, skin, n)
+    assert grid.cap == 128
     rj = jnp.asarray(r, jnp.float32)
     qj = jnp.asarray(q, jnp.float32)
     tj = jnp.asarray(tidx, jnp.int32)
