@@ -20,6 +20,20 @@ import numpy as np
 from flax import struct
 
 
+def inv3x3(h):
+    """Analytic 3x3 inverse (adjugate/det).
+
+    TPU's LuDecomposition has no f64 lowering, so jnp.linalg.inv breaks
+    f64 triclinic runs on hardware; the closed form is also cheaper and
+    dtype-agnostic."""
+    a, b, c = h[:, 0], h[:, 1], h[:, 2]
+    cbc = jnp.cross(b, c)
+    cca = jnp.cross(c, a)
+    cab = jnp.cross(a, b)
+    det = jnp.dot(a, cbc)
+    return jnp.stack([cbc, cca, cab], axis=0) / det
+
+
 @struct.dataclass
 class Box:
     h: jnp.ndarray  # (3,3) lattice vectors as columns, internal length units
@@ -83,7 +97,7 @@ class Box:
         mask = self.pbc_mask
         if self.is_orthorhombic:
             return r - L * jnp.round(r / L) * mask
-        hinv = jnp.linalg.inv(self.h)
+        hinv = inv3x3(self.h)
         s = r @ hinv.T
         s = s - jnp.round(s) * mask
         return s @ self.h.T

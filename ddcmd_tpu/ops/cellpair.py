@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.box import inv3x3
+
 
 @dataclass(frozen=True)
 class CellBlockGrid:
@@ -55,12 +57,17 @@ class CellBlockGrid:
         return self.stencil_cells.shape[1]
 
     @classmethod
-    def plan(cls, box_lengths, rcut: float, skin: float, n_particles: int,
+    def plan(cls, box_geom, rcut: float, skin: float, n_particles: int,
              density_safety: float = 1.6) -> "CellBlockGrid":
-        L = np.asarray(box_lengths, dtype=np.float64)
+        """box_geom: (3,) orthorhombic lengths or a full (3,3) h matrix
+        (lattice vectors as columns).  For a triclinic box the cell count
+        per axis comes from the PERPENDICULAR span between the opposing
+        fractional-coordinate planes (the reference GEOM's non-orthorhombic
+        binning, /root/reference/src/geom.c), so one stencil shell still
+        covers every pair within rlist."""
+        spans, vol = perp_spans(box_geom)
         rlist = rcut + skin
-        ncells = tuple(max(1, int(math.floor(l / rlist))) for l in L)
-        vol = float(np.prod(L))
+        ncells = tuple(max(1, int(math.floor(s / rlist))) for s in spans)
         cell_vol = vol / np.prod(ncells)
         cap = int(n_particles / vol * cell_vol * density_safety) + 4
         cap = ((cap + 7) // 8) * 8
@@ -72,6 +79,51 @@ class CellBlockGrid:
         cap = ((cap + 7) // 8) * 8
         return CellBlockGrid(ncells=self.ncells, cap=cap, rlist=self.rlist,
                              stencil_cells=self.stencil_cells, wrap=self.wrap)
+
+
+def perp_spans(box_geom):
+    """Perpendicular spans (3,) + volume of a (3,) or (3,3) box (host)."""
+    g = np.asarray(box_geom, dtype=np.float64)
+    if g.ndim == 1:
+        return g.copy(), float(np.prod(g))
+    a = g.T  # rows = lattice vectors
+    vol = float(abs(np.linalg.det(g)))
+    spans = np.array([vol / np.linalg.norm(np.cross(a[(i + 1) % 3],
+                                                    a[(i + 2) % 3]))
+                      for i in range(3)])
+    return spans, vol
+
+
+def frac_coords(r, box_geom):
+    """Fractional coordinates in [0,1) for origin-centered positions.
+
+    box_geom: (3,) lengths (orthorhombic fast path) or (3,3) h with
+    lattice vectors as columns (triclinic)."""
+    b = jnp.asarray(box_geom, r.dtype)
+    if b.ndim == 1:
+        return r / b + 0.5
+    hinv = inv3x3(b)
+    return r @ hinv.T + 0.5
+
+
+def block_geometry(grid: "CellBlockGrid", box_geom, dt):
+    """Cartesian image shifts (C,S,3) and cell centers (C,3).
+
+    The static integer wrap counts / fractional cell centers map to
+    Cartesian space through the (possibly traced, barostat-scaled) box:
+    shift = wrap @ h^T, center = s_frac @ h^T; for a (3,) orthorhombic
+    box these collapse to elementwise scales."""
+    wrap = jnp.asarray(grid.wrap, dtype=dt)           # (C,S,3) fractional
+    b = jnp.asarray(box_geom, dtype=dt)
+    cells = np.arange(grid.ncell)
+    ny, nz = grid.ncells[1], grid.ncells[2]
+    cx, rem = np.divmod(cells, ny * nz)
+    cy, cz = np.divmod(rem, nz)
+    c3 = np.stack([cx, cy, cz], axis=1)
+    sfrac = jnp.asarray((c3 + 0.5) / np.asarray(grid.ncells) - 0.5, dtype=dt)
+    if b.ndim == 1:
+        return wrap * b, sfrac * b
+    return wrap @ b.T, sfrac @ b.T
 
 
 def _axis_offsets(n: int):
@@ -114,15 +166,15 @@ def _build_stencil(ncells):
 # rebuild
 # ---------------------------------------------------------------------------
 
-def build_cell_slots(r, fmask, box_lengths, grid: CellBlockGrid):
+def build_cell_slots(r, fmask, box_geom, grid: CellBlockGrid):
     """Sort particles into cell-slot order.
 
-    Returns (perm (ncell*cap,) int32 slot->particle, sentinel n_pad for
-    empty slots; overflow flag)."""
+    box_geom: (3,) lengths or (3,3) h.  Returns (perm (ncell*cap,) int32
+    slot->particle, sentinel n_pad for empty slots; overflow flag)."""
     n_pad = r.shape[0]
     sentinel = n_pad
     n = jnp.asarray(grid.ncells)
-    s = r / box_lengths + 0.5
+    s = frac_coords(r, box_geom)
     c3 = jnp.clip(jnp.floor(s * n).astype(jnp.int32), 0, n - 1)
     ny, nz = grid.ncells[1], grid.ncells[2]
     cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
@@ -145,12 +197,13 @@ def build_cell_slots(r, fmask, box_lengths, grid: CellBlockGrid):
 # per-step pair evaluation
 # ---------------------------------------------------------------------------
 
-def cellpair_eval(r, q, tidx, perm, box_lengths, grid: CellBlockGrid, tables,
+def cellpair_eval(r, q, tidx, perm, box_geom, grid: CellBlockGrid, tables,
                   coulomb: bool = True):
     """Forces/energy/virial/per-particle pe for shifted-LJ (+RF Coulomb).
 
-    tables: sigma/eps/shift (T,T), rcut2, and (if coulomb) krf/crf/keR.
-    Physics identical to potentials.martini.martini_nonbond
+    box_geom: (3,) lengths or (3,3) h (triclinic).  tables: sigma/eps/
+    shift (T,T), rcut2, and (if coulomb) krf/crf/keR.  Physics identical
+    to potentials.martini.martini_nonbond
     (/root/reference/src/bioMartini.c:989-1120)."""
     n_pad = r.shape[0]
     sentinel = n_pad
@@ -168,24 +221,16 @@ def cellpair_eval(r, q, tidx, perm, box_lengths, grid: CellBlockGrid, tables,
     Pv = (perm != sentinel).reshape(ncell, cap)
 
     stencil = jnp.asarray(grid.stencil_cells)          # (C,S)
-    wrap = jnp.asarray(grid.wrap, dtype=dt)            # (C,S,3)
-    L = jnp.asarray(box_lengths, dtype=dt)
+    shift, centers = block_geometry(grid, box_geom, dt)
 
     Q = P[stencil]                                     # (C,S,c,3) block take
-    Q = Q + (wrap * L)[:, :, None, :]
+    Q = Q + shift[:, :, None, :]
 
     # re-center every block on its home cell: |p|^2 + |q|^2 - 2 p.q is a
     # catastrophic cancellation for box-scale coordinates (the TPU MXU's
     # bf16 passes make it fatal); cell-relative coordinates bound the
     # magnitudes at ~1.5 cell edges.  Forces/virial are translation
     # invariant, so relative coordinates flow through everything below.
-    nc3 = jnp.asarray(grid.ncells, dtype=dt)
-    cells = np.arange(grid.ncell)
-    ny, nz = grid.ncells[1], grid.ncells[2]
-    cx, rem = np.divmod(cells, ny * nz)
-    cy, cz = np.divmod(rem, nz)
-    c3 = jnp.asarray(np.stack([cx, cy, cz], axis=1), dtype=dt)  # (C,3)
-    centers = ((c3 + 0.5) / nc3 - 0.5) * L                      # (C,3)
     P = P - centers[:, None, :]
     Q = Q - centers[:, None, None, :]
     Qq = Pq[stencil]                                   # (C,S,c)

@@ -20,15 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..potentials.eam import _embedding, _pair_eval
-from .cellpair import CellBlockGrid
+from .cellpair import CellBlockGrid, block_geometry
 
 
-def eam_cellblock_eval(r, sidx, fmask, perm, box_lengths,
+def eam_cellblock_eval(r, sidx, fmask, perm, box_geom,
                        grid: CellBlockGrid, tables):
     """Forces/energy/virial/per-particle pe for EAM on cell blocks.
 
-    Physics identical to potentials.eam.eam_eval (validated by parity
-    test); tables from eam_device_tables."""
+    box_geom: (3,) lengths or (3,3) h (triclinic).  Physics identical to
+    potentials.eam.eam_eval (validated by parity test); tables from
+    eam_device_tables."""
     n_pad = r.shape[0]
     sentinel = n_pad
     dt = r.dtype
@@ -47,18 +48,10 @@ def eam_cellblock_eval(r, sidx, fmask, perm, box_lengths,
          ).reshape(ncell, cap)
 
     stencil = jnp.asarray(grid.stencil_cells)
-    wrap = jnp.asarray(grid.wrap, dtype=dt)
-    L = jnp.asarray(box_lengths, dtype=dt)
+    shift, centers = block_geometry(grid, box_geom, dt)
 
-    Q = P[stencil] + (wrap * L)[:, :, None, :]
+    Q = P[stencil] + shift[:, :, None, :]
     # cell-centered coordinates (see cellpair.py: f32 MXU cancellation)
-    nc3 = jnp.asarray(grid.ncells, dtype=dt)
-    cells = np.arange(grid.ncell)
-    ny, nz = grid.ncells[1], grid.ncells[2]
-    cx, rem = np.divmod(cells, ny * nz)
-    cy, cz = np.divmod(rem, nz)
-    c3 = jnp.asarray(np.stack([cx, cy, cz], axis=1), dtype=dt)
-    centers = ((c3 + 0.5) / nc3 - 0.5) * L
     Pc = P - centers[:, None, :]
     Q = (Q - centers[:, None, None, :]).reshape(ncell, S * cap, 3)
     Qt = Pt[stencil].reshape(ncell, S * cap)

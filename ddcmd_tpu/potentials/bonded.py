@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.box import inv3x3
+
 from ..objects import DeckError, ObjectDB
 
 
@@ -288,7 +290,14 @@ def instantiate_bonded(res_types: dict[str, ResidueType], instances,
 # ---------------------------------------------------------------------------
 
 def _min_image(dr, L):
-    return dr - L * jnp.round(dr / L)
+    """Nearest-image reduction; L is (3,) lengths or (3,3) h (triclinic).
+    Bonded displacements are far shorter than any box span, so the
+    fractional-space round is the exact nearest image."""
+    b = jnp.asarray(L, dr.dtype)
+    if b.ndim == 1:
+        return dr - b * jnp.round(dr / b)
+    hinv = inv3x3(b)
+    return dr - jnp.round(dr @ hinv.T) @ b.T
 
 
 def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):

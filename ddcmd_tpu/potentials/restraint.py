@@ -15,6 +15,8 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.box import inv3x3
+
 from ..objects import DeckError, ObjectDB
 from ..objects import units as U
 
@@ -60,13 +62,19 @@ def compile_restraint(db: ObjectDB, name: str) -> RestraintParms | None:
     )
 
 
-def restraint_eval(r, fmask, box_lengths, rows, r0, kb, axis_mask):
-    """Harmonic restraints on selected rows. Returns (f, e, virial, pe)."""
+def restraint_eval(r, fmask, box_geom, rows, r0, kb, axis_mask):
+    """Harmonic restraints on selected rows. Returns (f, e, virial, pe).
+    box_geom: (3,) lengths or (3,3) h (triclinic)."""
     dtype = r.dtype
     n_pad = r.shape[0]
     ri = r[rows]                                   # (m,3)
     dr = ri - r0
-    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    b = jnp.asarray(box_geom, dtype)
+    if b.ndim == 1:
+        dr = dr - b * jnp.round(dr / b)
+    else:
+        hinv = inv3x3(b)
+        dr = dr - jnp.round(dr @ hinv.T) @ b.T
     dr = dr * axis_mask
     e_i = kb * jnp.sum(dr * dr, axis=-1)           # kb*(r-r0)^2, CHARMM-style
     f_i = -2.0 * kb[:, None] * dr

@@ -36,14 +36,18 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="ddcmd-tpu")
     p.add_argument("master", nargs="?", default="simulate",
                    choices=["simulate", "analysis", "transform", "thermalize",
-                            "readWrite", "testForce", "testPressure",
-                            "integrationTest", "unitTest"])
+                            "readWrite", "eightFold", "testForce",
+                            "testPressure", "integrationTest", "unitTest"])
     p.add_argument("-o", "--object", action="append", default=None,
                    help="object deck file(s)")
     p.add_argument("-r", "--restart", default=None, help="restart file")
     p.add_argument("-n", "--nloops", type=int, default=None,
                    help="override number of loops (deltaloop)")
     p.add_argument("--f64", action="store_true", help="run in float64 (CPU validation)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon sitecustomize "
+                        "ignores JAX_PLATFORMS env, so this is the only "
+                        "reliable off-TPU switch)")
     p.add_argument("--run-dir", default=".")
     args = p.parse_args(argv)
 
@@ -51,10 +55,12 @@ def main(argv=None):
     base_dir = os.path.dirname(os.path.abspath(decks[0]))
     db = load_db(decks, args.restart, base_dir)
 
+    import jax
     import jax.numpy as jnp
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
-        import jax
         jax.config.update("jax_enable_x64", True)
 
     if args.master == "simulate":

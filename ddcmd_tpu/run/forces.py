@@ -17,6 +17,12 @@ from ..potentials.martini import martini_device_tables, martini_nonbond
 from ..potentials.pair import pair_device_tables, pair_lj
 
 
+
+def _geom(box):
+    """Pair-engine box geometry: (3,) lengths for an orthorhombic box,
+    the full (3,3) h for a triclinic one (box.ortho is static)."""
+    return box.lengths if box.ortho else box.h
+
 def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellblock",
                    grid=None):
     """Returns force_fn(state, box, handle) -> (f, e_pot, virial, pe).
@@ -66,7 +72,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                 def martini_term(state, box, handle, tables=tables, tmap=tmap):
                     tidx = tmap[state.species]
                     f, e, virial, pe = cellpair_eval(
-                        state.r, state.q, tidx, handle, box.lengths, grid,
+                        state.r, state.q, tidx, handle, _geom(box), grid,
                         tables, coulomb=True)
                     e_self_i = (-0.5 * state.q * state.q * state.fmask
                                 * tables["keR"] * tables["crf"])
@@ -101,7 +107,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
                 def pair_term(state, box, handle, tables=lj_tables):
                     return cellpair_eval(
-                        state.r, state.q, state.species, handle, box.lengths,
+                        state.r, state.q, state.species, handle, _geom(box),
                         grid, tables, coulomb=False)
             else:
                 def pair_term(state, box, handle, tables=tables):
@@ -119,7 +125,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                 def eam_term(state, box, perm, etables=etables, grid=grid):
                     return eam_cellblock_eval(
                         state.r, state.species, state.fmask, perm,
-                        box.lengths, grid, etables)
+                        _geom(box), grid, etables)
             else:
                 def eam_term(state, box, nbr_idx, etables=etables):
                     return eam_eval(state.r, state.species, state.fmask,
@@ -167,7 +173,8 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             am = jnp.asarray(parms.axis_mask, dtype=dtype)
 
             def restraint_term(state, box, nbr_idx, rows=rows, r0=r0, kb=kb, am=am):
-                return restraint_eval(state.r, state.fmask, box.lengths, rows, r0, kb, am)
+                return restraint_eval(state.r, state.fmask, _geom(box),
+                                      rows, r0, kb, am)
 
             terms.append(restraint_term)
         elif ptype in ("NONE", "REFLECT"):
@@ -194,7 +201,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
         n_pad = sysdef.state.n_pad
 
         def bonded_term(state, box, nbr_idx, btab=btab, n_pad=n_pad):
-            return bonded_eval(state.r, box.lengths, btab, n_pad, dtype)
+            return bonded_eval(state.r, _geom(box), btab, n_pad, dtype)
 
         terms.append(bonded_term)
 

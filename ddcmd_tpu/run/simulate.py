@@ -48,13 +48,6 @@ class Simulation:
         self.dtype = dtype
         self.sysdef = build_system(db, base_dir, dtype=dtype)
         sd = self.sysdef
-        if not sd.box.ortho:
-            # the cell engines assume a diagonal h; refuse loudly instead
-            # of running silently wrong physics (reference GEOM supports
-            # non-orthorhombic binning; a triclinic engine is future work)
-            raise NotImplementedError(
-                "non-orthorhombic (triclinic) boxes are not supported by "
-                "the pair engines yet; h must be diagonal")
         if engine == "auto":
             # lane-parallel pallas kernel on real TPU f32; the XLA
             # cell-block engine elsewhere (pallas has no CPU lowering)
@@ -65,6 +58,24 @@ class Simulation:
             engine = "nlist"  # cell-block variants pending
         if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
             engine = "cellblock"  # pallas kernel covers LJ/RF only
+        if not sd.box.ortho:
+            # triclinic boxes run on the XLA cell-block engine: it bins in
+            # fractional coordinates with h-mapped static image shifts
+            # (reference GEOM non-orthorhombic binning, src/geom.c); the
+            # pallas/nlist paths and constraint solver stay diagonal-only
+            if engine in ("pallas", "nlist"):
+                engine = "cellblock"
+            if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
+                raise NotImplementedError(
+                    "PAIRENERGY/ORDERSH need the nlist engine, which is "
+                    "orthorhombic-only; triclinic boxes unsupported here")
+            if sd.bonded is not None and sd.bonded.n_constraints > 0:
+                raise NotImplementedError(
+                    "holonomic constraints with a triclinic box are not "
+                    "supported yet")
+            if any(g.type in ("SHEAR", "SHWALL") for g in sd.groups):
+                raise NotImplementedError(
+                    "SHEAR/SHWALL groups assume an orthorhombic box")
         self.engine = engine
         if engine == "pallas":
             from ..ops.pallas_cellpair import plan_lanes
@@ -75,8 +86,9 @@ class Simulation:
         elif engine == "cellblock":
             from ..ops.cellpair import CellBlockGrid
 
+            geom = sd.box.lengths if sd.box.ortho else sd.box.h
             self.grid = CellBlockGrid.plan(
-                np.asarray(sd.box.lengths, dtype=np.float64),
+                np.asarray(geom, dtype=np.float64),
                 sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local)
         else:
             self.grid = plan_grid(sd)
@@ -235,8 +247,9 @@ class Simulation:
                 # unwrapped so the cell-block image shifts stay exact
                 r = ss.box.back_in_box(ss.state.r)
                 ss = ss.replace(state=ss.state.replace(r=r))
+                geom = ss.box.lengths if ss.box.ortho else ss.box.h
                 perm, overflow = build_cell_slots(
-                    r, ss.state.fmask, ss.box.lengths, grid)
+                    r, ss.state.fmask, geom, grid)
                 return ss, perm, overflow
         else:
             def build_nbr(ss):
@@ -263,8 +276,7 @@ class Simulation:
                 ss, nbr_idx, r0, ov = carry
                 ss = step_fn(ss, nbr_idx, jax.random.fold_in(key, i), coeffs,
                              box_lam)
-                dr = ss.state.r - r0
-                dr = dr - ss.box.lengths * jnp.round(dr / ss.box.lengths)
+                dr = ss.box.min_image(ss.state.r - r0)
                 md2 = jnp.max(jnp.sum(dr * dr, axis=-1) * ss.state.fmask)
                 stale = 4.0 * md2 >= deltaR2
 
@@ -600,8 +612,9 @@ class Simulation:
             if self.engine == "cellblock":
                 from ..ops.cellpair import CellBlockGrid
 
+                geom = new_box.lengths if new_box.ortho else new_box.h
                 self.grid = CellBlockGrid.plan(
-                    np.asarray(new_box.lengths, dtype=np.float64),
+                    np.asarray(geom, dtype=np.float64),
                     sd.rcut_max, sd.neighbor_deltaR, n_new)
             else:
                 self.grid = plan_grid(sd)
