@@ -332,6 +332,11 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         Gamma=iobj.get_with_units("Gamma", "1.0", "m/l^4"),
         zeta=iobj.get_with_units("zeta", "1.0", "pressure*t"),
         pressure=iobj.get_with_units("pressure", "1.0", "pressure"),
+        # NGLFNK Langevin-piston NPT (nglfNK_parms,
+        # /root/reference/src/nglfNK.c:28-37)
+        P=iobj.get_with_units("P", "0.0", "pressure"),
+        W=iobj.get_with_unitsv("W", "1.0 1.0 1.0", "m"),
+        tau=iobj.get_with_units("tau", "1.0", "t"),
     )
 
     n_constraints = sysobj.get_int("nConstraints", 0)

@@ -67,6 +67,9 @@ class StepState:
     # NPTGLF barostat friction variable (restart-persisted in the
     # reference, integrator.c:173-175); unused by other integrators
     zeta: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
+    # NGLFNK per-axis box-length velocities dL/dt (box_get_dhdt diagonal,
+    # /root/reference/src/nglfNK.c:53); zeros for every other integrator
+    bdot: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(3))
 
 
 def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,

@@ -120,6 +120,13 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
             # zeta is restart-persisted (nptglf_writedynamic, nptglf.c:34)
             zeta_ext = U.convert(float(ss.zeta), None, "pressure*t")
             f.write(f"{sd.cfg.integrator_name} INTEGRATOR {{ zeta={zeta_ext:.12e} ; }}\n")
+        elif sd.integrator_type == "NGLFNK":
+            # piston velocities dL/dt persist across restarts (the
+            # integrator writedynamic contract, integrator.c:173-175)
+            bd = [U.convert(float(x), None, "l/t") for x in np.asarray(ss.bdot)]
+            f.write(f"{sd.cfg.integrator_name} INTEGRATOR {{ bdot="
+                    + " ".join(f"{x:.12e}" for x in bd)
+                    + " Angstrom/fs ; }\n")
         f.write(f"collection COLLECTION {{ mode={mode}; size={n};"
                 f" files={os.path.basename(snapdir)}/atoms#;}}\n")
         # RNG continuity: the PRNG key is the TPU-native analog of the

@@ -107,7 +107,7 @@ class Simulation:
         barostat = None
         if sd.integrator_type in ("NGLFCONSTRAINT", "NGLFCONSTRAINTGPU",
                                   "NGLFCONSTRAINTGPULANGEVIN", "NGLFGPU",
-                                  "NGLFGPULANGEVIN") and ip["beta"] > 0:
+                                  "NGLFGPULANGEVIN", "NGLFNEW") and ip["beta"] > 0:
             barostat = dict(P0=ip["P0"], beta=ip["beta"], tau=ip["tauBarostat"],
                             T=ip["T"], isotropic=ip["isotropic"],
                             n_molecules=self.n_molecules)
@@ -168,11 +168,16 @@ class Simulation:
             kd = [int(x) for x in robj.get_strv("keyData")]
             self.key = jnp.asarray(kd[:2], dtype=jnp.uint32)
         zeta0 = sd.integrator_parms["zeta"] if sd.integrator_type == "NPTGLF" else 0.0
+        bdot0 = np.zeros(3)
+        if sd.integrator_type == "NGLFNK":
+            iobj = db.get(sd.cfg.integrator_name, "INTEGRATOR")
+            bdot0 = np.asarray(iobj.get_with_unitsv("bdot", "0 0 0", "l/t"))
         self.ss = StepState(
             state=sd.state, box=sd.box, energy=EnergyInfo.zero(dtype),
             loop=jnp.asarray(sd.cfg.loop, jnp.int32),
             time=jnp.asarray(sd.cfg.time, dtype),
             zeta=jnp.asarray(zeta0, dtype),
+            bdot=jnp.asarray(bdot0, dtype),
         )
 
         self._compile()
@@ -182,8 +187,11 @@ class Simulation:
     def _rebuild_step_fn(self):
         sd = self.sysdef
         constraint_fn = None
+        # NGLFNEW = the constraint integrator re-plumbed (nglfNew.c);
+        # same step semantics here
         uses_constraints = ("CONSTRAINT" in sd.integrator_type
-                            or "RATTLE" in sd.integrator_type)
+                            or "RATTLE" in sd.integrator_type
+                            or sd.integrator_type == "NGLFNEW")
         if (sd.bonded is not None and sd.bonded.n_constraints > 0
                 and uses_constraints):
             from ..integrators.constraints import build_constraint_fn
@@ -208,6 +216,15 @@ class Simulation:
                 return npt_step(ss, nbr_idx, key, coeffs)
 
             self.step_fn = step_fn
+            return
+        if itype == "NGLFNK":
+            from ..objects import units as U
+            from ..integrators.nglfnk import make_nglfnk_step
+
+            ip = sd.integrator_parms
+            self.step_fn = make_nglfnk_step(
+                self.force_fn, sd.cfg.dt, T=ip["T"], tau=ip["tau"],
+                Peq=ip["P"], W=ip["W"], kB=U.kB, wrap_positions=wrap)
             return
         if itype in ("NVEGLF", "NVEGLF_SIMPLE"):
             # NVE variants ignore thermostats: plain leapfrog kicks
