@@ -83,6 +83,56 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
                          stencil_cells=stencil_cells, wrap=wrap)
 
 
+def _build_stencil_half(ncells):
+    """Newton's-third-law half stencil: the self block FIRST (index 0,
+    dedup'd by a triangular mask in the kernel) + the 13 lexicographically
+    positive directions.  Each unordered pair appears in exactly one
+    block; the q-side forces are scattered back by the per-direction cell
+    permutation (see half_back_map).  For 2-cell axes the +1 offset's N3L
+    partner IS the -1 offset's block of the neighbor cell (opposite wrap),
+    so positive-only still covers both periodic images; for 1-cell axes
+    the +1 self-image block holds both (i, j+L) and (j, i+L) ordered
+    pairs, each counted once."""
+    nx, ny, nz = ncells
+    offs = [(0, 0, 0)] + [
+        (i, j, k)
+        for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+        if (i, j, k) > (0, 0, 0)]
+    S = len(offs)
+    ncell = nx * ny * nz
+    cells = np.arange(ncell)
+    cx, rem = np.divmod(cells, ny * nz)
+    cy, cz = np.divmod(rem, nz)
+    stencil = np.zeros((ncell, S), dtype=np.int32)
+    wrap = np.zeros((ncell, S, 3), dtype=np.int8)
+    for s, (dx, dy, dz) in enumerate(offs):
+        tx, ty, tz = cx + dx, cy + dy, cz + dz
+        wrap[:, s, 0] = (tx >= nx).astype(np.int8) - (tx < 0).astype(np.int8)
+        wrap[:, s, 1] = (ty >= ny).astype(np.int8) - (ty < 0).astype(np.int8)
+        wrap[:, s, 2] = (tz >= nz).astype(np.int8) - (tz < 0).astype(np.int8)
+        stencil[:, s] = ((tx % nx) * ny + (ty % ny)) * nz + (tz % nz)
+    return stencil, wrap
+
+
+def half_grid(grid: CellBlockGrid) -> CellBlockGrid:
+    """Same cells/cap, half (N3L) stencil."""
+    stencil, wrap = _build_stencil_half(grid.ncells)
+    return CellBlockGrid(ncells=grid.ncells, cap=grid.cap, rlist=grid.rlist,
+                         stencil_cells=stencil, wrap=wrap)
+
+
+def half_back_map(grid: CellBlockGrid) -> np.ndarray:
+    """(S, ncell) int32: src_map[s, t] = the cell whose direction-s block
+    targets cell t (each direction is a translation, hence a bijection)."""
+    S = grid.n_stencil
+    ncell = grid.ncell
+    src = np.zeros((S, ncell), dtype=np.int32)
+    c = np.arange(ncell)
+    for s in range(S):
+        src[s, grid.stencil_cells[:, s]] = c
+    return src
+
+
 def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
             L_ref,            # (1, 8) f32 SMEM: L/ncells (3), rcut2
             slots_ref,        # (ncell, 8, cap) f32 HBM (transposed records)
@@ -234,6 +284,263 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     out_cell_ref[c, 5] = vir[0, 2]
     out_cell_ref[c, 6] = vir[1, 2]
     out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+
+
+def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
+                 L_ref,         # (1, 8) f32 SMEM: L/ncells (3), rcut2
+                 slots_ref,     # (ncell, 8, cap) f32 HBM
+                 p_ref,         # (1, 8, cap) f32 VMEM
+                 sigma_ref, eps_ref, shift_ref,
+                 out_f_ref,     # (cap, 3) f32 VMEM p-side forces
+                 out_pe_ref,    # (cap, 1) f32 VMEM p-side energy
+                 out_q_ref,     # (1, 8, S*cap) f32 VMEM q-side [f, pe]
+                 out_cell_ref,  # (ncell, 8) f32 SMEM: e + virial6
+                 q_scratch, sem,
+                 *, cap: int, n_stencil: int, T: int,
+                 krf: float, crf: float, keR: float, coulomb: bool):
+    """Newton's-3rd-law variant of _kernel: the self block (index 0) is
+    deduplicated with a triangular mask, only the 13 positive stencil
+    directions are evaluated, and the reaction forces on the q side come
+    out as (8, S*cap) rows [fx, fy, fz, pe] for the host-side permuted
+    reduction (half_back_map).  Halves the dominant VPU pair math; the
+    GPU reference reaches the same factor with atomics
+    (processPairShared, /root/reference/src/pairProcessGPU.cu:574)."""
+    c = pl.program_id(0)
+    S = n_stencil
+    W = S * cap
+
+    Lnx = L_ref[0, 0]
+    Lny = L_ref[0, 1]
+    Lnz = L_ref[0, 2]
+    rcut2 = L_ref[0, 3]
+
+    for s in range(S):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            q_scratch.at[:, pl.ds(s * cap, cap)],
+            sem.at[s],
+        ).start()
+
+    P = p_ref[0]
+    Pxyz = P[0:3, :]
+    pq_row = P[3:4, :]
+    pt_row = P[4:5, :]
+    pv_row = P[5:6, :]
+
+    ones31 = jnp.ones((3, 1), jnp.float32)
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    I3 = jnp.eye(3, dtype=jnp.float32)
+
+    def col(row):
+        return jax.lax.dot_general(row, ones11, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (cap,3)
+    p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    pqc = col(pq_row)
+    pvc = col(pv_row)
+    ptc = col(pt_row)
+    tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
+    OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
+    sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
+    epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
+    shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
+
+    row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
+    col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
+    shift_mat = jnp.zeros((3, S), jnp.float32)
+    for s in range(S):
+        sx = stencil_ref[c, s * 4 + 1].astype(jnp.float32) * Lnx
+        sy = stencil_ref[c, s * 4 + 2].astype(jnp.float32) * Lny
+        sz = stencil_ref[c, s * 4 + 3].astype(jnp.float32) * Lnz
+        v = jnp.where(row3s == 0, sx, jnp.where(row3s == 1, sy, sz))
+        shift_mat = jnp.where(col3s == s, v, shift_mat)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
+    indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
+                 == lane_blk).astype(jnp.float32)
+    Shift3 = jnp.dot(shift_mat, indicator,
+                     preferred_element_type=jnp.float32)
+
+    # self block sits at STATIC index 0: keep each unordered intra-cell
+    # pair once (lane > row); image blocks of the same cell (wrap != 0)
+    # hold physically distinct ordered pairs and stay fully counted
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 0)
+    dup_pair = jnp.logical_and(lanes < cap, lanes <= rows)
+
+    for s in range(S):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            q_scratch.at[:, pl.ds(s * cap, cap)],
+            sem.at[s],
+        ).wait()
+
+    Q = q_scratch[:]
+    Qxyz = Q[0:3, :] + Shift3
+    qq_row = Q[3:4, :]
+    qt_row = Q[4:5, :]
+    qv_row = Q[5:6, :]
+
+    q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
+    M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d2 = p2c + q2r - 2.0 * M
+
+    valid = (pvc * qv_row > 0.0)
+    valid = jnp.logical_and(valid, d2 < rcut2)
+    valid = jnp.logical_and(valid, jnp.logical_not(dup_pair))
+    w = valid.astype(jnp.float32)
+
+    d2s = jnp.where(valid, d2, 1.0)
+    ir2 = 1.0 / d2s
+    ir = jax.lax.rsqrt(d2s)
+
+    tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+    OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
+    sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
+    eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
+    shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
+
+    s2 = sig * sig * ir2
+    s6 = s2 * s2 * s2
+    s12 = s6 * s6
+    e_pair = (4.0 * eps * (s12 - s6) + shf) * w
+    dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
+    if coulomb:
+        kqq = keR * pqc * qq_row
+        e_pair = e_pair + kqq * (ir + krf * d2s - crf) * w
+        dvdr = dvdr + kqq * (2.0 * krf - ir2 * ir)
+    coef = dvdr * w                                      # (cap, W)
+
+    # p side: f_i = -sum_j coef_ij (p_i - q_j)
+    csum = jnp.sum(coef, axis=1, keepdims=True)          # (cap,1)
+    cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (cap,3)
+    out_f_ref[:] = -pxT * csum + cqT
+    out_pe_ref[:] = 0.5 * jnp.sum(e_pair, axis=1, keepdims=True)
+
+    # q side (reaction): f_j = +sum_i coef_ij (p_i - q_j)
+    qsum_r = jnp.sum(coef, axis=0, keepdims=True)        # (1, W)
+    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)  # (3, W)
+    Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
+    peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)   # (1, W)
+    zero4 = jnp.zeros((4, W), jnp.float32)
+    out_q_ref[0] = jnp.concatenate([Fq, peq, zero4], axis=0)
+
+    # each pair counted ONCE: no 0.5 on e/virial
+    A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    vir = -(A - B - B.T + C)
+
+    out_cell_ref[c, 0] = jnp.sum(e_pair)
+    out_cell_ref[c, 1] = vir[0, 0]
+    out_cell_ref[c, 2] = vir[1, 1]
+    out_cell_ref[c, 3] = vir[2, 2]
+    out_cell_ref[c, 4] = vir[0, 1]
+    out_cell_ref[c, 5] = vir[0, 2]
+    out_cell_ref[c, 6] = vir[1, 2]
+    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+
+
+def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
+                              coulomb: bool = True, interpret: bool = False):
+    """Half-stencil (N3L) kernel; `grid` must come from half_grid().
+    Returns eval(slots, stencil_packed, L8) ->
+    (per-slot (ncell*cap, 8) p-side [f, pe], q-side (ncell, 8, S*cap),
+    per-cell (ncell, 8) [e, virial6])."""
+    cap = grid.cap
+    assert cap % 128 == 0, "pallas engine needs lane-multiple cell capacity"
+    ncell = grid.ncell
+    S = grid.n_stencil
+    T = int(tables["sigma"].shape[0])
+    kernel = functools.partial(
+        _kernel_half, cap=cap, n_stencil=S, T=T,
+        krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
+        keR=float(tables.get("keR", 0.0)), coulomb=coulomb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ncell,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 8, cap), lambda c, stencil: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((1, 8, S * cap), lambda c, stencil: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, S * cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((S,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
+            jax.ShapeDtypeStruct((ncell * cap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, S * cap), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def eval_fn(slots, stencil_packed, L8):
+        out_f, out_pe, out_q, out_cells = call(
+            stencil_packed, L8, slots,
+            slots, tables["sigma"], tables["eps"], tables["shift"])
+        return (jnp.concatenate([out_f, out_pe], axis=1), out_q, out_cells)
+
+    return eval_fn
+
+
+def pallas_cellpair_eval_half(r, q, tidx, perm, box_lengths,
+                              grid: CellBlockGrid, tables, stencil_packed,
+                              eval_fn, back_map):
+    """Drop-in replacement for cellpair_eval using the N3L kernel.
+    back_map: jnp (S, ncell) from half_back_map(grid)."""
+    n_pad = r.shape[0]
+    dt = jnp.float32
+    ncell, cap, S = grid.ncell, grid.cap, grid.n_stencil
+    L = jnp.asarray(box_lengths, dt)
+    slots, _ = pack_slots(r, q, tidx, perm, box_lengths, grid)
+    Ln = L / jnp.asarray(grid.ncells, dt)
+    L8 = jnp.concatenate([Ln, jnp.asarray([tables["rcut2"]], dt),
+                          jnp.zeros((4,), dt)]).reshape(1, 8)
+    out_slots, out_q, out_cells = eval_fn(slots, stencil_packed, L8)
+
+    # fold the q-side (reaction) contributions back: direction s of cell
+    # src targets cell stencil[src, s]; back_map inverts that bijection
+    qblk = out_q.reshape(ncell, 8, S, cap)
+    back = qblk[back_map[0], :, 0, :]
+    for s in range(1, S):
+        back = back + qblk[back_map[s], :, s, :]          # (ncell, 8, cap)
+    back = jnp.transpose(back, (0, 2, 1)).reshape(ncell * cap, 8)
+
+    F = out_slots[:, 0:3] + back[:, 0:3]
+    pe_slot = out_slots[:, 3] + back[:, 3]
+    f = jnp.zeros((n_pad + 1, 3), dt).at[perm].set(F, mode="drop")[:n_pad]
+    pe = jnp.zeros((n_pad + 1,), dt).at[perm].set(pe_slot, mode="drop")[:n_pad]
+    e = jnp.sum(out_cells[:, 0])
+    vir6 = jnp.sum(out_cells[:, 1:7], axis=0)
+    virial = jnp.asarray([[vir6[0], vir6[3], vir6[4]],
+                          [vir6[3], vir6[1], vir6[5]],
+                          [vir6[4], vir6[5], vir6[2]]])
+    return f, e, virial, pe
 
 
 def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,

@@ -25,14 +25,15 @@ def make_brick_mesh(shape, devices=None) -> Mesh:
 def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                     coeffs, dt: float, box_lengths, species_lj_type,
                     n_global: int, bonded_tables=None,
-                    field_keys=FIELD_KEYS):
-    Lv = jnp.asarray(box_lengths)
+                    field_keys=FIELD_KEYS, chunk_steps: int | None = None):
+    Lv_host = np.asarray(box_lengths, dtype=np.float64)
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
     full_axes = tuple(AXES)
     halo_keys = ("r", "q", "species") + (("gid",) if bonded_tables else ())
 
     def local_forces(fields, mask):
+        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
         ghosts, gmask, ov = halo_exchange_3d(
             {k: fields[k] for k in halo_keys}, mask,
             Lv, plan)
@@ -61,6 +62,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov
 
     def step(fields, mask, f_prev, key):
+        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
         for ax in full_axes:
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         k1, k2 = jax.random.split(key)
@@ -96,9 +98,31 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         virial = jax.lax.psum(virial, full_axes)
         return f, e_pot, virial, jax.lax.pmax(overflow.astype(jnp.int32), full_axes)
 
-    def migrate_fn(fields, mask):
-        packed, new_mask, ov = migrate_3d(fields, mask, Lv, plan)
-        return packed, new_mask, jax.lax.pmax(ov.astype(jnp.int32), full_axes)
+    def migrate_fn(fields, mask, f):
+        # forces ride along so the next front half-kick sees row-coherent
+        # f after the migration permutation (stale rows = wrong kicks)
+        packed, new_mask, ov = migrate_3d(
+            dict(fields, f=f), mask,
+            jnp.asarray(Lv_host, dtype=fields["r"].dtype), plan)
+        f_new = packed.pop("f")
+        return (packed, new_mask, f_new,
+                jax.lax.pmax(ov.astype(jnp.int32), full_axes))
+
+    def chunk(fields, mask, f_prev, key):
+        """`chunk_steps` MD steps + one migration in ONE dispatch (the
+        multi-chip analog of the single-chip superchunk scan): host round
+        trips amortize over the DDC updateRate cadence."""
+        def body(carry, i):
+            fields, f, ov = carry
+            fields, f, scalars, ov_i = step(fields, mask, f,
+                                            jax.random.fold_in(key, i))
+            return (fields, f, ov | ov_i), scalars
+
+        (fields, f, ov), scal = jax.lax.scan(
+            body, (fields, f_prev, jnp.zeros((), jnp.int32)),
+            jnp.arange(chunk_steps))
+        fields, mask, f, ov_m = migrate_fn(fields, mask, f)
+        return fields, mask, f, scal, ov | ov_m
 
     pspec_fields = {k: P(("bx", "by", "bz")) for k in field_keys}
     PS = P(("bx", "by", "bz"))
@@ -115,7 +139,14 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         check_vma=False))
     migrate_sharded = jax.jit(jax.shard_map(
         migrate_fn, mesh=mesh,
-        in_specs=(pspec_fields, PS),
-        out_specs=(pspec_fields, PS, P()),
+        in_specs=(pspec_fields, PS, PS),
+        out_specs=(pspec_fields, PS, PS, P()),
         check_vma=False))
+    if chunk_steps:
+        chunk_sharded = jax.jit(jax.shard_map(
+            chunk, mesh=mesh,
+            in_specs=(pspec_fields, PS, PS, P()),
+            out_specs=(pspec_fields, PS, PS, P(), P()),
+            check_vma=False))
+        return step_sharded, first_sharded, migrate_sharded, chunk_sharded
     return step_sharded, first_sharded, migrate_sharded

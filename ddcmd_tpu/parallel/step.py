@@ -33,11 +33,12 @@ def make_sharded_step(mesh: Mesh, plan: SlabPlan, grid: CellGrid, tables,
       fields: dict of (n_dev, local_cap, ...) arrays sharded on axis 0.
     """
     box_lx = float(box_lengths[0])
-    Lv = jnp.asarray(box_lengths)
+    Lv_host = np.asarray(box_lengths, dtype=np.float64)
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
 
     def local_forces(fields, mask):
+        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
         ghosts, gmask, ov = halo_exchange(
             {k: fields[k] for k in ("r", "q", "species")}, mask, box_lx, plan)
         r_ext = jnp.concatenate([fields["r"], ghosts["r"]], axis=0)
@@ -56,6 +57,7 @@ def make_sharded_step(mesh: Mesh, plan: SlabPlan, grid: CellGrid, tables,
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov
 
     def step(fields, mask, f_prev, key):
+        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
         me = jax.lax.axis_index(AXIS)
         key = jax.random.fold_in(key, me)
         k1, k2 = jax.random.split(key)
@@ -91,9 +93,13 @@ def make_sharded_step(mesh: Mesh, plan: SlabPlan, grid: CellGrid, tables,
         virial = jax.lax.psum(virial, AXIS)
         return f, e_pot, virial, jax.lax.pmax(overflow.astype(jnp.int32), AXIS)
 
-    def migrate_fn(fields, mask):
-        packed, new_mask, count, ov = migrate(fields, mask, box_lx, plan)
-        return packed, new_mask, jax.lax.pmax(ov.astype(jnp.int32), AXIS)
+    def migrate_fn(fields, mask, f):
+        # forces ride along so the next front half-kick sees row-coherent
+        # f after the migration permutation (stale rows = wrong kicks)
+        packed, new_mask, count, ov = migrate(dict(fields, f=f), mask,
+                                              box_lx, plan)
+        f_new = packed.pop("f")
+        return packed, new_mask, f_new, jax.lax.pmax(ov.astype(jnp.int32), AXIS)
 
     pspec_fields = {k: P(AXIS) for k in FIELD_KEYS}
 
@@ -111,8 +117,8 @@ def make_sharded_step(mesh: Mesh, plan: SlabPlan, grid: CellGrid, tables,
     ))
     migrate_sharded = jax.jit(jax.shard_map(
         migrate_fn, mesh=mesh,
-        in_specs=(pspec_fields, P(AXIS)),
-        out_specs=(pspec_fields, P(AXIS), P()),
+        in_specs=(pspec_fields, P(AXIS), P(AXIS)),
+        out_specs=(pspec_fields, P(AXIS), P(AXIS), P()),
         check_vma=False,
     ))
     return step_sharded, first_sharded, migrate_sharded

@@ -8,6 +8,8 @@ chains into the neighbor gathers).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,19 +40,25 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             tmap = jnp.asarray(parms.species_lj_type)
 
             if engine == "pallas":
-                from ..ops.pallas_cellpair import (make_pallas_cellpair,
+                from ..ops.pallas_cellpair import (half_back_map, half_grid,
+                                                   make_pallas_cellpair_half,
                                                    pack_stencil,
-                                                   pallas_cellpair_eval)
+                                                   pallas_cellpair_eval_half)
 
-                eval_fn = make_pallas_cellpair(grid, tables, coulomb=True)
-                stencil = jnp.asarray(pack_stencil(grid))
+                hg = half_grid(grid)
+                eval_fn = make_pallas_cellpair_half(
+                    hg, tables, coulomb=True,
+                    interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
+                stencil = jnp.asarray(pack_stencil(hg))
+                back = jnp.asarray(half_back_map(hg))
 
                 def martini_term(state, box, handle, tables=tables, tmap=tmap,
-                                 eval_fn=eval_fn, stencil=stencil):
+                                 eval_fn=eval_fn, stencil=stencil, hg=hg,
+                                 back=back):
                     tidx = tmap[state.species]
-                    f, e, virial, pe = pallas_cellpair_eval(
-                        state.r, state.q, tidx, handle, box.lengths, grid,
-                        tables, stencil, eval_fn)
+                    f, e, virial, pe = pallas_cellpair_eval_half(
+                        state.r, state.q, tidx, handle, box.lengths, hg,
+                        tables, stencil, eval_fn, back)
                     e_self_i = (-0.5 * state.q * state.q * state.fmask
                                 * tables["keR"] * tables["crf"])
                     return f, e + jnp.sum(e_self_i), virial, pe + e_self_i
@@ -90,18 +98,24 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             tables = pair_device_tables(parms, dtype=dtype)
 
             if engine == "pallas":
-                from ..ops.pallas_cellpair import (make_pallas_cellpair,
+                from ..ops.pallas_cellpair import (half_back_map, half_grid,
+                                                   make_pallas_cellpair_half,
                                                    pack_stencil,
-                                                   pallas_cellpair_eval)
+                                                   pallas_cellpair_eval_half)
 
-                eval_fn = make_pallas_cellpair(grid, tables, coulomb=False)
-                stencil = jnp.asarray(pack_stencil(grid))
+                hg = half_grid(grid)
+                eval_fn = make_pallas_cellpair_half(
+                    hg, tables, coulomb=False,
+                    interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
+                stencil = jnp.asarray(pack_stencil(hg))
+                back = jnp.asarray(half_back_map(hg))
 
                 def pair_term(state, box, handle, tables=tables,
-                              eval_fn=eval_fn, stencil=stencil):
-                    return pallas_cellpair_eval(
+                              eval_fn=eval_fn, stencil=stencil, hg=hg,
+                              back=back):
+                    return pallas_cellpair_eval_half(
                         state.r, state.q, state.species, handle, box.lengths,
-                        grid, tables, stencil, eval_fn)
+                        hg, tables, stencil, eval_fn, back)
             elif engine == "cellblock":
                 lj_tables = dict(tables)
 

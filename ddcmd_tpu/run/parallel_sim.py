@@ -94,12 +94,15 @@ class ParallelSimulation:
             for _name, rows in (sd.residue_instances or []):
                 hgid64[np.asarray(rows)] = gid64[rows[0]]
 
-        self.step_fn, self.first_fn, self.migrate_fn = make_brick_step(
+        self.chunk_steps = max(1, int(sd.cfg.ddc_update_rate))
+        (self.step_fn, self.first_fn, self.migrate_fn,
+         self.chunk_fn) = make_brick_step(
             self.mesh, self.plan, self.grid, self.tables, self.coeffs,
             dt=sd.cfg.dt, box_lengths=L, species_lj_type=tmap, n_global=n,
             bonded_tables=bonded_gid_tab,
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
-                                      "group", "gid"))
+                                      "group", "gid"),
+            chunk_steps=max(1, int(sd.cfg.ddc_update_rate)))
 
         arrays = dict(
             r=np.asarray(sd.state.r[:n], dtype=np.float32),
@@ -130,29 +133,48 @@ class ParallelSimulation:
             raise RuntimeError("neighbor overflow at first energy")
         return float(e)
 
+    def _print_scalars(self, scalars, print_fn, loop0):
+        sd = self.sysdef
+        if not (print_fn and sd.cfg.printrate):
+            return
+        n = sd.state.n_local
+        k = scalars.shape[0]
+        for j in range(k):
+            loop = loop0 + j + 1
+            if loop % sd.cfg.printrate == 0:
+                e_pot, rk = float(scalars[j, 0]), float(scalars[j, 1])
+                T = 2.0 * rk / (3.0 * n * U.kB)
+                print_fn(f"{loop:10d} epot/N={e_pot / n:14.6f} "
+                         f"ekin/N={rk / n:12.6f} T={T:10.2f}")
+
     def run(self, n_loops: int, *, migrate_rate: int | None = None,
             print_fn=None):
+        """Chunked dispatch: ddc_update_rate steps + one migration per
+        device round trip (the multi-chip superchunk); leftover loops go
+        through the single-step path."""
         sd = self.sysdef
-        migrate_rate = migrate_rate or sd.cfg.ddc_update_rate
         if self.f is None:
             self.first_energy()
-        for i in range(n_loops):
+        done = 0
+        k = self.chunk_steps
+        while done + k <= n_loops:
+            self.key, sub = jax.random.split(self.key)
+            (self.fields, self.mask, self.f, scalars,
+             ov) = self.chunk_fn(self.fields, self.mask, self.f, sub)
+            if int(ov):
+                raise RuntimeError(f"overflow in chunk at loop {self.loop}")
+            self._print_scalars(scalars, print_fn, self.loop)
+            self.loop += k
+            done += k
+        while done < n_loops:
             self.key, sub = jax.random.split(self.key)
             self.fields, self.f, scalars, ov = self.step_fn(
                 self.fields, self.mask, self.f, sub)
             if int(ov):
                 raise RuntimeError(f"overflow at loop {self.loop}")
             self.loop += 1
-            if print_fn and sd.cfg.printrate and self.loop % sd.cfg.printrate == 0:
-                e_pot, rk = float(scalars[0]), float(scalars[1])
-                n = sd.state.n_local
-                T = 2.0 * rk / (3.0 * n * U.kB)
-                print_fn(f"{self.loop:10d} epot/N={e_pot / n:14.6f} "
-                         f"ekin/N={rk / n:12.6f} T={T:10.2f}")
-            if self.loop % migrate_rate == 0:
-                self.fields, self.mask, ov = self.migrate_fn(self.fields, self.mask)
-                if int(ov):
-                    raise RuntimeError(f"migration overflow at loop {self.loop}")
+            done += 1
+            self._print_scalars(scalars[None, :], print_fn, self.loop - 1)
         return self
 
 

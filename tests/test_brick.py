@@ -98,7 +98,7 @@ def test_brick_steps_and_migrates():
         fields, f, scalars, ov = step_fn(fields, maskd, f, jax.random.fold_in(key, i))
         assert int(ov) == 0
         assert np.isfinite(float(scalars[0]))
-    fields, maskd, ov = migrate_fn(fields, maskd)
+    fields, maskd, f, ov = migrate_fn(fields, maskd, f)
     assert int(ov) == 0
     assert int(np.asarray(maskd).sum()) == n  # conservation through migration
 

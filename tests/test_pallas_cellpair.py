@@ -49,3 +49,111 @@ def test_pallas_matches_xla_cellblock(charged):
     assert float(e2) == pytest.approx(float(e1), rel=1e-4, abs=1e-2)
     assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=2e-3, abs=0.5)
     assert np.asarray(pe2) == pytest.approx(np.asarray(pe1), rel=1e-3, abs=1e-3)
+
+
+@pytest.mark.parametrize("n,L", [(220, 4.2), (800, 6.6), (60, 2.6)])
+def test_pallas_half_matches_xla_cellblock(n, L):
+    """N3L half-stencil kernel == full engine, across cell geometries
+    (incl. 2-cell and 1-cell axes where image blocks alias)."""
+    from ddcmd_tpu.ops.pallas_cellpair import (half_back_map, half_grid,
+                                               make_pallas_cellpair_half,
+                                               pallas_cellpair_eval_half)
+
+    r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
+        n=n, L=L, seed=11, charged=True)
+    skin = 0.3
+    tables = dict(
+        sigma=jnp.asarray(sigma, jnp.float32), eps=jnp.asarray(eps, jnp.float32),
+        shift=jnp.asarray(shift, jnp.float32),
+        rcut2=jnp.asarray(rcut ** 2, jnp.float32),
+        krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
+        keR=jnp.asarray(keR, jnp.float32))
+    grid = plan_lanes([L] * 3, rcut, skin, n)
+    rj = jnp.asarray(r, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    tj = jnp.asarray(tidx, jnp.int32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    fmask = jnp.ones(n, jnp.float32)
+    perm, ov = build_cell_slots(rj, fmask, Lv, grid)
+    assert not bool(ov)
+
+    f1, e1, v1, pe1 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
+                                    coulomb=True)
+
+    hgrid = half_grid(grid)
+    assert hgrid.n_stencil == 14
+    eval_fn = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
+                                        interpret=True)
+    from ddcmd_tpu.ops.pallas_cellpair import pack_stencil
+
+    stencil = jnp.asarray(pack_stencil(hgrid))
+    back = jnp.asarray(half_back_map(hgrid))
+    f2, e2, v2, pe2 = pallas_cellpair_eval_half(
+        rj, qj, tj, perm, Lv, hgrid, tables, stencil, eval_fn, back)
+
+    scale = max(1.0, float(jnp.abs(f1).max()))
+    assert float(jnp.abs(f2 - f1).max()) / scale < 2e-5
+    assert float(e2) == pytest.approx(float(e1), rel=1e-4, abs=1e-2)
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=2e-3, abs=0.5)
+    assert np.asarray(pe2) == pytest.approx(np.asarray(pe1), rel=1e-3,
+                                            abs=2e-3)
+
+
+def test_pallas_engine_end_to_end(tmp_path, monkeypatch):
+    """Simulation(engine='pallas') in interpret mode matches the cellblock
+    engine through real MD steps (exercises the forces.py wiring incl.
+    the half-kernel back-permutation inside the superchunk scan)."""
+    monkeypatch.setenv("DDCMD_PALLAS_INTERPRET", "1")
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.simulate import Simulation
+
+    L = 24.0
+    rng = np.random.default_rng(3)
+    m = 6
+    g = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)
+    s = (g + 0.5) / m - 0.5 + (rng.random((m ** 3, 3)) - 0.5) * 0.02
+    r = s * L
+    n = len(r)
+    v = rng.standard_normal((n, 3)) * 0.002
+    rows = [f"{i} ATOM Ar free "
+            + " ".join("%.8f" % x for x in r[i])
+            + " " + " ".join("%.8f" % x for x in v[i]) for i in range(n)]
+    hdr = (f"particle FILEHEADER {{type=MULTILINE; datatype=VARRECORDASCII;"
+           f" checksum=NONE;\nloop=0; time=0.0;\nnfiles=1; nrecord={n};"
+           f" nfields=10;\n"
+           f"field_names=id class type group rx ry rz vx vy vz;\n"
+           f"field_types=u s s s f f f f f f;\n"
+           f"h= {L} 0 0 0 {L} 0 0 0 {L} ;\n}}\n\n")
+    (tmp_path / "atoms#000000").write_text(hdr + "\n".join(rows) + "\n")
+    deck = f"""
+simulate SIMULATE {{ type=MD; system=system; integrator=nve; dt=4;
+  maxloop=1000; printrate=50; ddc=ddc; }}
+ddc DDC {{ updateRate=10; }}
+pot POTENTIAL {{ type=PAIR; cutoff=7.0 Angstrom; eps=0.01 eV;
+  sigma=3.4 Angstrom; }}
+nve INTEGRATOR {{ type=NVEGLF; }}
+system SYSTEM {{ type=NORMAL; potential=pot; neighbor=nbr; groups=free;
+  box=box; collection=collection; species=Ar; }}
+Ar SPECIES {{ type=ATOM; mass=39.948; charge=0; }}
+box BOX {{ type=ORTHORHOMBIC; pbc=7; h= {L} 0 0 0 {L} 0 0 0 {L} ; }}
+nbr NEIGHBOR {{ type=NORMAL; deltaR=1.2; }}
+free GROUP {{ type=FREE; }}
+collection COLLECTION {{ mode=VARRECORDASCII; size={n}; files=atoms#; }}
+"""
+    (tmp_path / "object.data").write_text(deck)
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+
+    sims = {}
+    for eng in ("cellblock", "pallas"):
+        db_e = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+        sim = Simulation(db_e, str(tmp_path), run_dir=str(tmp_path),
+                         engine=eng)
+        sim.first_energy()
+        sim.run(20, print_fn=lambda s: None)
+        sims[eng] = (float(sim.ss.energy.eion), float(sim.ss.energy.rk))
+
+    e_cb, k_cb = sims["cellblock"]
+    e_pl, k_pl = sims["pallas"]
+    assert e_pl == pytest.approx(e_cb, rel=2e-4)
+    assert k_pl == pytest.approx(k_cb, rel=2e-3)

@@ -102,7 +102,7 @@ def test_sharded_step_and_migration():
         fields, f, scalars, ov = step_fn(fields, maskd, f, jax.random.fold_in(key, i))
         assert int(ov) == 0
         assert np.isfinite(float(scalars[0])) and np.isfinite(float(scalars[1]))
-    fields, maskd, ov = migrate_fn(fields, maskd)
+    fields, maskd, f, ov = migrate_fn(fields, maskd, f)
     assert int(ov) == 0
     # particle count conserved through migration
     assert int(np.asarray(maskd).sum()) == n
@@ -179,6 +179,6 @@ def test_sharded_forces_match_with_zramp_walls():
         fields, f, scalars, ov = step_fn(fields, maskd, f,
                                          jax.random.PRNGKey(i))
         assert int(ov) == 0
-    fields, maskd, ov = migrate_fn(fields, maskd)
+    fields, maskd, f, ov = migrate_fn(fields, maskd, f)
     assert int(ov) == 0
     assert int(np.asarray(maskd).sum()) == n
