@@ -15,7 +15,14 @@ resMoveCons loop :200-280):
 TPU shape: constraint groups are padded to (G, max_atoms, max_pairs) and
 solved with batched jnp.linalg.solve under vmap; fixed iteration count
 replaces the reference's tolerance loop (convergence is quadratic; tests
-assert the residual)."""
+assert the residual).
+
+Two entry points:
+  build_constraint_fn   -- single-chip: group->row tables baked in.
+  make_constraint_project -- row tables passed per call (the sharded
+    brick step resolves gid-keyed groups to local rows each call;
+    molecule-coherent migration guarantees the rows are local).
+"""
 
 from __future__ import annotations
 
@@ -24,15 +31,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_constraint_fn(cons_atoms, cons_pairs, cons_dist, n_pad: int,
-                        dtype, box_lengths=None, n_iter_front: int = 8):
-    """cons_atoms (G,m) state rows (pad -1); cons_pairs (G,n,2) local slots;
-    cons_dist (G,n) target distances (pad 0).  Returns
-    constraint_fn(state, dt, mode) -> state with projected velocities."""
-    G, m = cons_atoms.shape
-    n = cons_pairs.shape[1]
+def make_constraint_project(cons_pairs, cons_dist, dtype, m: int,
+                            box_lengths=None, n_iter_front: int = 8):
+    """cons_pairs (G,n,2) local atom slots; cons_dist (G,n) targets (pad 0);
+    m = atoms per (padded) group.  Returns
+    project_all(r_ext, v_ext, rmass_ext, atoms, group_w, dt, mode)
+    -> (G,m,3) projected group velocities; `atoms` (G,m) rows into the
+    *_ext buffers (pad rows -> a zeroed sentinel row), `group_w` (G,)
+    gates whole groups (sharded ownership)."""
+    G, n = cons_pairs.shape[:2]
 
-    atoms = jnp.asarray(np.where(cons_atoms < 0, n_pad, cons_atoms))
     pairs = jnp.asarray(cons_pairs)
     dist2 = jnp.asarray(cons_dist ** 2, dtype=dtype)
     pair_valid = jnp.asarray((cons_dist > 0).astype(np.float64), dtype=dtype)
@@ -82,6 +90,30 @@ def build_constraint_fn(cons_atoms, cons_pairs, cons_dist, n_pad: int,
 
     vproject = jax.vmap(project, in_axes=(0, 0, 0, 0, 0, 0, None, None))
 
+    def project_all(r_ext, v_ext, rmass_ext, atoms, group_w, dt, mode_front):
+        r_g = r_ext[atoms]
+        v_g = v_ext[atoms]
+        rmass_g = rmass_ext[atoms]
+        w = pair_valid * group_w[:, None]
+        v_new = vproject(r_g, v_g, rmass_g, dist2, w, sel, dt, mode_front)
+        # gate: disowned groups return their input velocities untouched
+        return jnp.where(group_w[:, None, None] > 0, v_new, v_g)
+
+    return project_all
+
+
+def build_constraint_fn(cons_atoms, cons_pairs, cons_dist, n_pad: int,
+                        dtype, box_lengths=None, n_iter_front: int = 8):
+    """cons_atoms (G,m) state rows (pad -1); cons_pairs (G,n,2) local slots;
+    cons_dist (G,n) target distances (pad 0).  Returns
+    constraint_fn(state, dt, mode) -> state with projected velocities."""
+    project_all = make_constraint_project(
+        cons_pairs, cons_dist, dtype, cons_atoms.shape[1],
+        box_lengths=box_lengths, n_iter_front=n_iter_front)
+    G = cons_atoms.shape[0]
+    atoms = jnp.asarray(np.where(cons_atoms < 0, n_pad, cons_atoms))
+    ones = jnp.ones((G,), dtype=dtype)
+
     # scatter through an extended buffer so padded atom slots land on the
     # sentinel row and are dropped
     def constraint_fn(state, dt, mode):
@@ -90,11 +122,7 @@ def build_constraint_fn(cons_atoms, cons_pairs, cons_dist, n_pad: int,
         v_ext = jnp.concatenate([state.v, jnp.zeros((1, 3), dtype=dtype)])
         rm_ext = jnp.concatenate(
             [1.0 / state.mass, jnp.zeros((1,), dtype=dtype)])
-        r_g = r_ext[atoms]
-        v_g = v_ext[atoms]
-        rmass_g = rm_ext[atoms]
-        v_new = vproject(r_g, v_g, rmass_g, dist2, pair_valid, sel,
-                         dt, mode_front)
+        v_new = project_all(r_ext, v_ext, rm_ext, atoms, ones, dt, mode_front)
         v_buf = jnp.concatenate([state.v, jnp.zeros((1, 3), dtype=dtype)])
         v_buf = v_buf.at[atoms.reshape(-1)].set(v_new.reshape(-1, 3))
         return state.replace(v=v_buf[:n_pad])

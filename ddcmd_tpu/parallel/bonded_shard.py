@@ -89,3 +89,44 @@ def resolve_terms(tables, pool_gid64, pool_mask, local_cap):
         if not k.endswith("_gids") and k not in out:
             out[k] = v
     return out
+
+
+def constraint_gid_tables(bt, gid):
+    """Host-side: gid-keyed constraint groups for the sharded step.
+
+    Returns dict(cons_gids (G,m) int64 [pad -> -1], cons_pairs, cons_dist)
+    or None when the topology has no constraints."""
+    if bt.cons_atoms is None or bt.n_constraints == 0:
+        return None
+    gid = np.asarray(gid, dtype=np.int64)
+    ca = np.asarray(bt.cons_atoms)
+    cg = np.where(ca >= 0, gid[np.clip(ca, 0, len(gid) - 1)], -1)
+    return dict(cons_gids=jnp.asarray(cg),
+                cons_pairs=np.asarray(bt.cons_pairs),
+                cons_dist=np.asarray(bt.cons_dist))
+
+
+def resolve_constraints(cons_gids, pool_gid64, pool_mask, local_cap):
+    """Per-device: map (G,m) gid-keyed constraint groups to pool rows.
+
+    A group is owned iff every non-pad atom resolves to a LOCAL row and
+    its first atom is local (molecule coherence makes this exactly-once
+    across the mesh).  Returns (atoms (G,m) int32 rows [pad/missing ->
+    n_pool sentinel], group_w (G,) f32)."""
+    n_pool = pool_gid64.shape[0]
+    big = jnp.asarray(jnp.iinfo(pool_gid64.dtype).max, pool_gid64.dtype)
+    keyed = jnp.where(pool_mask, pool_gid64, big)
+    order = jnp.argsort(keyed)
+    sg = keyed[order]
+
+    g = cons_gids
+    pad = g < 0
+    pos = jnp.clip(jnp.searchsorted(sg, g), 0, n_pool - 1)
+    rows = order[pos]
+    found = (sg[pos] == g) & ~pad
+    local = found & (rows < local_cap)
+    owned = (jnp.all(local | pad, axis=-1)
+             & jnp.any(local, axis=-1)
+             & local[:, 0])
+    atoms = jnp.where(local, rows, n_pool).astype(jnp.int32)
+    return atoms, owned.astype(jnp.float32)

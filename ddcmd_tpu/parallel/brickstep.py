@@ -11,7 +11,7 @@ from ..core.groups import velocity_update
 from ..nbr.celllist import CellGrid, build_neighbor_list
 from ..potentials.bonded import bonded_eval
 from ..potentials.martini import martini_nonbond
-from .bonded_shard import pack_gid, resolve_terms
+from .bonded_shard import pack_gid, resolve_constraints, resolve_terms
 from .brick import AXES, BrickPlan, halo_exchange_3d, migrate_3d
 
 FIELD_KEYS = ("r", "v", "q", "mass", "species", "group", "gid")
@@ -25,7 +25,8 @@ def make_brick_mesh(shape, devices=None) -> Mesh:
 def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                     coeffs, dt: float, box_lengths, species_lj_type,
                     n_global: int, bonded_tables=None,
-                    field_keys=FIELD_KEYS, chunk_steps: int | None = None):
+                    field_keys=FIELD_KEYS, chunk_steps: int | None = None,
+                    constraint_tables=None):
     Lv_host = np.asarray(box_lengths, dtype=np.float64)
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
@@ -61,6 +62,34 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
             pe = pe + peb
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov
 
+    if constraint_tables is not None:
+        from ..integrators.constraints import make_constraint_project
+
+        cons_gids = jnp.asarray(constraint_tables["cons_gids"])
+        project_all = make_constraint_project(
+            constraint_tables["cons_pairs"], constraint_tables["cons_dist"],
+            jnp.float32, cons_gids.shape[1], box_lengths=Lv_host)
+
+    def apply_constraints(fields, mask, v, mode_front):
+        """Per-residue velocity projection on LOCALLY-owned groups
+        (gid-resolved each call; molecule-coherent migration keeps every
+        owned group's atoms local -- no communication)."""
+        dtc = v.dtype
+        n_loc = v.shape[0]
+        g64 = pack_gid(fields["gid"])
+        atoms, gw = resolve_constraints(cons_gids, g64, mask, n_loc)
+        r_ext = jnp.concatenate([fields["r"].astype(dtc),
+                                 jnp.zeros((1, 3), dtc)])
+        v_ext = jnp.concatenate([v, jnp.zeros((1, 3), dtc)])
+        rm = jnp.where(mask, 1.0 / jnp.maximum(fields["mass"], 1e-30),
+                       0.0).astype(dtc)
+        rm_ext = jnp.concatenate([rm, jnp.zeros((1,), dtc)])
+        v_new = project_all(r_ext, v_ext, rm_ext, atoms, gw, dt,
+                            jnp.asarray(mode_front))
+        v_buf = jnp.concatenate([v, jnp.zeros((1, 3), dtc)])
+        v_buf = v_buf.at[atoms.reshape(-1)].set(v_new.reshape(-1, 3))
+        return v_buf[:n_loc]
+
     def step(fields, mask, f_prev, key):
         Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
         for ax in full_axes:
@@ -70,6 +99,8 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
 
         v = velocity_update("front", fields["v"], f_prev, fields["mass"],
                             fields["group"], coeffs, half, k1, mask)
+        if constraint_tables is not None:
+            v = apply_constraints(fields, mask, v, True)
         r = fields["r"] + dt * v
         r = r - Lv * jnp.round(r / Lv)
         fields = dict(fields, r=r, v=v)
@@ -78,6 +109,8 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
 
         v = velocity_update("back", fields["v"], f, fields["mass"],
                             fields["group"], coeffs, half, k2, mask)
+        if constraint_tables is not None:
+            v = apply_constraints(fields, mask, v, False)
         fields = dict(fields, v=v)
 
         mv = (fields["mass"] * fmask)[:, None] * v

@@ -38,6 +38,11 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
         if ptype == "MARTINI":
             tables = martini_device_tables(parms, dtype=dtype)
             tmap = jnp.asarray(parms.species_lj_type)
+            # reaction-field Coulomb is dead weight when every local charge
+            # is zero (the Martini waterbox: W beads) -- skip the per-pair
+            # RF math and the (zero) self-energy entirely
+            n_loc0 = sysdef.state.n_local
+            coul = bool(np.any(np.asarray(sysdef.state.q[:n_loc0]) != 0.0))
 
             if engine == "pallas":
                 from ..ops.pallas_cellpair import (half_back_map, half_grid,
@@ -47,18 +52,20 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
                 hg = half_grid(grid)
                 eval_fn = make_pallas_cellpair_half(
-                    hg, tables, coulomb=True,
+                    hg, tables, coulomb=coul,
                     interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
                 stencil = jnp.asarray(pack_stencil(hg))
                 back = jnp.asarray(half_back_map(hg))
 
                 def martini_term(state, box, handle, tables=tables, tmap=tmap,
                                  eval_fn=eval_fn, stencil=stencil, hg=hg,
-                                 back=back):
+                                 back=back, coul=coul):
                     tidx = tmap[state.species]
                     f, e, virial, pe = pallas_cellpair_eval_half(
                         state.r, state.q, tidx, handle, box.lengths, hg,
                         tables, stencil, eval_fn, back)
+                    if not coul:
+                        return f, e, virial, pe
                     e_self_i = (-0.5 * state.q * state.q * state.fmask
                                 * tables["keR"] * tables["crf"])
                     return f, e + jnp.sum(e_self_i), virial, pe + e_self_i
@@ -77,11 +84,14 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                         shift=tables["shift"][t0:t0 + 1, t0:t0 + 1])
                     tmap = jnp.zeros_like(tmap)
 
-                def martini_term(state, box, handle, tables=tables, tmap=tmap):
+                def martini_term(state, box, handle, tables=tables, tmap=tmap,
+                                 coul=coul):
                     tidx = tmap[state.species]
                     f, e, virial, pe = cellpair_eval(
                         state.r, state.q, tidx, handle, _geom(box), grid,
-                        tables, coulomb=True)
+                        tables, coulomb=coul)
+                    if not coul:
+                        return f, e, virial, pe
                     e_self_i = (-0.5 * state.q * state.q * state.fmask
                                 * tables["keR"] * tables["crf"])
                     return f, e + jnp.sum(e_self_i), virial, pe + e_self_i

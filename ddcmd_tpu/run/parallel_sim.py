@@ -70,6 +70,7 @@ class ParallelSimulation:
         # gid-keyed bonded terms + molecule-coherent migration when the
         # system has covalent topology
         bonded_gid_tab = None
+        cons_tab = None
         field_keys = None
         gid64 = sd.collection.gid
         hgid64 = None
@@ -89,6 +90,10 @@ class ParallelSimulation:
                 species_per_particle=np.asarray(sd.state.species))
             bonded_gid_tab = bonded_gid_tables(bt, gid64, dtab)
             field_keys = FIELD_KEYS + ("hgid",)
+            if bt.n_constraints > 0 and "CONSTRAINT" in sd.integrator_type:
+                from ..parallel.bonded_shard import constraint_gid_tables
+
+                cons_tab = constraint_gid_tables(bt, gid64)
             # head bead = first atom of each residue instance
             hgid64 = gid64.copy()
             for _name, rows in (sd.residue_instances or []):
@@ -102,7 +107,8 @@ class ParallelSimulation:
             bonded_tables=bonded_gid_tab,
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
                                       "group", "gid"),
-            chunk_steps=max(1, int(sd.cfg.ddc_update_rate)))
+            chunk_steps=max(1, int(sd.cfg.ddc_update_rate)),
+            constraint_tables=cons_tab)
 
         arrays = dict(
             r=np.asarray(sd.state.r[:n], dtype=np.float32),
