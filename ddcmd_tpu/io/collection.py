@@ -433,9 +433,10 @@ def _write_binary(path, *, gid, species_names, group_names, r, v, h,
     recs[:, 12:14] = pinfo.astype("<u2").view(np.uint8).reshape(n, 2)
     floats = np.concatenate([r, v], axis=1).astype("<f8")
     recs[:, 14:62] = floats.view(np.uint8).reshape(n, 48)
-    crcs = np.array([zlib.crc32(recs[i, 4:].tobytes()) & 0xFFFFFFFF
-                     for i in range(n)], dtype="<u4")
-    recs[:, 0:4] = crcs.view(np.uint8).reshape(n, 4)
+    from .fastio import crc32_rows
+
+    recs[:, 0:4] = crc32_rows(recs, skip=4).astype("<u4").view(
+        np.uint8).reshape(n, 4)
 
     header = _HEADER_TEMPLATE.format(
         datatype="FIXRECORDBINARY",

@@ -114,3 +114,27 @@ def format_records(gid: np.ndarray, strs: np.ndarray, floats: np.ndarray,
     if w < 0:
         return None
     return out.raw[:w]
+
+
+def crc32_rows(rows: "np.ndarray", skip: int = 0) -> "np.ndarray":
+    """Per-row crc32 of rows[:, skip:] for (n, lrec) uint8 buffers.
+    Native when the codec builds; zlib loop otherwise."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    n, lrec = rows.shape
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "recio_crc32_rows"):
+        import ctypes
+
+        lib.recio_crc32_rows.restype = None
+        lib.recio_crc32_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint32)]
+        out = np.empty(n, dtype=np.uint32)
+        lib.recio_crc32_rows(
+            rows.ctypes.data_as(ctypes.c_char_p), n, lrec, skip,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out
+    import zlib
+
+    return np.array([zlib.crc32(rows[i, skip:].tobytes()) & 0xFFFFFFFF
+                     for i in range(n)], dtype=np.uint32)

@@ -56,10 +56,10 @@ def write_bxyz(sim, snapdir: str) -> str:
     payload = np.concatenate(
         [r, v, pe[:, None], np.zeros((n, 1))], axis=1).astype("<f4")
     recs[:, 14:] = payload.view(np.uint8).reshape(n, 32)
-    for i in range(n):
-        ck = zlib.crc32(recs[i, 4:].tobytes()) & 0xFFFFFFFF
-        recs[i, 0:4] = np.frombuffer(
-            np.uint32(ck).astype("<u4").tobytes(), dtype=np.uint8)
+    from .fastio import crc32_rows
+
+    recs[:, 0:4] = crc32_rows(recs, skip=4).astype("<u4").view(
+        np.uint8).reshape(n, 4)
     path = os.path.join(snapdir, "bxyz#000000")
     hdr = (f"bxyz FILEHEADER {{type=FIXRECORDBINARY; lrec={lrec};"
            f" nrecord={n}; nfields=11; endian_key=875770417;\n"

@@ -137,3 +137,36 @@ long recio_format(long n, const unsigned long long *gid, int hex,
     }
     return w;
 }
+
+/* ---- per-row crc32 (zlib polynomial) for binary record writers ------- */
+
+static unsigned int crc_table[256];
+static int crc_table_ready = 0;
+
+static void crc32_init(void)
+{
+    for (unsigned int i = 0; i < 256; ++i) {
+        unsigned int c = i;
+        for (int k = 0; k < 8; ++k)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_table[i] = c;
+    }
+    crc_table_ready = 1;
+}
+
+/* crc32 of bytes [skip, lrec) of each of n rows of a (n, lrec) buffer
+ * (FIXRECORDBINARY / bxyz checksum fields,
+ * /root/reference/src/collection_write.c:338-410). */
+void recio_crc32_rows(const unsigned char *data, long n, long lrec,
+                      long skip, unsigned int *out)
+{
+    if (!crc_table_ready)
+        crc32_init();
+    for (long i = 0; i < n; ++i) {
+        const unsigned char *p = data + i * lrec + skip;
+        unsigned int c = 0xFFFFFFFFu;
+        for (long j = skip; j < lrec; ++j)
+            c = crc_table[(c ^ *p++) & 0xFF] ^ (c >> 8);
+        out[i] = c ^ 0xFFFFFFFFu;
+    }
+}

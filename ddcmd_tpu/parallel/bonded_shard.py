@@ -52,9 +52,10 @@ def bonded_gid_tables(bt, gid, device_tables):
         if arr is not None and fam in out:
             out[fam + "_gids"] = jnp.asarray(gid[np.asarray(arr)])
             del out[fam]          # rows are resolved per device per call
-    for k in ("cmap_atoms", "cmap_type", "cmap_grid", "cmap_y1",
-              "cmap_y2", "cmap_y12"):
-        out.pop(k, None)          # CMAP not sharded yet (single-chip path)
+    if getattr(bt, "cmap_atoms", None) is not None and "cmap_atoms" in out:
+        out["cmap_atoms_gids"] = jnp.asarray(
+            gid[np.asarray(bt.cmap_atoms)])
+        del out["cmap_atoms"]     # resolved per device like other families
     return out
 
 
@@ -74,14 +75,17 @@ def resolve_terms(tables, pool_gid64, pool_mask, local_cap):
 
     out = {}
     for fam in ("bonds", "angles", "torsions", "impropers", "bpairs",
-                "exclusions"):
+                "exclusions", "cmap_atoms"):
         g = tables.get(fam + "_gids")
         if g is None:
             continue
         pos = jnp.clip(jnp.searchsorted(sg, g), 0, n_pool - 1)
         rows = order[pos]
         found = sg[pos] == g
-        owned = jnp.all(found, axis=-1) & (rows[:, 0] < local_cap)
+        # ownership by the anchor atom: first atom for 2/3/4-body terms,
+        # the N anchor (slot 1) for 5-atom CMAP terms
+        anchor = 1 if fam == "cmap_atoms" else 0
+        owned = jnp.all(found, axis=-1) & (rows[:, anchor] < local_cap)
         out[fam] = jnp.where(found, rows, 0).astype(jnp.int32)
         out[fam + "_w"] = owned.astype(jnp.float32)
     # per-term constants pass through unchanged

@@ -9,6 +9,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.groups import velocity_update
 from ..nbr.celllist import CellGrid, build_neighbor_list
+from ..objects import units as U
 from ..potentials.bonded import bonded_eval
 from ..potentials.martini import martini_nonbond
 from .bonded_shard import pack_gid, resolve_constraints, resolve_terms
@@ -26,15 +27,25 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                     coeffs, dt: float, box_lengths, species_lj_type,
                     n_global: int, bonded_tables=None,
                     field_keys=FIELD_KEYS, chunk_steps: int | None = None,
-                    constraint_tables=None):
+                    constraint_tables=None, barostat=None):
+    """barostat: None (fixed box) or dict(P0, beta, tau, T, isotropic,
+    n_molecules) -- the NGLFCONSTRAINT Berendsen-style volume change
+    (changeVolume, /root/reference/src/nglfconstraint.c:64-85) applied at
+    the start of every scanned step with the previous step's psum'd
+    virial.  With a barostat the chunk signature grows to
+    chunk(fields, mask, f, vir_diag, Lv, key) ->
+    (fields, mask, f, vir_diag, Lv, scalars (k,7), overflow); the carried
+    Lv is the live box.  The pressure uses the ATOMIC virial -- identical
+    to the reference's molecular pressure for single-bead molecules (the
+    waterbox); multi-bead molecular pressure stays single-chip."""
     Lv_host = np.asarray(box_lengths, dtype=np.float64)
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
     full_axes = tuple(AXES)
     halo_keys = ("r", "q", "species") + (("gid",) if bonded_tables else ())
+    ncells_v = np.asarray(grid.ncells, dtype=np.float64)
 
-    def local_forces(fields, mask):
-        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
+    def local_forces(fields, mask, Lv):
         ghosts, gmask, ov = halo_exchange_3d(
             {k: fields[k] for k in halo_keys}, mask,
             Lv, plan)
@@ -60,7 +71,11 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
             e_pot = e_pot + eb
             virial = virial + vb
             pe = pe + peb
-        return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov
+        # a shrinking NPT box can drop the cell edge below rlist, which
+        # silently breaks the one-shell stencil: flag it as an overflow
+        cell_ok = jnp.all(Lv / jnp.asarray(ncells_v, Lv.dtype)
+                          >= jnp.asarray(grid.rlist, Lv.dtype))
+        return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov | ~cell_ok
 
     if constraint_tables is not None:
         from ..integrators.constraints import make_constraint_project
@@ -90,8 +105,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         v_buf = v_buf.at[atoms.reshape(-1)].set(v_new.reshape(-1, 3))
         return v_buf[:n_loc]
 
-    def step(fields, mask, f_prev, key):
-        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
+    def _step(fields, mask, f_prev, key, Lv):
         for ax in full_axes:
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         k1, k2 = jax.random.split(key)
@@ -105,7 +119,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         r = r - Lv * jnp.round(r / Lv)
         fields = dict(fields, r=r, v=v)
 
-        f, e_pot, virial, pe, overflow = local_forces(fields, mask)
+        f, e_pot, virial, pe, overflow = local_forces(fields, mask, Lv)
 
         v = velocity_update("back", fields["v"], f, fields["mass"],
                             fields["group"], coeffs, half, k2, mask)
@@ -121,41 +135,85 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         rk = jax.lax.psum(rk, full_axes)
         virial = jax.lax.psum(virial, full_axes)
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), full_axes)
-        scalars = jnp.stack([e_pot, rk, jnp.trace(virial)])
+        scalars = jnp.stack([e_pot, rk, jnp.trace(virial),
+                             virial[0, 0], virial[1, 1], virial[2, 2],
+                             jnp.prod(Lv)])
         return fields, f, scalars, overflow
+
+    def step(fields, mask, f_prev, key):
+        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
+        return _step(fields, mask, f_prev, key, Lv)
 
     def first_forces(fields, mask, key):
         del key
-        f, e_pot, virial, pe, overflow = local_forces(fields, mask)
+        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
+        f, e_pot, virial, pe, overflow = local_forces(fields, mask, Lv)
         e_pot = jax.lax.psum(e_pot, full_axes)
         virial = jax.lax.psum(virial, full_axes)
         return f, e_pot, virial, jax.lax.pmax(overflow.astype(jnp.int32), full_axes)
 
-    def migrate_fn(fields, mask, f):
+    def _migrate(fields, mask, f, Lv):
         # forces ride along so the next front half-kick sees row-coherent
         # f after the migration permutation (stale rows = wrong kicks)
-        packed, new_mask, ov = migrate_3d(
-            dict(fields, f=f), mask,
-            jnp.asarray(Lv_host, dtype=fields["r"].dtype), plan)
+        packed, new_mask, ov = migrate_3d(dict(fields, f=f), mask, Lv, plan)
         f_new = packed.pop("f")
         return (packed, new_mask, f_new,
                 jax.lax.pmax(ov.astype(jnp.int32), full_axes))
+
+    def migrate_fn(fields, mask, f):
+        Lv = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
+        return _migrate(fields, mask, f, Lv)
+
+    def _lam(vir_diag, Lv):
+        """Berendsen per-axis scale from the previous step's virial
+        (changeVolume; P = (virial + nmol kB T I)/V with the TARGET T)."""
+        dtb = Lv.dtype
+        vol = jnp.prod(Lv)
+        nkt = barostat["n_molecules"] * barostat["T"] * U.kB
+        p = (vir_diag.astype(dtb) + nkt) / vol - barostat["P0"]
+        btt = barostat["beta"] * dt / barostat["tau"]
+        if barostat.get("isotropic"):
+            piso = jnp.sum(p) / 3.0
+            return jnp.cbrt(1.0 + piso * btt) * jnp.ones(3, dtb)
+        pxx = 0.5 * (p[0] + p[1])
+        return jnp.cbrt(1.0 + jnp.stack([pxx, pxx, p[2]]) * btt)
 
     def chunk(fields, mask, f_prev, key):
         """`chunk_steps` MD steps + one migration in ONE dispatch (the
         multi-chip analog of the single-chip superchunk scan): host round
         trips amortize over the DDC updateRate cadence."""
+        Lv0 = jnp.asarray(Lv_host, dtype=fields["r"].dtype)
+
         def body(carry, i):
             fields, f, ov = carry
-            fields, f, scalars, ov_i = step(fields, mask, f,
-                                            jax.random.fold_in(key, i))
+            fields, f, scalars, ov_i = _step(fields, mask, f,
+                                             jax.random.fold_in(key, i), Lv0)
             return (fields, f, ov | ov_i), scalars
 
         (fields, f, ov), scal = jax.lax.scan(
             body, (fields, f_prev, jnp.zeros((), jnp.int32)),
             jnp.arange(chunk_steps))
-        fields, mask, f, ov_m = migrate_fn(fields, mask, f)
+        fields, mask, f, ov_m = _migrate(fields, mask, f, Lv0)
         return fields, mask, f, scal, ov | ov_m
+
+    def chunk_npt(fields, mask, f_prev, vir_diag, Lv, key):
+        """NPT chunk: the barostat rescales Lv and positions at the start
+        of every scanned step from the previous step's virial diagonal."""
+        def body(carry, i):
+            fields, f, vird, Lv, ov = carry
+            lam = _lam(vird, Lv)
+            Lv = Lv * lam
+            fields = dict(fields, r=fields["r"] * lam[None, :])
+            fields, f, scalars, ov_i = _step(fields, mask, f,
+                                             jax.random.fold_in(key, i), Lv)
+            vird = scalars[3:6]
+            return (fields, f, vird, Lv, ov | ov_i), scalars
+
+        (fields, f, vir_diag, Lv, ov), scal = jax.lax.scan(
+            body, (fields, f_prev, vir_diag, Lv, jnp.zeros((), jnp.int32)),
+            jnp.arange(chunk_steps))
+        fields, mask, f, ov_m = _migrate(fields, mask, f, Lv)
+        return fields, mask, f, vir_diag, Lv, scal, ov | ov_m
 
     pspec_fields = {k: P(("bx", "by", "bz")) for k in field_keys}
     PS = P(("bx", "by", "bz"))
@@ -176,10 +234,17 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         out_specs=(pspec_fields, PS, PS, P()),
         check_vma=False))
     if chunk_steps:
-        chunk_sharded = jax.jit(jax.shard_map(
-            chunk, mesh=mesh,
-            in_specs=(pspec_fields, PS, PS, P()),
-            out_specs=(pspec_fields, PS, PS, P(), P()),
-            check_vma=False))
+        if barostat is not None:
+            chunk_sharded = jax.jit(jax.shard_map(
+                chunk_npt, mesh=mesh,
+                in_specs=(pspec_fields, PS, PS, P(), P(), P()),
+                out_specs=(pspec_fields, PS, PS, P(), P(), P(), P()),
+                check_vma=False))
+        else:
+            chunk_sharded = jax.jit(jax.shard_map(
+                chunk, mesh=mesh,
+                in_specs=(pspec_fields, PS, PS, P()),
+                out_specs=(pspec_fields, PS, PS, P(), P()),
+                check_vma=False))
         return step_sharded, first_sharded, migrate_sharded, chunk_sharded
     return step_sharded, first_sharded, migrate_sharded

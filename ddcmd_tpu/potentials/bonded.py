@@ -460,6 +460,20 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         dCA = _min_image(r[idx[:, 2]] - rj_, L)
         dC = _min_image(r[idx[:, 3]] - rj_, L)
         dN2 = _min_image(r[idx[:, 4]] - rj_, L)
+        cw = terms.get("cmap_atoms_w")
+        if cw is not None:
+            # sharded path: unresolved terms gather coincident sentinel
+            # rows; swap in a fixed non-degenerate dihedral geometry so
+            # the AD pullback stays finite (0 * nan otherwise)
+            u_ = jnp.asarray([-1.0, 0.0, 0.0], dtype=dtype)
+            vg = jnp.asarray([0.0, 1.0, 0.0], dtype=dtype)
+            wg = jnp.asarray([0.0, 1.0, 1.0], dtype=dtype)
+            xg = jnp.asarray([1.0, 1.0, 1.0], dtype=dtype)
+            on = (cw > 0)[:, None]
+            dP = jnp.where(on, dP, u_)
+            dCA = jnp.where(on, dCA, vg)
+            dC = jnp.where(on, dC, wg)
+            dN2 = jnp.where(on, dN2, xg)
 
         def dihed(b1, b2, b3):
             n1 = jnp.cross(b1, b2)
@@ -495,11 +509,13 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
             p2 = jnp.stack([jnp.ones_like(t2), t2, t2 * t2, t2 ** 3])
             return jnp.einsum("ijm,im,jm->m", c, p1, p2)
 
+        wvec = (jnp.ones(idx.shape[0], dtype=dtype) if cw is None
+                else cw.astype(dtype))
         e_t, pull = jax.vjp(
-            lambda a, b, cc, d: jnp.sum(cmap_energy(a, b, cc, d)),
+            lambda a, b, cc, d: jnp.sum(cmap_energy(a, b, cc, d) * wvec),
             dP, dCA, dC, dN2)
         gP, gCA, gC, gN2 = pull(jnp.ones((), dtype=dtype))
-        e_terms = cmap_energy(dP, dCA, dC, dN2)
+        e_terms = cmap_energy(dP, dCA, dC, dN2) * wvec
         fP, fCA, fC, fN2 = -gP, -gCA, -gC, -gN2
         fN = -(fP + fCA + fC + fN2)
         f = (f.at[idx[:, 0]].add(fP).at[idx[:, 1]].add(fN)

@@ -99,6 +99,32 @@ class ParallelSimulation:
             for _name, rows in (sd.residue_instances or []):
                 hgid64[np.asarray(rows)] = gid64[rows[0]]
 
+        # Berendsen-style barostat (NGLFCONSTRAINT family with beta>0):
+        # sharded NPT uses the atomic virial -- identical to molecular
+        # pressure for single-bead molecules (waterbox); warn otherwise
+        ip = sd.integrator_parms
+        barostat = None
+        if (sd.integrator_type in ("NGLFCONSTRAINT", "NGLFCONSTRAINTGPU",
+                                   "NGLFCONSTRAINTGPULANGEVIN", "NGLFGPU",
+                                   "NGLFGPULANGEVIN", "NGLFNEW")
+                and ip["beta"] > 0):
+            from ..core.molecule import build_molecule_class
+
+            sysobj = db.get(sd.cfg.system_name, "SYSTEM")
+            mols = build_molecule_class(db, sysobj, sd.collection.species_names,
+                                        sd.collection.gid)
+            n_mol = mols.n_molecules if mols else n
+            if mols and n_mol < n:
+                import warnings
+
+                warnings.warn(
+                    "sharded barostat uses the atomic virial; molecular "
+                    "pressure for multi-bead molecules is single-chip only")
+            barostat = dict(P0=ip["P0"], beta=ip["beta"],
+                            tau=ip["tauBarostat"], T=ip["T"],
+                            isotropic=ip["isotropic"], n_molecules=n_mol)
+        self.barostat = barostat
+
         self.chunk_steps = max(1, int(sd.cfg.ddc_update_rate))
         (self.step_fn, self.first_fn, self.migrate_fn,
          self.chunk_fn) = make_brick_step(
@@ -108,7 +134,7 @@ class ParallelSimulation:
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
                                       "group", "gid"),
             chunk_steps=max(1, int(sd.cfg.ddc_update_rate)),
-            constraint_tables=cons_tab)
+            constraint_tables=cons_tab, barostat=barostat)
 
         arrays = dict(
             r=np.asarray(sd.state.r[:n], dtype=np.float32),
@@ -132,11 +158,14 @@ class ParallelSimulation:
         self.key = jax.random.PRNGKey(sd.random_seed)
         self.f = None
         self.loop = sd.cfg.loop
+        self.Lv = jnp.asarray(L, dtype=dtype)
+        self.vird = jnp.zeros(3, dtype=dtype)
 
     def first_energy(self):
         self.f, e, virial, ov = self.first_fn(self.fields, self.mask, self.key)
         if int(ov):
             raise RuntimeError("neighbor overflow at first energy")
+        self.vird = jnp.diagonal(virial).astype(self.dtype)
         return float(e)
 
     def _print_scalars(self, scalars, print_fn, loop0):
@@ -165,13 +194,22 @@ class ParallelSimulation:
         k = self.chunk_steps
         while done + k <= n_loops:
             self.key, sub = jax.random.split(self.key)
-            (self.fields, self.mask, self.f, scalars,
-             ov) = self.chunk_fn(self.fields, self.mask, self.f, sub)
+            if self.barostat is not None:
+                (self.fields, self.mask, self.f, self.vird, self.Lv,
+                 scalars, ov) = self.chunk_fn(
+                    self.fields, self.mask, self.f, self.vird, self.Lv, sub)
+            else:
+                (self.fields, self.mask, self.f, scalars,
+                 ov) = self.chunk_fn(self.fields, self.mask, self.f, sub)
             if int(ov):
                 raise RuntimeError(f"overflow in chunk at loop {self.loop}")
             self._print_scalars(scalars, print_fn, self.loop)
             self.loop += k
             done += k
+        if done < n_loops and self.barostat is not None:
+            raise NotImplementedError(
+                "NPT sharded runs advance in whole chunks: pick n_loops as "
+                f"a multiple of chunk_steps={k}")
         while done < n_loops:
             self.key, sub = jax.random.split(self.key)
             self.fields, self.f, scalars, ov = self.step_fn(
@@ -186,3 +224,57 @@ class ParallelSimulation:
 
 def _cap(x: int) -> int:
     return ((int(x) + 7) // 8) * 8
+
+
+def _gather_by_gid(psim):
+    """Collect sharded fields to host in the collection's original gid
+    order (pio gather analog: every row keyed by its gid)."""
+    m = np.asarray(psim.mask)
+    gp = np.asarray(psim.fields["gid"])[m]
+    g64 = gp[:, 0].astype(np.int64) | (gp[:, 1].astype(np.int64) << 32)
+    r = np.asarray(psim.fields["r"])[m]
+    v = np.asarray(psim.fields["v"])[m]
+    col_gid = np.asarray(psim.sysdef.collection.gid, dtype=np.int64)
+    pos = {int(g): i for i, g in enumerate(col_gid)}
+    idx = np.fromiter((pos[int(g)] for g in g64), dtype=np.int64,
+                      count=len(g64))
+    n = len(col_gid)
+    R = np.zeros((n, 3)); V = np.zeros((n, 3))
+    R[idx] = r
+    V[idx] = v
+    return R, V
+
+
+class _CheckpointShim:
+    """Just enough of Simulation's surface for io.restart.write_checkpoint."""
+
+    def __init__(self, sysdef, ss, key):
+        self.sysdef = sysdef
+        self.ss = ss
+        self.key = key
+
+
+def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
+    """Gather the sharded run to host and write a standard snapshot dir
+    (atoms# + restart + pxyz); restartable by Simulation OR
+    ParallelSimulation (writeRestart analog for the mesh driver)."""
+    from ..core.box import Box
+    from ..core.energy import EnergyInfo
+    from ..integrators.nglf import StepState
+    from ..io.restart import write_checkpoint as _wc
+
+    sd = psim.sysdef
+    R, V = _gather_by_gid(psim)
+    n = sd.state.n_local
+    state = sd.state.replace(
+        r=sd.state.r.at[:n].set(jnp.asarray(R, sd.state.r.dtype)),
+        v=sd.state.v.at[:n].set(jnp.asarray(V, sd.state.v.dtype)))
+    box = Box.orthorhombic(np.asarray(psim.Lv, dtype=np.float64),
+                           dtype=jnp.float64)
+    ss = StepState(state=state, box=box, energy=EnergyInfo.zero(),
+                   loop=jnp.asarray(psim.loop, jnp.int32),
+                   time=jnp.asarray(0.0))
+    return _wc(_CheckpointShim(sd, ss, np.asarray(psim.key)), run_dir)
+
+
+ParallelSimulation.write_checkpoint = parallel_write_checkpoint

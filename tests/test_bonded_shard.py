@@ -150,7 +150,7 @@ def test_molecule_coherent_migration():
                 fields, maskd, f, jax.random.fold_in(key, 10 * rounds + i))
             assert int(ov) == 0
             assert np.isfinite(float(scalars[0]))
-        fields, maskd, ov = migrate_fn(fields, maskd)
+        fields, maskd, f, ov = migrate_fn(fields, maskd, f)
         assert int(ov) == 0
     m = np.asarray(maskd).reshape(n_dev, -1)
     g = np.asarray(fields["gid"]).reshape(n_dev, -1, 2)
@@ -160,3 +160,48 @@ def test_molecule_coherent_migration():
         mols = g64[:, 1]                     # mol id = high word
         vals, cnts = np.unique(mols, return_counts=True)
         assert (cnts == 2).all(), f"device {d} split a molecule"
+
+
+def test_cmap_gid_resolution():
+    """Sharded CMAP: gid-resolved terms reproduce the single-chip energy/
+    forces when all atoms resolve, and gate to zero (finite) when the
+    anchor is disowned."""
+    from ddcmd_tpu.parallel.bonded_shard import resolve_terms
+    from ddcmd_tpu.potentials.bonded import (BondedTerms, bonded_eval,
+                                             device_bonded_tables)
+
+    rng = np.random.default_rng(4)
+    n = 8
+    r = rng.random((n, 3)) * 0.4
+    L = jnp.asarray([5.0, 5.0, 5.0])
+    K, ng = 1, 24
+    grid = (rng.random((K, ng, ng)) - 0.5) * 4.0
+    y1 = rng.standard_normal((K, ng, ng)) * 0.05
+    y2 = rng.standard_normal((K, ng, ng)) * 0.05
+    y12 = rng.standard_normal((K, ng, ng)) * 0.01
+    bt = BondedTerms(
+        cmap_atoms=np.array([[0, 1, 2, 3, 4], [3, 4, 5, 6, 7]], np.int32),
+        cmap_type=np.zeros(2, np.int32),
+        cmap_grid=grid, cmap_y1=y1, cmap_y2=y2, cmap_y12=y12)
+    tabs = device_bonded_tables(bt, jnp.float64)
+    rj = jnp.asarray(r)
+
+    f1, e1, v1, pe1 = bonded_eval(rj, L, tabs, n, jnp.float64)
+    assert np.isfinite(float(e1)) and float(jnp.abs(f1).sum()) > 0
+
+    gid64 = np.arange(n, dtype=np.int64) + 100
+    gtab = bonded_gid_tables(bt, gid64, device_bonded_tables(bt, jnp.float64))
+    pool_gid = jnp.asarray(gid64)
+    mask = jnp.ones(n, bool)
+    rtabs = resolve_terms(gtab, pool_gid, mask, n)
+    assert float(jnp.sum(rtabs["cmap_atoms_w"])) == 2.0
+    f2, e2, v2, pe2 = bonded_eval(rj, L, rtabs, n, jnp.float64)
+    assert float(e2) == pytest.approx(float(e1), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=1e-10)
+
+    # disown the second term's anchor (atom gid 104): only term 1 remains
+    mask2 = mask.at[4].set(False)
+    rt2 = resolve_terms(gtab, pool_gid, mask2, n)
+    np.testing.assert_array_equal(np.asarray(rt2["cmap_atoms_w"]), [0.0, 0.0])
+    f3, e3, _, _ = bonded_eval(rj, L, rt2, n, jnp.float64)
+    assert np.isfinite(float(e3)) and float(e3) == 0.0

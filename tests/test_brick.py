@@ -1,5 +1,7 @@
 """3D brick decomposition vs single-device: identical forces/energy."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -130,9 +132,32 @@ def test_parallel_waterbox_deck(waterbox_dir):
     e_self = -0.5 * float((q ** 2).sum()) * U.ke / mp.epsilon_r * mp.crf
     assert e_par + e_self == pytest.approx(e_single, rel=1e-4, abs=0.5)
 
+    # the waterbox deck is NGLFCONSTRAINT with beta>0: the sharded run
+    # exercises the NPT chunk (carried box lengths + virial diagonal)
+    assert psim.barostat is not None
+    v0 = float(jnp.prod(psim.Lv))
     lines = []
-    psim.run(25, print_fn=lines.append)
+    psim.run(2 * psim.chunk_steps, print_fn=lines.append)
     assert lines and all("nan" not in ln for ln in lines)
+    v1 = float(jnp.prod(psim.Lv))
+    assert np.isfinite(v1) and v1 != v0        # barostat moved the box
+    # the single-chip run compresses ~3.5% over the same 40 steps (the
+    # restart sits above 1 bar); sharded must match that scale
+    assert 0.005 < abs(v1 - v0) / v0 < 0.06
+
+    # sharded checkpoint: gathered snapshot restartable by Simulation
+    import tempfile
+
+    ckdir = tempfile.mkdtemp()
+    snap = psim.write_checkpoint(ckdir)
+    db3 = load_db([str(waterbox_dir / "object.data")],
+                  os.path.join(ckdir, "restart"), str(waterbox_dir))
+    # collection shards live under the checkpoint dir (restart files are
+    # relative to the run dir, objectSetup.c:40-44)
+    sim3 = Simulation(db3, ckdir, run_dir=ckdir, engine="nlist")
+    assert int(sim3.ss.loop) == psim.loop
+    sim3.first_energy()
+    assert np.isfinite(float(sim3.ss.energy.eion))
 
 
 def test_sharded_constraints_diatomics():
