@@ -33,6 +33,10 @@ class BrickPlan:
     halo_cap: int                    # per direction per phase
     migrate_cap: int
     rlist: float
+    # per-axis non-uniform wall FRACTIONS ((n_ax+1,) tuples) from the
+    # load balancer (loadbalance.tensor_walls) -- the tensor-product ORCB
+    # a fixed brick topology admits; None = uniform walls
+    walls: tuple | None = None
 
     @property
     def n_dev(self) -> int:
@@ -45,7 +49,11 @@ class BrickPlan:
         return 6 * self.halo_cap
 
 
-def _axis_bounds(box_l, n, idx, dtype):
+def _axis_bounds(box_l, n, idx, dtype, walls=None):
+    if walls is not None:
+        w = jnp.asarray(walls, dtype=dtype)
+        i = idx.astype(jnp.int32)
+        return (w[i] - 0.5) * box_l, (w[i + 1] - 0.5) * box_l
     w = box_l / n
     lo = -0.5 * box_l + w * idx.astype(dtype)
     return lo, lo + w
@@ -79,7 +87,8 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         if n == 1:
             continue
         me = jax.lax.axis_index(axis)
-        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype)
+        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
+                              None if plan.walls is None else plan.walls[ax_i])
         x = pool["r"][:, ax_i]
         sel_lo = pool_mask & (x < lo + plan.rlist)
         sel_hi = pool_mask & (x >= hi - plan.rlist)
@@ -128,7 +137,8 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
             continue
         me = jax.lax.axis_index(axis)
         dtype = cur["r"].dtype
-        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype)
+        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
+                              None if plan.walls is None else plan.walls[ax_i])
         if "hgid" in cur:
             from .bonded_shard import pack_gid
 
@@ -176,8 +186,14 @@ def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
         r = r[[row_of[int(h)] for h in h64]]
     nx, ny, nz = plan.shape
     L = np.asarray(box_lengths, dtype=np.float64)
-    cj = [np.clip(np.floor((r[:, a] / L[a] + 0.5) * plan.shape[a]).astype(int),
-                  0, plan.shape[a] - 1) for a in range(3)]
+    if plan.walls is not None:
+        cj = [np.clip(np.searchsorted(np.asarray(plan.walls[a])[1:-1],
+                                      r[:, a] / L[a] + 0.5, side="right"),
+                      0, plan.shape[a] - 1) for a in range(3)]
+    else:
+        cj = [np.clip(np.floor((r[:, a] / L[a] + 0.5)
+                               * plan.shape[a]).astype(int),
+                      0, plan.shape[a] - 1) for a in range(3)]
     dest = (cj[0] * ny + cj[1]) * nz + cj[2]
     out = {}
     counts = np.zeros(plan.n_dev, dtype=np.int32)

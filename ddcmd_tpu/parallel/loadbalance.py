@@ -97,3 +97,18 @@ def tensor_walls(r, box_lengths, shape, **kw):
         L = float(box_lengths[ax])
         out.append(zramp_walls(np.asarray(r)[:, ax], -0.5 * L, L, n, **kw))
     return out
+
+
+def clamp_walls(walls, min_frac):
+    """Enforce a minimum wall spacing (1-hop halos need every domain
+    wider than rlist): forward/backward projection keeping 0 and 1."""
+    w = np.asarray(walls, dtype=np.float64).copy()
+    n = len(w) - 1
+    if min_frac * n > 1.0:
+        return np.linspace(0.0, 1.0, n + 1)   # box too small: uniform
+    for i in range(1, n + 1):
+        w[i] = max(w[i], w[i - 1] + min_frac)
+    w[-1] = 1.0
+    for i in range(n - 1, 0, -1):
+        w[i] = min(w[i], w[i + 1] - min_frac)
+    return w

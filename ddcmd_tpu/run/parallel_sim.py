@@ -56,12 +56,31 @@ class ParallelSimulation:
         from ..parallel.brick import BrickPlan, distribute_bricks
         from ..parallel.brickstep import make_brick_mesh, make_brick_step
 
+        # deck-driven load balance (loadBalance LOADBALANCE {type=zRamp}
+        # on the DDC object, loadBalance_init /root/reference/src/
+        # loadBalance.c:32-85): per-axis equal-work walls = the
+        # tensor-product ORCB a fixed brick topology admits
+        walls = None
+        self.lb_rate = 0
+        lbobj = (db.find(ddc.get_str("loadBalance", ""), "LOADBALANCE")
+                 if ddc is not None else None)
+        if lbobj is not None and lbobj.get_str("type", "").upper() in (
+                "ZRAMP", "TENSOR", "BISECTION"):
+            from ..parallel.loadbalance import clamp_walls, tensor_walls
+
+            wp = lbobj.get_int("workPower", 2)
+            raw = tensor_walls(np.asarray(sd.state.r[:n]), L, self.shape,
+                               work_power=wp)
+            walls = tuple(tuple(clamp_walls(w, 1.05 * rlist / L[a]))
+                          for a, w in enumerate(raw))
+            self.lb_rate = lbobj.get_int("rate", 0)
+
         self.plan = BrickPlan(
             shape=self.shape,
             local_cap=_cap(4 * n // n_dev),
             halo_cap=_cap(3 * n // n_dev),
             migrate_cap=_cap(max(256, n // (4 * n_dev))),
-            rlist=rlist)
+            rlist=rlist, walls=walls)
         self.grid = CellGrid.plan(L, sd.rcut_max, sd.neighbor_deltaR, n,
                                   self.plan.local_cap + self.plan.ghost_cap)
         self.mesh = make_brick_mesh(self.shape)
@@ -150,6 +169,15 @@ class ParallelSimulation:
             arrays["hgid"] = np.stack(
                 [(hgid64 & 0xFFFFFFFF).astype(np.uint32),
                  (hgid64 >> 32).astype(np.uint32)], axis=1)
+        self._host_arrays = arrays          # gid-ordered template (r/v refreshed on gather)
+        self._box_L = L
+        self._step_kwargs = dict(
+            dt=sd.cfg.dt, box_lengths=L, species_lj_type=tmap, n_global=n,
+            bonded_tables=bonded_gid_tab,
+            field_keys=field_keys or ("r", "v", "q", "mass", "species",
+                                      "group", "gid"),
+            chunk_steps=self.chunk_steps,
+            constraint_tables=cons_tab, barostat=barostat)
         buf, mask, counts = distribute_bricks(arrays, L, self.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, P(("bx", "by", "bz"))))
@@ -192,7 +220,12 @@ class ParallelSimulation:
             self.first_energy()
         done = 0
         k = self.chunk_steps
+        next_lb = (self.loop - self.loop % self.lb_rate + self.lb_rate
+                   if self.lb_rate else None)
         while done + k <= n_loops:
+            if next_lb is not None and self.loop >= next_lb:
+                self.rebalance()
+                next_lb += self.lb_rate
             self.key, sub = jax.random.split(self.key)
             if self.barostat is not None:
                 (self.fields, self.mask, self.f, self.vird, self.Lv,
@@ -278,3 +311,44 @@ def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
 
 
 ParallelSimulation.write_checkpoint = parallel_write_checkpoint
+
+
+def parallel_rebalance(psim):
+    """Recompute the tensor-product equal-work walls from the CURRENT
+    particle distribution and redistribute (loadBalance at rate,
+    /root/reference/src/loadBalance.c:32-85 + ddcAssignment).  Rebuilding
+    the plan recompiles the step functions -- amortized over lb_rate."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.brick import distribute_bricks
+    from ..parallel.brickstep import make_brick_step
+    from ..parallel.loadbalance import clamp_walls, tensor_walls
+
+    R, V = _gather_by_gid(psim)
+    L = psim._box_L
+    if psim.barostat is not None:
+        L = np.asarray(psim.Lv, dtype=np.float64)
+    raw = tensor_walls(R, L, psim.shape, work_power=1)
+    walls = tuple(tuple(clamp_walls(w, 1.05 * psim.plan.rlist / L[a]))
+                  for a, w in enumerate(raw))
+    psim.plan = dataclasses.replace(psim.plan, walls=walls)
+    kw = dict(psim._step_kwargs, box_lengths=L)
+    out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
+                          psim.coeffs, **kw)
+    psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
+
+    arrays = dict(psim._host_arrays,
+                  r=R.astype(np.float32), v=V.astype(np.float32))
+    buf, mask, counts = distribute_bricks(arrays, L, psim.plan)
+    shard = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
+    psim.fields = {k: shard(v) for k, v in buf.items()}
+    psim.mask = shard(mask)
+    psim.f = None
+    psim.first_energy()
+    return counts
+
+
+ParallelSimulation.rebalance = parallel_rebalance

@@ -626,7 +626,13 @@ class Simulation:
             sd.collection.v = ctx.v
             self.ss = self.ss.replace(state=new_state, box=new_box)
             # grids/force tables depend on n and box: rebuild everything
-            if self.engine == "cellblock":
+            if self.engine == "pallas":
+                from ..ops.pallas_cellpair import plan_lanes
+
+                self.grid = plan_lanes(
+                    np.asarray(new_box.lengths, dtype=np.float64),
+                    sd.rcut_max, sd.neighbor_deltaR, n_new)
+            elif self.engine == "cellblock":
                 from ..ops.cellpair import CellBlockGrid
 
                 geom = new_box.lengths if new_box.ortho else new_box.h

@@ -255,3 +255,85 @@ def test_sharded_constraints_diatomics():
         d = d - L * np.round(d / L)
         worst = max(worst, abs(np.linalg.norm(d) - r0s[mol]) / r0s[mol])
     assert worst < 5e-3
+
+
+def test_brick_tensor_walls_balance():
+    """Non-uniform per-axis walls (tensor-product ORCB) balance a skewed
+    density and keep forces identical to the single-device reference."""
+    from ddcmd_tpu.parallel.loadbalance import clamp_walls, tensor_walls
+
+    L = 6.4
+    rcut, skin = 0.6, 0.15
+    rng = np.random.default_rng(12)
+    n = 1800
+    # density gradient: x^2-skewed toward +x
+    x = (rng.random(n) ** 0.5 - 0.5) * L
+    yz = (rng.random((n, 2)) - 0.5) * L
+    r = np.concatenate([x[:, None], yz], axis=1).astype(np.float32)
+    arrays = dict(
+        r=r, v=np.zeros((n, 3), np.float32),
+        q=np.zeros(n, np.float32), mass=np.full(n, 72.0, np.float32),
+        species=rng.integers(0, 2, n).astype(np.int32),
+        group=np.zeros(n, np.int32),
+        gid=np.stack([np.arange(n, dtype=np.uint32),
+                      np.zeros(n, np.uint32)], axis=1))
+    import __graft_entry__ as ge2
+
+    _, _, _, tables = ge2._synthetic_system(n=8, L=L, rcut=rcut, sigma0=0.4)
+
+    raw = tensor_walls(r, [L] * 3, SHAPE, work_power=1)
+    walls = tuple(tuple(clamp_walls(w, 1.05 * (rcut + skin) / L))
+                  for w in raw)
+    n_dev = int(np.prod(SHAPE))
+    plan = BrickPlan(shape=SHAPE, local_cap=8 * ((n // n_dev * 4) // 8),
+                     halo_cap=8 * ((n // n_dev * 6) // 8), migrate_cap=512,
+                     rlist=rcut + skin, walls=walls)
+    # skewed density: plan cells for the DENSE region (2x the mean)
+    grid = CellGrid.plan([L] * 3, rcut, skin, n,
+                         plan.local_cap + plan.ghost_cap,
+                         density_safety=4.0, max_neighbors=256)
+    buf, mask, counts = distribute_bricks(arrays, [L] * 3, plan)
+    # balanced: uniform walls would put ~2x the mean in the +x bricks
+    assert counts.max() / max(1, counts.min()) < 1.7
+
+    mesh = make_brick_mesh(SHAPE)
+    coeffs = GroupTable.build(
+        [Group(name="free", index=0, type="FREE")]).coefficients(0.0, 0.01)
+    step_fn, first_fn, migrate_fn = make_brick_step(
+        mesh, plan, grid, tables, coeffs, dt=0.002, box_lengths=[L] * 3,
+        species_lj_type=np.array([0, 1], dtype=np.int32), n_global=n)
+    shard = lambda a: jax.device_put(jnp.asarray(a),
+                                     NamedSharding(mesh, P(("bx", "by", "bz"))))
+    fields = {k: shard(v) for k, v in buf.items()}
+    maskd = shard(mask)
+    key = jax.random.PRNGKey(0)
+    f, e, virial, ov = first_fn(fields, maskd, key)
+    assert int(ov) == 0
+
+    # single-device reference forces (same dense-region headroom)
+    grid1 = CellGrid.plan([L] * 3, rcut, skin, n, n,
+                          density_safety=4.0, max_neighbors=256)
+    rj = jnp.asarray(r)
+    fmask = jnp.ones(n, jnp.float32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    nbr, _, ov1 = build_neighbor_list(rj, fmask, Lv, grid1)
+    assert not bool(ov1)
+    f_ref, e_ref, *_ = martini_nonbond(
+        rj, jnp.zeros(n), jnp.asarray(arrays["species"]), fmask, nbr, Lv,
+        tables)
+    assert float(e) == pytest.approx(float(e_ref), rel=1e-5, abs=1e-2)
+    m = np.asarray(maskd)
+    gid = np.asarray(fields["gid"])[m][:, 0].astype(np.int64)
+    f_sh = np.asarray(f)[m]
+    order = np.argsort(gid)
+    scale = max(1.0, float(jnp.abs(f_ref).max()))
+    assert np.abs(f_sh[order] - np.asarray(f_ref)).max() / scale < 1e-5
+
+    # dynamics + migration stay consistent with the walls
+    for i in range(3):
+        fields, f, scal, ov = step_fn(fields, maskd, f,
+                                      jax.random.fold_in(key, i))
+        assert int(ov) == 0
+    fields, maskd, f, ov = migrate_fn(fields, maskd, f)
+    assert int(ov) == 0
+    assert int(np.asarray(maskd).sum()) == n
