@@ -184,11 +184,17 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     pqc = col(pq_row)                                   # (cap,1)
     pvc = col(pv_row)
     ptc = col(pt_row)
-    tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
-    OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)   # (cap,T)
-    sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
-    epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
-    shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
+    if T == 1:
+        # uniform LJ type (e.g. the Martini waterbox): parameters are
+        # scalars -- skip the one-hot MXU lookups and the three (cap, W)
+        # parameter tiles entirely
+        sigOP = epsOP = shfOP = None
+    else:
+        tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
+        OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
+        sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
+        epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
+        shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
 
     # per-block image shifts as a (3, S) matrix from the SMEM scalars,
     # expanded to lanes with a block-indicator matmul
@@ -241,11 +247,16 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     ir2 = 1.0 / d2s
     ir = jax.lax.rsqrt(d2s)
 
-    tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
-    OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)  # (T, W)
-    sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
-    eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
-    shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
+    if T == 1:
+        sig = sigma_ref[0, 0]
+        eps = eps_ref[0, 0]
+        shf = shift_ref[0, 0]
+    else:
+        tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+        OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
+        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
+        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
+        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
 
     s2 = sig * sig * ir2
     s6 = s2 * s2 * s2
@@ -342,11 +353,17 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     pqc = col(pq_row)
     pvc = col(pv_row)
     ptc = col(pt_row)
-    tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
-    OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
-    sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
-    epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
-    shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
+    if T == 1:
+        # uniform LJ type (e.g. the Martini waterbox): parameters are
+        # scalars -- skip the one-hot MXU lookups and the three (cap, W)
+        # parameter tiles entirely
+        sigOP = epsOP = shfOP = None
+    else:
+        tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
+        OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
+        sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
+        epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
+        shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
 
     row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
     col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
@@ -397,11 +414,16 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     ir2 = 1.0 / d2s
     ir = jax.lax.rsqrt(d2s)
 
-    tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
-    OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
-    sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
-    eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
-    shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
+    if T == 1:
+        sig = sigma_ref[0, 0]
+        eps = eps_ref[0, 0]
+        shf = shift_ref[0, 0]
+    else:
+        tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+        OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
+        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
+        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
+        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
 
     s2 = sig * sig * ir2
     s6 = s2 * s2 * s2

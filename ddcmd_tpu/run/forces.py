@@ -50,6 +50,20 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                                                    pack_stencil,
                                                    pallas_cellpair_eval_half)
 
+                # uniform-type fast path (same collapse as the cellblock
+                # engine): scalar LJ parameters inside the kernel
+                n_loc = sysdef.state.n_local
+                used = np.unique(np.asarray(parms.species_lj_type)[
+                    np.asarray(sysdef.state.species[:n_loc])])
+                if len(used) == 1:
+                    t0 = int(used[0])
+                    tables = dict(
+                        tables,
+                        sigma=tables["sigma"][t0:t0 + 1, t0:t0 + 1],
+                        eps=tables["eps"][t0:t0 + 1, t0:t0 + 1],
+                        shift=tables["shift"][t0:t0 + 1, t0:t0 + 1])
+                    tmap = jnp.zeros_like(tmap)
+
                 hg = half_grid(grid)
                 eval_fn = make_pallas_cellpair_half(
                     hg, tables, coulomb=coul,

@@ -157,3 +157,49 @@ collection COLLECTION {{ mode=VARRECORDASCII; size={n}; files=atoms#; }}
     e_pl, k_pl = sims["pallas"]
     assert e_pl == pytest.approx(e_cb, rel=2e-4)
     assert k_pl == pytest.approx(k_cb, rel=2e-3)
+
+
+def test_pallas_half_uniform_type_scalar_params():
+    """T==1 kernel path (scalar LJ parameters) == the table path."""
+    from ddcmd_tpu.ops.pallas_cellpair import (half_back_map, half_grid,
+                                               make_pallas_cellpair_half,
+                                               pack_stencil,
+                                               pallas_cellpair_eval_half)
+
+    r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
+        n=300, L=4.6, seed=21, charged=True)
+    tidx = np.zeros_like(tidx)                     # single type
+    skin = 0.3
+
+    def tabs(T):
+        return dict(
+            sigma=jnp.asarray(sigma[:T, :T], jnp.float32),
+            eps=jnp.asarray(eps[:T, :T], jnp.float32),
+            shift=jnp.asarray(shift[:T, :T], jnp.float32),
+            rcut2=jnp.asarray(rcut ** 2, jnp.float32),
+            krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
+            keR=jnp.asarray(keR, jnp.float32))
+
+    n = len(r)
+    grid = plan_lanes([4.6] * 3, rcut, skin, n)
+    hgrid = half_grid(grid)
+    rj = jnp.asarray(r, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    tj = jnp.asarray(tidx, jnp.int32)
+    Lv = jnp.asarray([4.6] * 3, jnp.float32)
+    perm, ov = build_cell_slots(rj, jnp.ones(n, jnp.float32), Lv, grid)
+    assert not bool(ov)
+    stencil = jnp.asarray(pack_stencil(hgrid))
+    back = jnp.asarray(half_back_map(hgrid))
+
+    outs = {}
+    for T in (2, 1):
+        ev = make_pallas_cellpair_half(hgrid, tabs(T), coulomb=True,
+                                       interpret=True)
+        outs[T] = pallas_cellpair_eval_half(rj, qj, tj, perm, Lv, hgrid,
+                                            tabs(T), stencil, ev, back)
+    f2, e2, v2, _ = outs[2]
+    f1, e1, v1, _ = outs[1]
+    assert float(e1) == pytest.approx(float(e2), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6,
+                               atol=1e-7)
