@@ -30,18 +30,32 @@ def main():
     from ddcmd_tpu.run.cli import load_db
     from ddcmd_tpu.run.simulate import Simulation
 
-    db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
-                 os.path.join(REFERENCE_WATERBOX, "snapshot.mem", "restart"),
-                 REFERENCE_WATERBOX)
+    workload = os.environ.get("BENCH_WORKLOAD", "waterbox")
+    if workload == "eam":
+        # FCC copper, RATIONAL EAM (models.eam_crystal); BENCH_NC cells
+        import tempfile
+
+        from ddcmd_tpu.models import eam_crystal, load
+
+        d = tempfile.mkdtemp()
+        eam_crystal(d, nc=int(os.environ.get("BENCH_NC", "12")))
+        db, base = load(d)
+        metric = "eam_crystal_steps_per_sec"
+    else:
+        db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
+                     os.path.join(REFERENCE_WATERBOX, "snapshot.mem",
+                                  "restart"),
+                     REFERENCE_WATERBOX)
+        base = REFERENCE_WATERBOX
+        metric = "waterbox_steps_per_sec"
     engine = os.environ.get("BENCH_ENGINE", "auto")
-    sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp", engine=engine)
+    sim = Simulation(db, base, run_dir="/tmp", engine=engine)
     try:
         sim.first_energy()
     except Exception:
         # robust fallback: the XLA cell-block engine
         engine = "cellblock"
-        sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp",
-                         engine=engine)
+        sim = Simulation(db, base, run_dir="/tmp", engine=engine)
     engine = sim.engine
     rep = int(os.environ.get("BENCH_REPLICATE", "1"))
     if rep > 1:
@@ -70,7 +84,7 @@ def main():
     # the single-core CPU estimate scales ~1/N: compare per-particle work
     baseline = BASELINE_STEPS_PER_SEC / rep ** 3
     out = {
-        "metric": "waterbox_steps_per_sec",
+        "metric": metric,
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 2),
