@@ -162,6 +162,57 @@ def _build_stencil(ncells):
     return stencil, wrap
 
 
+def _build_stencil_half(ncells):
+    """Newton's-third-law half stencil: the self block FIRST (index 0,
+    dedup'd by a triangular mask in the kernel) + the 13 lexicographically
+    positive directions.  Each unordered pair appears in exactly one
+    block; the q-side forces are scattered back by the per-direction cell
+    permutation (see half_back_map).  For 2-cell axes the +1 offset's N3L
+    partner IS the -1 offset's block of the neighbor cell (opposite wrap),
+    so positive-only still covers both periodic images; for 1-cell axes
+    the +1 self-image block holds both (i, j+L) and (j, i+L) ordered
+    pairs, each counted once."""
+    nx, ny, nz = ncells
+    offs = [(0, 0, 0)] + [
+        (i, j, k)
+        for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+        if (i, j, k) > (0, 0, 0)]
+    S = len(offs)
+    ncell = nx * ny * nz
+    cells = np.arange(ncell)
+    cx, rem = np.divmod(cells, ny * nz)
+    cy, cz = np.divmod(rem, nz)
+    stencil = np.zeros((ncell, S), dtype=np.int32)
+    wrap = np.zeros((ncell, S, 3), dtype=np.int8)
+    for s, (dx, dy, dz) in enumerate(offs):
+        tx, ty, tz = cx + dx, cy + dy, cz + dz
+        wrap[:, s, 0] = (tx >= nx).astype(np.int8) - (tx < 0).astype(np.int8)
+        wrap[:, s, 1] = (ty >= ny).astype(np.int8) - (ty < 0).astype(np.int8)
+        wrap[:, s, 2] = (tz >= nz).astype(np.int8) - (tz < 0).astype(np.int8)
+        stencil[:, s] = ((tx % nx) * ny + (ty % ny)) * nz + (tz % nz)
+    return stencil, wrap
+
+
+def half_grid(grid: CellBlockGrid) -> CellBlockGrid:
+    """Same cells/cap, half (N3L) stencil."""
+    stencil, wrap = _build_stencil_half(grid.ncells)
+    return CellBlockGrid(ncells=grid.ncells, cap=grid.cap, rlist=grid.rlist,
+                         stencil_cells=stencil, wrap=wrap)
+
+
+def half_back_map(grid: CellBlockGrid) -> np.ndarray:
+    """(S, ncell) int32: src_map[s, t] = the cell whose direction-s block
+    targets cell t (each direction is a translation, hence a bijection)."""
+    S = grid.n_stencil
+    ncell = grid.ncell
+    src = np.zeros((S, ncell), dtype=np.int32)
+    c = np.arange(ncell)
+    for s in range(S):
+        src[s, grid.stencil_cells[:, s]] = c
+    return src
+
+
+
 # ---------------------------------------------------------------------------
 # rebuild
 # ---------------------------------------------------------------------------
@@ -309,5 +360,120 @@ def cellpair_eval(r, q, tidx, perm, box_geom, grid: CellBlockGrid, tables,
     pe = jnp.zeros((n_pad + 1,), dtype=dt).at[perm].set(
         pe_slot.reshape(-1), mode="drop")[:n_pad]
     e_tot = jnp.sum(pe_slot)
+
+    return f, e_tot, virial, pe
+
+
+def cellpair_eval_half(r, q, tidx, perm, box_geom, grid: CellBlockGrid,
+                       tables, back_map, coulomb: bool = True):
+    """N3L variant of cellpair_eval: `grid` from half_grid() (self block
+    first + 13 positive directions), `back_map` from half_back_map().
+    Halves the dominant (C, c, S*c) elementwise math; the q-side reaction
+    forces fold back through the static per-direction cell permutation.
+    Physics identical to cellpair_eval (parity-tested)."""
+    n_pad = r.shape[0]
+    sentinel = n_pad
+    dt = r.dtype
+    ncell, cap = grid.ncell, grid.cap
+    S = grid.n_stencil
+
+    r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=dt)], axis=0)
+    q_ext = jnp.concatenate([q, jnp.zeros((1,), dtype=dt)], axis=0)
+    t_ext = jnp.concatenate([tidx, jnp.zeros((1,), dtype=tidx.dtype)], axis=0)
+
+    P = r_ext[perm].reshape(ncell, cap, 3)
+    Pq = q_ext[perm].reshape(ncell, cap)
+    Pt = t_ext[perm].reshape(ncell, cap)
+    Pv = (perm != sentinel).reshape(ncell, cap)
+
+    stencil = jnp.asarray(grid.stencil_cells)
+    shift, centers = block_geometry(grid, box_geom, dt)
+
+    Q = P[stencil] + shift[:, :, None, :]
+    P = P - centers[:, None, :]
+    Q = (Q - centers[:, None, None, :]).reshape(ncell, S * cap, 3)
+    Qq = Pq[stencil].reshape(ncell, S * cap)
+    Qt = Pt[stencil].reshape(ncell, S * cap)
+    Qv = Pv[stencil].reshape(ncell, S * cap)
+
+    # dedup only inside the self block (index 0): keep lane > row once
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    lanes = jnp.arange(S * cap, dtype=jnp.int32)
+    dup = (lanes[None, :] < cap) & (lanes[None, :] <= rows[:, None])
+
+    hi = jax.lax.Precision.HIGHEST
+    p2 = jnp.sum(P * P, axis=-1)
+    q2 = jnp.sum(Q * Q, axis=-1)
+    pq = jnp.einsum("ncd,nsd->ncs", P, Q, preferred_element_type=dt,
+                    precision=hi)
+    d2 = p2[:, :, None] + q2[:, None, :] - 2.0 * pq
+
+    mask = (Pv[:, :, None] & Qv[:, None, :] & ~dup[None, :, :]
+            & (d2 < tables["rcut2"]))
+    w = mask.astype(dt)
+
+    d2s = jnp.where(mask, d2, jnp.asarray(1.0, dt))
+    ir2 = 1.0 / d2s
+    ir = jnp.sqrt(ir2)
+
+    T = tables["sigma"].shape[0]
+    if T == 1:
+        sig = tables["sigma"][0, 0]
+        eps = tables["eps"][0, 0]
+        shf = tables["shift"][0, 0]
+    else:
+        pair_t = Pt[:, :, None] * T + Qt[:, None, :]
+        sig = tables["sigma"].reshape(-1)[pair_t]
+        eps = tables["eps"].reshape(-1)[pair_t]
+        shf = tables["shift"].reshape(-1)[pair_t]
+
+    s2 = sig * sig * ir2
+    s6 = s2 * s2 * s2
+    s12 = s6 * s6
+    e_pair = (4.0 * eps * (s12 - s6) + shf) * w
+    dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
+
+    if coulomb:
+        kqq = tables["keR"] * Pq[:, :, None] * Qq[:, None, :]
+        e_pair = e_pair + kqq * (ir + tables["krf"] * d2s - tables["crf"]) * w
+        dvdr = dvdr + kqq * (2.0 * tables["krf"] - ir2 * ir)
+
+    coef = dvdr * w
+    csum = jnp.sum(coef, axis=-1)
+    CQ = jnp.einsum("ncs,nsd->ncd", coef, Q, preferred_element_type=dt,
+                    precision=hi)
+    F_p = -P * csum[:, :, None] + CQ
+    pe_p = 0.5 * jnp.sum(e_pair, axis=-1)
+
+    # q-side reaction: f_j = +sum_i coef_ij (p_i - q_j)
+    qsum = jnp.sum(coef, axis=1)                              # (C, Sc)
+    PC = jnp.einsum("ncs,ncd->nsd", coef, P, preferred_element_type=dt,
+                    precision=hi)                             # (C, Sc, 3)
+    F_q = PC - Q * qsum[:, :, None]
+    pe_q = 0.5 * jnp.sum(e_pair, axis=1)                      # (C, Sc)
+
+    # fold q-side back through the per-direction cell permutation
+    bm = jnp.asarray(back_map)
+    Fq_blk = F_q.reshape(ncell, S, cap, 3)
+    pq_blk = pe_q.reshape(ncell, S, cap)
+    F_back = Fq_blk[bm[0], 0]
+    pe_back = pq_blk[bm[0], 0]
+    for s in range(1, S):
+        F_back = F_back + Fq_blk[bm[s], s]
+        pe_back = pe_back + pq_blk[bm[s], s]
+
+    # each pair counted once: no 0.5
+    A = jnp.einsum("nc,ncd,nce->de", csum, P, P)
+    B = jnp.einsum("ncd,nce->de", P, CQ)
+    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q)
+    virial = -(A - B - B.T + Cm)
+
+    F = F_p + F_back
+    pe_slot = pe_p + pe_back
+    f = jnp.zeros((n_pad + 1, 3), dtype=dt).at[perm].set(
+        F.reshape(-1, 3), mode="drop")[:n_pad]
+    pe = jnp.zeros((n_pad + 1,), dtype=dt).at[perm].set(
+        pe_slot.reshape(-1), mode="drop")[:n_pad]
+    e_tot = jnp.sum(e_pair)
 
     return f, e_tot, virial, pe

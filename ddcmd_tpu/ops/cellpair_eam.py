@@ -111,3 +111,129 @@ def eam_cellblock_eval(r, sidx, fmask, perm, box_geom,
     pe = jnp.zeros((n_pad + 1,), dtype=dt).at[perm].set(
         pe_slot.reshape(-1), mode="drop")[:n_pad]
     return f, jnp.sum(pe_slot), virial, pe
+
+
+def eam_cellblock_eval_half(r, sidx, fmask, perm, box_geom,
+                            grid: CellBlockGrid, tables, back_map):
+    """N3L variant of eam_cellblock_eval: `grid` from half_grid(),
+    `back_map` from half_back_map().  Pass 1 accumulates densities on
+    BOTH pair sides (row sums + permuted column sums); pass 2 mirrors
+    the LJ half engine's two-sided force assembly.  Parity-tested
+    against the full engine."""
+    import jax
+
+    from .cellpair import block_geometry
+
+    n_pad = r.shape[0]
+    sentinel = n_pad
+    dt = r.dtype
+    ncell, cap = grid.ncell, grid.cap
+    S = grid.n_stencil
+    T = tables["n_species"]
+    form = tables["form"]
+
+    r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=dt)], axis=0)
+    s_ext = jnp.concatenate([sidx, jnp.zeros((1,), dtype=sidx.dtype)], axis=0)
+
+    P = r_ext[perm].reshape(ncell, cap, 3)
+    Pt = s_ext[perm].reshape(ncell, cap)
+    Pv = (perm != sentinel).reshape(ncell, cap) & \
+        (jnp.concatenate([fmask, jnp.zeros(1, fmask.dtype)])[perm] > 0
+         ).reshape(ncell, cap)
+
+    stencil = jnp.asarray(grid.stencil_cells)
+    shift, centers = block_geometry(grid, box_geom, dt)
+
+    Q = P[stencil] + shift[:, :, None, :]
+    Pc = P - centers[:, None, :]
+    Q = (Q - centers[:, None, None, :]).reshape(ncell, S * cap, 3)
+    Qt = Pt[stencil].reshape(ncell, S * cap)
+    Qv = Pv[stencil].reshape(ncell, S * cap)
+
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    lanes = jnp.arange(S * cap, dtype=jnp.int32)
+    dup = (lanes[None, :] < cap) & (lanes[None, :] <= rows[:, None])
+
+    hi = jax.lax.Precision.HIGHEST
+    p2 = jnp.sum(Pc * Pc, axis=-1)
+    q2 = jnp.sum(Q * Q, axis=-1)
+    pq = jnp.einsum("ncd,nsd->ncs", Pc, Q, preferred_element_type=dt,
+                    precision=hi)
+    d2 = p2[:, :, None] + q2[:, None, :] - 2.0 * pq
+
+    mask = (Pv[:, :, None] & Qv[:, None, :] & ~dup[None, :, :]
+            & (d2 < tables["rcut2"]) & (d2 > 0))
+    w = mask.astype(dt)
+    d2s = jnp.where(mask, d2, jnp.asarray(1.0, dt))
+    ir2 = 1.0 / d2s
+    ir = jnp.sqrt(ir2)
+
+    pair_idx = Pt[:, :, None] * T + Qt[:, None, :]
+    bm = jnp.asarray(back_map)
+
+    def fold(blk):        # (C, S, cap, ...) -> (C, cap, ...) via back map
+        out = blk[bm[0], 0]
+        for s in range(1, S):
+            out = out + blk[bm[s], s]
+        return out
+
+    # pass 1: densities + pair energy, both sides
+    e1, p1 = _pair_eval(form, tables["pair"], pair_idx, d2s, ir, ir2, False)
+    rho_p = jnp.sum(p1 * w, axis=-1)                         # (C, cap)
+    # the j side receives p(r_ij, t_j, t_i): identical for single-species
+    # systems (the common metals case -- the pair evals dominate EAM cost,
+    # so skipping the transposed calls is what makes N3L pay off here)
+    if T == 1:
+        p1T = p1
+    else:
+        pair_idx_T = Qt[:, None, :] * T + Pt[:, :, None]
+        _, p1T = _pair_eval(form, tables["pair"], pair_idx_T, d2s, ir, ir2,
+                            False)
+    rho_q = fold(jnp.sum(p1T * w, axis=1).reshape(ncell, S, cap))
+    rho_slot = rho_p + rho_q
+    pe_pair_p = 0.5 * jnp.sum(e1 * w, axis=-1)
+    pe_pair_q = fold((0.5 * jnp.sum(e1 * w, axis=1)).reshape(ncell, S, cap))
+
+    F_slot, dF_slot = _embedding(form, tables["embed"], Pt, rho_slot)
+    wv = Pv.astype(dt)
+    F_slot = F_slot * wv
+    dF_slot = dF_slot * wv
+
+    # pass 2: dF blocked over the half stencil; i-side and j-side
+    # density derivatives (dp for t_i<-t_j and the transposed pair)
+    dFq = dF_slot[stencil].reshape(ncell, S * cap)
+    de, dp = _pair_eval(form, tables["pair"], pair_idx, d2s, ir, ir2, True)
+    if T == 1:
+        dpT = dp
+    else:
+        _, dpT = _pair_eval(form, tables["pair"], pair_idx_T, d2s, ir, ir2,
+                            True)
+    # d/dr of (e_ij + F_i(rho_i) + F_j(rho_j)) along the pair:
+    # coef = de + dF_i * dp_ji' ... reference combine (eam.c:166-190):
+    # symmetric forms share de; density derivative toward i uses p'(t_i
+    # row) and toward j the transposed one
+    coef = (de + dF_slot[:, :, None] * dp + dFq[:, None, :] * dpT) * w
+
+    csum = jnp.sum(coef, axis=-1)
+    CQ = jnp.einsum("ncs,nsd->ncd", coef, Q, preferred_element_type=dt,
+                    precision=hi)
+    F_p = -Pc * csum[:, :, None] + CQ
+
+    qsum = jnp.sum(coef, axis=1)
+    PC = jnp.einsum("ncs,ncd->nsd", coef, Pc, preferred_element_type=dt,
+                    precision=hi)
+    F_q = PC - Q * qsum[:, :, None]
+    F_back = fold(F_q.reshape(ncell, S, cap, 3))
+
+    A = jnp.einsum("nc,ncd,nce->de", csum, Pc, Pc)
+    B = jnp.einsum("ncd,nce->de", Pc, CQ)
+    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q)
+    virial = -(A - B - B.T + Cm)
+
+    pe_slot = pe_pair_p + pe_pair_q + F_slot
+    Ftot = F_p + F_back
+    f = jnp.zeros((n_pad + 1, 3), dtype=dt).at[perm].set(
+        Ftot.reshape(-1, 3), mode="drop")[:n_pad]
+    pe = jnp.zeros((n_pad + 1,), dtype=dt).at[perm].set(
+        pe_slot.reshape(-1), mode="drop")[:n_pad]
+    return f, jnp.sum(pe_slot), virial, pe

@@ -41,7 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cellpair import CellBlockGrid, _build_stencil
+from .cellpair import (CellBlockGrid, _build_stencil,     # noqa: F401
+                       half_back_map, half_grid)
 
 
 def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
@@ -81,56 +82,6 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
     stencil_cells, wrap = _build_stencil(ncells)
     return CellBlockGrid(ncells=ncells, cap=cap, rlist=rlist,
                          stencil_cells=stencil_cells, wrap=wrap)
-
-
-def _build_stencil_half(ncells):
-    """Newton's-third-law half stencil: the self block FIRST (index 0,
-    dedup'd by a triangular mask in the kernel) + the 13 lexicographically
-    positive directions.  Each unordered pair appears in exactly one
-    block; the q-side forces are scattered back by the per-direction cell
-    permutation (see half_back_map).  For 2-cell axes the +1 offset's N3L
-    partner IS the -1 offset's block of the neighbor cell (opposite wrap),
-    so positive-only still covers both periodic images; for 1-cell axes
-    the +1 self-image block holds both (i, j+L) and (j, i+L) ordered
-    pairs, each counted once."""
-    nx, ny, nz = ncells
-    offs = [(0, 0, 0)] + [
-        (i, j, k)
-        for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
-        if (i, j, k) > (0, 0, 0)]
-    S = len(offs)
-    ncell = nx * ny * nz
-    cells = np.arange(ncell)
-    cx, rem = np.divmod(cells, ny * nz)
-    cy, cz = np.divmod(rem, nz)
-    stencil = np.zeros((ncell, S), dtype=np.int32)
-    wrap = np.zeros((ncell, S, 3), dtype=np.int8)
-    for s, (dx, dy, dz) in enumerate(offs):
-        tx, ty, tz = cx + dx, cy + dy, cz + dz
-        wrap[:, s, 0] = (tx >= nx).astype(np.int8) - (tx < 0).astype(np.int8)
-        wrap[:, s, 1] = (ty >= ny).astype(np.int8) - (ty < 0).astype(np.int8)
-        wrap[:, s, 2] = (tz >= nz).astype(np.int8) - (tz < 0).astype(np.int8)
-        stencil[:, s] = ((tx % nx) * ny + (ty % ny)) * nz + (tz % nz)
-    return stencil, wrap
-
-
-def half_grid(grid: CellBlockGrid) -> CellBlockGrid:
-    """Same cells/cap, half (N3L) stencil."""
-    stencil, wrap = _build_stencil_half(grid.ncells)
-    return CellBlockGrid(ncells=grid.ncells, cap=grid.cap, rlist=grid.rlist,
-                         stencil_cells=stencil, wrap=wrap)
-
-
-def half_back_map(grid: CellBlockGrid) -> np.ndarray:
-    """(S, ncell) int32: src_map[s, t] = the cell whose direction-s block
-    targets cell t (each direction is a translation, hence a bijection)."""
-    S = grid.n_stencil
-    ncell = grid.ncell
-    src = np.zeros((S, ncell), dtype=np.int32)
-    c = np.arange(ncell)
-    for s in range(S):
-        src[s, grid.stencil_cells[:, s]] = c
-    return src
 
 
 def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.system import SystemDef
-from ..ops.cellpair import cellpair_eval
+from ..ops.cellpair import (cellpair_eval_half, half_back_map, half_grid)
 from ..potentials.martini import martini_device_tables, martini_nonbond
 from ..potentials.pair import pair_device_tables, pair_lj
 
@@ -45,8 +45,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             coul = bool(np.any(np.asarray(sysdef.state.q[:n_loc0]) != 0.0))
 
             if engine == "pallas":
-                from ..ops.pallas_cellpair import (half_back_map, half_grid,
-                                                   make_pallas_cellpair_half,
+                from ..ops.pallas_cellpair import (make_pallas_cellpair_half,
                                                    pack_stencil,
                                                    pallas_cellpair_eval_half)
 
@@ -98,12 +97,15 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                         shift=tables["shift"][t0:t0 + 1, t0:t0 + 1])
                     tmap = jnp.zeros_like(tmap)
 
+                hg = half_grid(grid)
+                back = jnp.asarray(half_back_map(hg))
+
                 def martini_term(state, box, handle, tables=tables, tmap=tmap,
-                                 coul=coul):
+                                 coul=coul, hg=hg, back=back):
                     tidx = tmap[state.species]
-                    f, e, virial, pe = cellpair_eval(
-                        state.r, state.q, tidx, handle, _geom(box), grid,
-                        tables, coulomb=coul)
+                    f, e, virial, pe = cellpair_eval_half(
+                        state.r, state.q, tidx, handle, _geom(box), hg,
+                        tables, back, coulomb=coul)
                     if not coul:
                         return f, e, virial, pe
                     e_self_i = (-0.5 * state.q * state.q * state.fmask
@@ -122,8 +124,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             tables = pair_device_tables(parms, dtype=dtype)
 
             if engine == "pallas":
-                from ..ops.pallas_cellpair import (half_back_map, half_grid,
-                                                   make_pallas_cellpair_half,
+                from ..ops.pallas_cellpair import (make_pallas_cellpair_half,
                                                    pack_stencil,
                                                    pallas_cellpair_eval_half)
 
@@ -142,11 +143,14 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                         hg, tables, stencil, eval_fn, back)
             elif engine == "cellblock":
                 lj_tables = dict(tables)
+                hg = half_grid(grid)
+                back = jnp.asarray(half_back_map(hg))
 
-                def pair_term(state, box, handle, tables=lj_tables):
-                    return cellpair_eval(
+                def pair_term(state, box, handle, tables=lj_tables, hg=hg,
+                              back=back):
+                    return cellpair_eval_half(
                         state.r, state.q, state.species, handle, _geom(box),
-                        grid, tables, coulomb=False)
+                        hg, tables, back, coulomb=False)
             else:
                 def pair_term(state, box, handle, tables=tables):
                     return pair_lj(state.r, state.species, state.fmask, handle,
@@ -158,12 +162,16 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
             etables = eam_device_tables(parms, dtype=dtype)
             if engine in ("cellblock", "pallas"):
-                from ..ops.cellpair_eam import eam_cellblock_eval
+                from ..ops.cellpair_eam import eam_cellblock_eval_half
 
-                def eam_term(state, box, perm, etables=etables, grid=grid):
-                    return eam_cellblock_eval(
+                hg = half_grid(grid)
+                back = jnp.asarray(half_back_map(hg))
+
+                def eam_term(state, box, perm, etables=etables, hg=hg,
+                             back=back):
+                    return eam_cellblock_eval_half(
                         state.r, state.species, state.fmask, perm,
-                        _geom(box), grid, etables)
+                        _geom(box), hg, etables, back)
             else:
                 def eam_term(state, box, nbr_idx, etables=etables):
                     return eam_eval(state.r, state.species, state.fmask,

@@ -104,3 +104,41 @@ def test_cellpair_two_cell_axis_images():
                     + kqq * (2 * 0.5 / rcut ** 3 - ir2 * ir), 0.0)
     f_ref = -(coef[:, :, None] * d).sum(1)
     assert np.abs(np.asarray(f) - f_ref).max() < 1e-8
+
+
+def test_cellblock_half_matches_full():
+    """N3L half-stencil XLA engine == full engine (LJ + RF Coulomb)."""
+    from ddcmd_tpu.ops.cellpair import (CellBlockGrid, build_cell_slots,
+                                        cellpair_eval, cellpair_eval_half,
+                                        half_back_map, half_grid)
+    from tests.test_nbr_martini import make_system
+
+    for n, L in ((220, 4.2), (500, 5.6), (60, 2.6)):
+        r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
+            n=n, L=L, seed=31, charged=True)
+        tables = dict(
+            sigma=jnp.asarray(sigma, jnp.float64),
+            eps=jnp.asarray(eps, jnp.float64),
+            shift=jnp.asarray(shift, jnp.float64),
+            rcut2=jnp.asarray(rcut ** 2, jnp.float64),
+            krf=jnp.asarray(krf, jnp.float64),
+            crf=jnp.asarray(crf, jnp.float64),
+            keR=jnp.asarray(keR, jnp.float64))
+        grid = CellBlockGrid.plan([L] * 3, rcut, 0.3, n)
+        rj = jnp.asarray(r, jnp.float64)
+        qj = jnp.asarray(q, jnp.float64)
+        tj = jnp.asarray(tidx, jnp.int32)
+        Lv = jnp.asarray([L] * 3, jnp.float64)
+        perm, ov = build_cell_slots(rj, jnp.ones(n), Lv, grid)
+        assert not bool(ov)
+        f1, e1, v1, pe1 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables)
+        hg = half_grid(grid)
+        bm = half_back_map(hg)
+        f2, e2, v2, pe2 = cellpair_eval_half(rj, qj, tj, perm, Lv, hg,
+                                             tables, bm)
+        assert float(e2) == pytest.approx(float(e1), rel=1e-11)
+        scale = max(1.0, float(jnp.abs(f1).max()))
+        assert float(jnp.abs(f2 - f1).max()) / scale < 1e-11
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(pe2), np.asarray(pe1),
+                                   rtol=1e-8, atol=1e-12)

@@ -412,3 +412,40 @@ def test_pair_tablefunction():
     f_ref = -(coef[:, :, None] * dmat).sum(1)
     scale = np.abs(f_ref).max()
     assert np.abs(np.asarray(f) - f_ref).max() / scale < 1e-5
+
+
+def test_eam_cellblock_half_matches_full():
+    """N3L half-stencil EAM == full cell-block engine (FS + SC forms)."""
+    from ddcmd_tpu.ops.cellpair import (CellBlockGrid, build_cell_slots,
+                                        half_back_map, half_grid)
+    from ddcmd_tpu.ops.cellpair_eam import (eam_cellblock_eval,
+                                            eam_cellblock_eval_half)
+
+    a_lat = 0.3615
+    r, L = fcc(a_lat, 3)
+    n = len(r)
+    rng = np.random.default_rng(5)
+    r = r + rng.standard_normal(r.shape) * 0.006
+    rcut = 0.55
+    for make in (make_fs_parms, make_sc_parms):
+        parms = make(rcut)
+        tables = eam_device_tables(parms, dtype=jnp.float64)
+        Lv = jnp.asarray([L] * 3, jnp.float64)
+        rj = jnp.asarray(r, jnp.float64)
+        sidx = jnp.zeros(n, jnp.int32)
+        fmask = jnp.ones(n, jnp.float64)
+
+        cgrid = CellBlockGrid.plan([L] * 3, rcut, 0.1, n)
+        perm, ov = build_cell_slots(rj, fmask, Lv, cgrid)
+        assert not bool(ov)
+        f1, e1, v1, pe1 = eam_cellblock_eval(rj, sidx, fmask, perm, Lv,
+                                             cgrid, tables)
+        hg = half_grid(cgrid)
+        bm = half_back_map(hg)
+        f2, e2, v2, pe2 = eam_cellblock_eval_half(rj, sidx, fmask, perm, Lv,
+                                                  hg, tables, bm)
+        assert float(e2) == pytest.approx(float(e1), rel=1e-9)
+        scale = float(jnp.abs(f1).max())
+        assert float(jnp.abs(f2 - f1).max()) / scale < 1e-9
+        assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=1e-7)
+        assert np.abs(np.asarray(pe2 - pe1)).max() < 1e-9
