@@ -35,10 +35,14 @@ def make_constraint_project(cons_pairs, cons_dist, dtype, m: int,
                             box_lengths=None, n_iter_front: int = 8):
     """cons_pairs (G,n,2) local atom slots; cons_dist (G,n) targets (pad 0);
     m = atoms per (padded) group.  Returns
-    project_all(r_ext, v_ext, rmass_ext, atoms, group_w, dt, mode)
+    project_all(r_ext, v_ext, rmass_ext, atoms, group_w, dt, mode, L=None)
     -> (G,m,3) projected group velocities; `atoms` (G,m) rows into the
     *_ext buffers (pad rows -> a zeroed sentinel row), `group_w` (G,)
-    gates whole groups (sharded ownership)."""
+    gates whole groups (sharded ownership).  The per-call L overrides the
+    baked box_lengths -- REQUIRED under a barostat, where the live box
+    differs from the construction-time one (min-imaging a boundary-
+    straddling molecule with stale lengths projects against wrong
+    geometry)."""
     G, n = cons_pairs.shape[:2]
 
     pairs = jnp.asarray(cons_pairs)
@@ -50,9 +54,9 @@ def make_constraint_project(cons_pairs, cons_dist, dtype, m: int,
     selJ = jax.nn.one_hot(pairs[:, :, 1], m, dtype=dtype)
     sel = selI - selJ                                        # (G,n,m)
 
-    Lv = None if box_lengths is None else jnp.asarray(box_lengths, dtype=dtype)
+    Lv0 = None if box_lengths is None else jnp.asarray(box_lengths, dtype=dtype)
 
-    def project(r_g, v_g, rmass_g, d2_g, w_g, sel_g, dt, mode_front):
+    def project(r_g, v_g, rmass_g, d2_g, w_g, sel_g, dt, mode_front, Lv):
         """One constraint group. r_g,v_g (m,3); sel_g (n,m); w_g (n,)."""
         r_ab = sel_g @ r_g                                   # (n,3)
         if Lv is not None:  # molecule may straddle the wrapped box
@@ -88,14 +92,18 @@ def make_constraint_project(cons_pairs, cons_dist, dtype, m: int,
         v_back = apply_lambda(v_g, lam_back)
         return jnp.where(mode_front, v_front, v_back)
 
-    vproject = jax.vmap(project, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    vproject = jax.vmap(project,
+                        in_axes=(0, 0, 0, 0, 0, 0, None, None, None))
 
-    def project_all(r_ext, v_ext, rmass_ext, atoms, group_w, dt, mode_front):
+    def project_all(r_ext, v_ext, rmass_ext, atoms, group_w, dt, mode_front,
+                    L=None):
+        Lv = Lv0 if L is None else jnp.asarray(L, dtype=dtype)
         r_g = r_ext[atoms]
         v_g = v_ext[atoms]
         rmass_g = rmass_ext[atoms]
         w = pair_valid * group_w[:, None]
-        v_new = vproject(r_g, v_g, rmass_g, dist2, w, sel, dt, mode_front)
+        v_new = vproject(r_g, v_g, rmass_g, dist2, w, sel, dt, mode_front,
+                         Lv)
         # gate: disowned groups return their input velocities untouched
         return jnp.where(group_w[:, None, None] > 0, v_new, v_g)
 
@@ -116,13 +124,14 @@ def build_constraint_fn(cons_atoms, cons_pairs, cons_dist, n_pad: int,
 
     # scatter through an extended buffer so padded atom slots land on the
     # sentinel row and are dropped
-    def constraint_fn(state, dt, mode):
+    def constraint_fn(state, dt, mode, box_lengths=None):
         mode_front = jnp.asarray(mode == "front")
         r_ext = jnp.concatenate([state.r, jnp.zeros((1, 3), dtype=dtype)])
         v_ext = jnp.concatenate([state.v, jnp.zeros((1, 3), dtype=dtype)])
         rm_ext = jnp.concatenate(
             [1.0 / state.mass, jnp.zeros((1,), dtype=dtype)])
-        v_new = project_all(r_ext, v_ext, rm_ext, atoms, ones, dt, mode_front)
+        v_new = project_all(r_ext, v_ext, rm_ext, atoms, ones, dt, mode_front,
+                            L=box_lengths)
         v_buf = jnp.concatenate([state.v, jnp.zeros((1, 3), dtype=dtype)])
         v_buf = v_buf.at[atoms.reshape(-1)].set(v_new.reshape(-1, 3))
         return state.replace(v=v_buf[:n_pad])

@@ -136,7 +136,9 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                             coeffs, half, k1, mask, has_berendsen,
                             shear_ctx=shear_ctx)
         if constraint_fn is not None:
-            v = constraint_fn(state.replace(v=v), dt, "front").v
+            # live box lengths: the barostat above may have rescaled
+            v = constraint_fn(state.replace(v=v), dt, "front",
+                              box_lengths=box.lengths).v
         state = state.replace(v=v)
 
         # --- drift (+ wrap unless the pair engine forbids it) ---------------
@@ -164,7 +166,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                             coeffs, half, k2, mask, has_berendsen,
                             shear_ctx=shear_ctx)
         if constraint_fn is not None:
-            v = constraint_fn(state.replace(v=v), dt, "back").v
+            v = constraint_fn(state.replace(v=v), dt, "back",
+                              box_lengths=box.lengths).v
         state = state.replace(v=v)
 
         # --- accounting ------------------------------------------------------

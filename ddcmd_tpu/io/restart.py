@@ -30,8 +30,6 @@ def write_bxyz(sim, snapdir: str) -> str:
     mode 1, /root/reference/src/collection_write.c:338-410):
     checksum u4 | id b8 | pinfo b2 | rx ry rz vx vy vz energy virial f4
     in external units (Angstrom, Angstrom/fs, eV)."""
-    import zlib
-
     sd = sim.sysdef
     ss = sim.ss
     n = sd.state.n_local

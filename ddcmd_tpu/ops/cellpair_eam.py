@@ -87,10 +87,19 @@ def eam_cellblock_eval(r, sidx, fmask, perm, box_geom,
     F_slot = F_slot * wv
     dF_slot = dF_slot * wv
 
-    # pass 2: block the dF values like positions and combine
+    # pass 2: block the dF values like positions and combine.  As in the
+    # nlist engine, the q-side embedding derivative needs the TRANSPOSED
+    # density derivative dp(t_q, t_p) for asymmetric multi-species
+    # density tables (eam.c:166-190)
     dFq = dF_slot[stencil].reshape(ncell, S * cap)
     de, dp = _pair_eval(form, tables["pair"], pair_idx, d2s, ir, ir2, True)
-    coef = (de + dp * (dF_slot[:, :, None] + dFq[:, None, :])) * w
+    if T == 1:
+        dpT = dp
+    else:
+        pair_idx_T = Qt[:, None, :] * T + Pt[:, :, None]
+        _, dpT = _pair_eval(form, tables["pair"], pair_idx_T, d2s, ir, ir2,
+                            True)
+    coef = (de + dp * dF_slot[:, :, None] + dpT * dFq[:, None, :]) * w
 
     csum = jnp.sum(coef, axis=-1)
     F = -Pc * csum[:, :, None] + jnp.einsum(

@@ -85,7 +85,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
             constraint_tables["cons_pairs"], constraint_tables["cons_dist"],
             jnp.float32, cons_gids.shape[1], box_lengths=Lv_host)
 
-    def apply_constraints(fields, mask, v, mode_front):
+    def apply_constraints(fields, mask, v, mode_front, Lv):
         """Per-residue velocity projection on LOCALLY-owned groups
         (gid-resolved each call; molecule-coherent migration keeps every
         owned group's atoms local -- no communication)."""
@@ -100,7 +100,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                        0.0).astype(dtc)
         rm_ext = jnp.concatenate([rm, jnp.zeros((1,), dtc)])
         v_new = project_all(r_ext, v_ext, rm_ext, atoms, gw, dt,
-                            jnp.asarray(mode_front))
+                            jnp.asarray(mode_front), L=Lv)
         v_buf = jnp.concatenate([v, jnp.zeros((1, 3), dtc)])
         v_buf = v_buf.at[atoms.reshape(-1)].set(v_new.reshape(-1, 3))
         return v_buf[:n_loc]
@@ -114,7 +114,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         v = velocity_update("front", fields["v"], f_prev, fields["mass"],
                             fields["group"], coeffs, half, k1, mask)
         if constraint_tables is not None:
-            v = apply_constraints(fields, mask, v, True)
+            v = apply_constraints(fields, mask, v, True, Lv)
         r = fields["r"] + dt * v
         r = r - Lv * jnp.round(r / Lv)
         fields = dict(fields, r=r, v=v)
@@ -124,7 +124,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         v = velocity_update("back", fields["v"], f, fields["mass"],
                             fields["group"], coeffs, half, k2, mask)
         if constraint_tables is not None:
-            v = apply_constraints(fields, mask, v, False)
+            v = apply_constraints(fields, mask, v, False, Lv)
         fields = dict(fields, v=v)
 
         mv = (fields["mass"] * fmask)[:, None] * v

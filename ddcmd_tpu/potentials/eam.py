@@ -487,10 +487,20 @@ def eam_eval(r, sidx, fmask, nbr_idx, box_lengths, tables):
     F_i = F_i * fmask
     dF = dF * fmask
 
-    # pass 2: forces
+    # pass 2: forces.  The j-side embedding derivative pairs with the
+    # TRANSPOSED density derivative dp(t_j, t_i) -- rho_j accumulates
+    # p_(t_j, t_i)(r_ij) (eam.c:166-190 combine rule); using dp(t_i, t_j)
+    # for both sides gives non-conservative forces whenever the density
+    # table is asymmetric (multi-species elementwise densities)
     de, dp = _pair_eval(form, tables["pair"], pair_idx, r2s, ir, ir2, True)
+    if T == 1:
+        dpT = dp
+    else:
+        pair_idx_T = s_ext[nbr_idx] * T + sidx[:, None]
+        _, dpT = _pair_eval(form, tables["pair"], pair_idx_T, r2s, ir, ir2,
+                            True)
     dF_ext = jnp.concatenate([dF, jnp.zeros((1,), dtype=dt)])
-    coef = (de + dp * (dF[:, None] + dF_ext[nbr_idx])) * w
+    coef = (de + dp * dF[:, None] + dpT * dF_ext[nbr_idx]) * w
     fij = -coef[:, :, None] * dr
     f = jnp.sum(fij, axis=1)
     virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)

@@ -69,6 +69,7 @@ class ParallelSimulation:
             from ..parallel.loadbalance import clamp_walls, tensor_walls
 
             wp = lbobj.get_int("workPower", 2)
+            self._lb_work_power = wp
             raw = tensor_walls(np.asarray(sd.state.r[:n]), L, self.shape,
                                work_power=wp)
             walls = tuple(tuple(clamp_walls(w, 1.05 * rlist / L[a]))
@@ -214,12 +215,39 @@ class ParallelSimulation:
             print_fn=None):
         """Chunked dispatch: ddc_update_rate steps + one migration per
         device round trip (the multi-chip superchunk); leftover loops go
-        through the single-step path."""
+        through the single-step path.  Passing migrate_rate switches to
+        the per-step path with migration at that cadence (the pre-chunk
+        semantics)."""
         sd = self.sysdef
         if self.f is None:
             self.first_energy()
         done = 0
         k = self.chunk_steps
+        if migrate_rate is not None and migrate_rate != k:
+            if self.barostat is not None:
+                raise NotImplementedError(
+                    "NPT sharded runs use the chunked path; custom "
+                    "migrate_rate is not supported with a barostat")
+            while done < n_loops:
+                self.key, sub = jax.random.split(self.key)
+                self.fields, self.f, scalars, ov = self.step_fn(
+                    self.fields, self.mask, self.f, sub)
+                if int(ov):
+                    raise RuntimeError(f"overflow at loop {self.loop}")
+                self.loop += 1
+                done += 1
+                self._print_scalars(scalars[None, :], print_fn, self.loop - 1)
+                if self.loop % migrate_rate == 0:
+                    (self.fields, self.mask, self.f,
+                     ov) = self.migrate_fn(self.fields, self.mask, self.f)
+                    if int(ov):
+                        raise RuntimeError(
+                            f"migration overflow at loop {self.loop}")
+            return self
+        if self.barostat is not None and n_loops % k != 0:
+            raise NotImplementedError(
+                "NPT sharded runs advance in whole chunks: pick n_loops "
+                f"as a multiple of chunk_steps={k}")
         next_lb = (self.loop - self.loop % self.lb_rate + self.lb_rate
                    if self.lb_rate else None)
         while done + k <= n_loops:
@@ -239,10 +267,6 @@ class ParallelSimulation:
             self._print_scalars(scalars, print_fn, self.loop)
             self.loop += k
             done += k
-        if done < n_loops and self.barostat is not None:
-            raise NotImplementedError(
-                "NPT sharded runs advance in whole chunks: pick n_loops as "
-                f"a multiple of chunk_steps={k}")
         while done < n_loops:
             self.key, sub = jax.random.split(self.key)
             self.fields, self.f, scalars, ov = self.step_fn(
@@ -330,7 +354,8 @@ def parallel_rebalance(psim):
     L = psim._box_L
     if psim.barostat is not None:
         L = np.asarray(psim.Lv, dtype=np.float64)
-    raw = tensor_walls(R, L, psim.shape, work_power=1)
+    raw = tensor_walls(R, L, psim.shape,
+                       work_power=getattr(psim, "_lb_work_power", 2))
     walls = tuple(tuple(clamp_walls(w, 1.05 * psim.plan.rlist / L[a]))
                   for a, w in enumerate(raw))
     psim.plan = dataclasses.replace(psim.plan, walls=walls)

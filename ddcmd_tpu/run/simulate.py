@@ -76,6 +76,11 @@ class Simulation:
             if any(g.type in ("SHEAR", "SHWALL") for g in sd.groups):
                 raise NotImplementedError(
                     "SHEAR/SHWALL groups assume an orthorhombic box")
+            if sd.integrator_type == "NGLFNK":
+                # its scaled-coordinate dynamics use diagonal box lengths
+                # and would silently drop the tilt on the first step
+                raise NotImplementedError(
+                    "NGLFNK assumes an orthorhombic box")
         self.engine = engine
         if engine == "pallas":
             from ..ops.pallas_cellpair import plan_lanes

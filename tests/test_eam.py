@@ -449,3 +449,72 @@ def test_eam_cellblock_half_matches_full():
         assert float(jnp.abs(f2 - f1).max()) / scale < 1e-9
         assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=1e-7)
         assert np.abs(np.asarray(pe2 - pe1)).max() < 1e-9
+
+
+def test_eam_multispecies_asymmetric_density_fd():
+    """Asymmetric 2-species density tables: forces must equal -dE/dr on
+    ALL engines (the j-side embedding derivative needs the transposed
+    dp(t_j, t_i); regression for the non-conservative combine rule)."""
+    from ddcmd_tpu.ops.cellpair import (CellBlockGrid, build_cell_slots,
+                                        half_back_map, half_grid)
+    from ddcmd_tpu.ops.cellpair_eam import (eam_cellblock_eval,
+                                            eam_cellblock_eval_half)
+
+    eV = U.unit_scale("eV")
+    Ang = U.unit_scale("Angstrom")
+    rcut = 0.55
+    # FS form with an ASYMMETRIC b (density) table: rho_i sums
+    # b[t_i, t_j] (r - c)^2-style terms, so dp(t_i,t_j) != dp(t_j,t_i)
+    a = np.array([[0.8, 0.7], [0.7, 0.9]]) * eV
+    b = np.array([[2.0, 3.5], [1.2, 2.6]]) * eV * eV     # asymmetric!
+    c = np.array([[1.5, 1.4], [1.4, 1.6]]) * Ang
+    m = np.full((2, 2), 5.0)
+    nn = np.full((2, 2), 7.0)
+    ro = np.full((2, 2), 1.0) * Ang
+    x = np.full((2, 2), rcut)
+    parms = EamParms(form="FS", n_species=2, rcut=rcut,
+                     pair_tables=dict(a=a, b=b, c=c, m=m, n=nn, ro=ro, x=x),
+                     embed_tables={})
+    tables = eam_device_tables(parms, dtype=jnp.float64)
+
+    a_lat = 0.3615
+    r, L = fcc(a_lat, 3)
+    n = len(r)
+    rng = np.random.default_rng(9)
+    r = r + rng.standard_normal(r.shape) * 0.008
+    sidx = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    rj = jnp.asarray(r, jnp.float64)
+    fmask = jnp.ones(n, jnp.float64)
+    Lv = jnp.asarray([L] * 3, jnp.float64)
+
+    grid1 = CellGrid.plan([L] * 3, rcut, 0.1, n, n)
+    nbr, _, _ = build_neighbor_list(rj, fmask, Lv, grid1)
+    cgrid = CellBlockGrid.plan([L] * 3, rcut, 0.1, n)
+    perm, _ = build_cell_slots(rj, fmask, Lv, cgrid)
+    hg = half_grid(cgrid)
+    bm = half_back_map(hg)
+
+    engines = {
+        "nlist": lambda rr: eam_eval(rr, sidx, fmask, nbr, Lv, tables),
+        "full": lambda rr: eam_cellblock_eval(rr, sidx, fmask, perm, Lv,
+                                              cgrid, tables),
+        "half": lambda rr: eam_cellblock_eval_half(rr, sidx, fmask, perm,
+                                                   Lv, hg, tables, bm),
+    }
+    outs = {k: fn(rj) for k, fn in engines.items()}
+    # engines agree with each other
+    for k in ("full", "half"):
+        assert float(outs[k][1]) == pytest.approx(float(outs["nlist"][1]),
+                                                  rel=1e-9)
+        np.testing.assert_allclose(np.asarray(outs[k][0]),
+                                   np.asarray(outs["nlist"][0]),
+                                   rtol=1e-8, atol=1e-10)
+    # FD check on a few atoms (nlist engine; lists stay valid for tiny h)
+    h = 1e-6
+    f = np.asarray(outs["nlist"][0])
+    for i in (0, 7, 33):
+        for ax in range(3):
+            ep = float(engines["nlist"](rj.at[i, ax].add(h))[1])
+            em = float(engines["nlist"](rj.at[i, ax].add(-h))[1])
+            fd = -(ep - em) / (2 * h)
+            assert f[i, ax] == pytest.approx(fd, rel=2e-5, abs=1e-7)
