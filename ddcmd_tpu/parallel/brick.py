@@ -92,6 +92,13 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         x = pool["r"][:, ax_i]
         sel_lo = pool_mask & (x < lo + plan.rlist)
         sel_hi = pool_mask & (x >= hi - plan.rlist)
+        if n == 2:
+            # both windows land on the SAME neighbor: an atom within
+            # rlist of both faces (brick width < 2 rlist, dense short-
+            # cutoff systems) must ship only once or its pairs double-
+            # count; min-image picks the right periodic image as long as
+            # the global box exceeds 2 rcut
+            sel_hi = sel_hi & ~sel_lo
         buf_lo, n_lo, ov1 = compact_rows(pool, sel_lo, plan.halo_cap)
         buf_hi, n_hi, ov2 = compact_rows(pool, sel_hi, plan.halo_cap)
         overflow = overflow | ov1 | ov2

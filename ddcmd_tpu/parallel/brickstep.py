@@ -27,7 +27,8 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                     coeffs, dt: float, box_lengths, species_lj_type,
                     n_global: int, bonded_tables=None,
                     field_keys=FIELD_KEYS, chunk_steps: int | None = None,
-                    constraint_tables=None, barostat=None):
+                    constraint_tables=None, barostat=None,
+                    force_kind: str = "martini"):
     """barostat: None (fixed box) or dict(P0, beta, tau, T, isotropic,
     n_molecules) -- the NGLFCONSTRAINT Berendsen-style volume change
     (changeVolume, /root/reference/src/nglfconstraint.c:64-85) applied at
@@ -45,7 +46,79 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
     halo_keys = ("r", "q", "species") + (("gid",) if bonded_tables else ())
     ncells_v = np.asarray(grid.ncells, dtype=np.float64)
 
-    def local_forces(fields, mask, Lv):
+    def local_forces_eam(fields, mask, Lv):
+        """Sharded two-pass EAM: pass 1 computes local densities from the
+        position halo; a SECOND halo ships each ghost's embedding
+        derivative dF from its owner (the reference's eam 2-pass
+        communication, eam.h/opt variants); pass 2 assembles forces with
+        the transposed-density combine rule.  Ghost ordering is identical
+        across the two halos (same positions, same staged selection)."""
+        from ..potentials.eam import _embedding, _pair_eval
+
+        ghosts, gmask, ov = halo_exchange_3d(
+            {k: fields[k] for k in ("r", "species")}, mask, Lv, plan)
+        r_ext = jnp.concatenate([fields["r"], ghosts["r"]], axis=0)
+        s_ext_ = jnp.concatenate([fields["species"], ghosts["species"]],
+                                 axis=0)
+        bin_mask = jnp.concatenate([mask, gmask]).astype(r_ext.dtype)
+        row_mask = jnp.concatenate(
+            [mask, jnp.zeros_like(gmask)]).astype(r_ext.dtype)
+        nbr_idx, _, nbr_ov = build_neighbor_list(
+            r_ext, bin_mask, Lv, grid, row_mask=row_mask)
+
+        dt_ = r_ext.dtype
+        n_pool = r_ext.shape[0]
+        sentinel = n_pool
+        r_pad = jnp.concatenate([r_ext, jnp.zeros((1, 3), dt_)])
+        s_pad = jnp.concatenate([s_ext_, jnp.zeros((1,), s_ext_.dtype)])
+        dr = r_ext[:, None, :] - r_pad[nbr_idx]
+        dr = dr - Lv * jnp.round(dr / Lv)
+        r2 = jnp.sum(dr * dr, axis=-1)
+        valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0)             & (row_mask[:, None] > 0)
+        w = valid.astype(dt_)
+        r2s = jnp.where(valid, r2, jnp.asarray(1.0, dt_))
+        ir2 = 1.0 / r2s
+        ir = jnp.sqrt(ir2)
+        T = tables["n_species"]
+        form = tables["form"]
+        sidx = s_ext_.astype(jnp.int32)
+        pair_idx = sidx[:, None] * T + s_pad[nbr_idx].astype(jnp.int32)
+
+        e1, p1 = _pair_eval(form, tables["pair"], pair_idx, r2s, ir, ir2,
+                            False)
+        rho = jnp.sum(p1 * w, axis=1)
+        pe_pair = 0.5 * jnp.sum(e1 * w, axis=1)
+        F_i, dF = _embedding(form, tables["embed"], sidx, rho)
+        F_i = F_i * row_mask
+        dF = dF * row_mask
+
+        # halo #2: owners ship dF for the same ghost rows
+        n_loc = fields["r"].shape[0]
+        g2, gm2, ov2 = halo_exchange_3d(
+            {"r": fields["r"], "dF": dF[:n_loc]}, mask, Lv, plan)
+        dF_pool = jnp.concatenate([dF[:n_loc], g2["dF"]])
+
+        de, dp = _pair_eval(form, tables["pair"], pair_idx, r2s, ir, ir2,
+                            True)
+        if T == 1:
+            dpT = dp
+        else:
+            pair_idx_T = s_pad[nbr_idx].astype(jnp.int32) * T + sidx[:, None]
+            _, dpT = _pair_eval(form, tables["pair"], pair_idx_T, r2s, ir,
+                                ir2, True)
+        dF_pad = jnp.concatenate([dF_pool, jnp.zeros((1,), dt_)])
+        coef = (de + dp * dF[:, None] + dpT * dF_pad[nbr_idx]) * w
+        fij = -coef[:, :, None] * dr
+        f = jnp.sum(fij, axis=1)
+        virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)
+        pe = pe_pair + F_i
+        e_pot = jnp.sum(pe)
+        cell_ok = jnp.all(Lv / jnp.asarray(ncells_v, Lv.dtype)
+                          >= jnp.asarray(grid.rlist, Lv.dtype))
+        return (f[:n_loc], e_pot, virial, pe[:n_loc],
+                ov | nbr_ov | ov2 | ~cell_ok)
+
+    def local_forces_martini(fields, mask, Lv):
         ghosts, gmask, ov = halo_exchange_3d(
             {k: fields[k] for k in halo_keys}, mask,
             Lv, plan)
@@ -76,6 +149,9 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         cell_ok = jnp.all(Lv / jnp.asarray(ncells_v, Lv.dtype)
                           >= jnp.asarray(grid.rlist, Lv.dtype))
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov | ~cell_ok
+
+    local_forces = (local_forces_eam if force_kind == "eam"
+                    else local_forces_martini)
 
     if constraint_tables is not None:
         from ..integrators.constraints import make_constraint_project

@@ -44,10 +44,23 @@ class ParallelSimulation:
         self.shape = tuple(shape)
         n_dev = int(np.prod(self.shape))
 
-        martini = next(p for p in sd.potentials if p[0] == "MARTINI")
-        parms = martini[2]
-        self.tables = martini_device_tables(parms, dtype=dtype)
-        tmap = parms.species_lj_type
+        martini = next((p for p in sd.potentials if p[0] == "MARTINI"), None)
+        eam = next((p for p in sd.potentials if p[0] == "EAM"), None)
+        if martini is not None:
+            parms = martini[2]
+            self.tables = martini_device_tables(parms, dtype=dtype)
+            tmap = parms.species_lj_type
+            self.force_kind = "martini"
+        elif eam is not None:
+            from ..potentials.eam import eam_device_tables
+
+            parms = None
+            self.tables = eam_device_tables(eam[2], dtype=dtype)
+            tmap = np.arange(len(sd.species), dtype=np.int32)
+            self.force_kind = "eam"
+        else:
+            raise NotImplementedError(
+                "ParallelSimulation shards MARTINI/CHARMM and EAM decks")
 
         n = sd.state.n_local
         L = np.asarray(sd.box.lengths, dtype=np.float64)
@@ -76,10 +89,17 @@ class ParallelSimulation:
                           for a, w in enumerate(raw))
             self.lb_rate = lbobj.get_int("rate", 0)
 
+        # halo windows scale with rlist / brick width: dense short-cutoff
+        # systems (EAM metals) can need windows holding most of a brick's
+        # pool, so size per-phase ghost buffers from the geometry
+        per_dev = max(1, n // n_dev)
+        width = min(L[a] / self.shape[a] for a in range(3))
+        frac = min(1.0, rlist / width)
+        halo_est = int(per_dev * (1 + 2 * frac) ** 2 * frac * 1.8) + 64
         self.plan = BrickPlan(
             shape=self.shape,
             local_cap=_cap(4 * n // n_dev),
-            halo_cap=_cap(3 * n // n_dev),
+            halo_cap=_cap(max(3 * n // n_dev // 2, halo_est)),
             migrate_cap=_cap(max(256, n // (4 * n_dev))),
             rlist=rlist, walls=walls)
         self.grid = CellGrid.plan(L, sd.rcut_max, sd.neighbor_deltaR, n,
@@ -94,7 +114,7 @@ class ParallelSimulation:
         field_keys = None
         gid64 = sd.collection.gid
         hgid64 = None
-        bt = sd.bonded
+        bt = sd.bonded if parms is not None else None
         if bt is not None and bt.counts().get("bonds", 0) + \
                 bt.counts().get("angles", 0) > 0:
             from ..parallel.bonded_shard import bonded_gid_tables
@@ -154,7 +174,8 @@ class ParallelSimulation:
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
                                       "group", "gid"),
             chunk_steps=max(1, int(sd.cfg.ddc_update_rate)),
-            constraint_tables=cons_tab, barostat=barostat)
+            constraint_tables=cons_tab, barostat=barostat,
+            force_kind=self.force_kind)
 
         arrays = dict(
             r=np.asarray(sd.state.r[:n], dtype=np.float32),
@@ -178,7 +199,8 @@ class ParallelSimulation:
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
                                       "group", "gid"),
             chunk_steps=self.chunk_steps,
-            constraint_tables=cons_tab, barostat=barostat)
+            constraint_tables=cons_tab, barostat=barostat,
+            force_kind=self.force_kind)
         buf, mask, counts = distribute_bricks(arrays, L, self.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, P(("bx", "by", "bz"))))
