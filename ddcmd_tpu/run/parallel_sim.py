@@ -58,9 +58,24 @@ class ParallelSimulation:
             self.tables = eam_device_tables(eam[2], dtype=dtype)
             tmap = np.arange(len(sd.species), dtype=np.int32)
             self.force_kind = "eam"
+        elif any(p[0] == "PAIR" for p in sd.potentials):
+            # PAIR = the same shifted-LJ kernel with Coulomb zeroed
+            from ..potentials.pair import pair_device_tables
+
+            pp = next(p for p in sd.potentials if p[0] == "PAIR")
+            if pp[2].table is not None:
+                raise NotImplementedError(
+                    "tabulated PAIR is single-chip only for now")
+            parms = None
+            z = jnp.zeros((), dtype)
+            self.tables = dict(pair_device_tables(pp[2], dtype=dtype),
+                               krf=z, crf=z, keR=z)
+            tmap = np.arange(len(sd.species), dtype=np.int32)
+            self.force_kind = "martini"
         else:
             raise NotImplementedError(
-                "ParallelSimulation shards MARTINI/CHARMM and EAM decks")
+                "ParallelSimulation shards MARTINI/CHARMM, EAM and PAIR "
+                "decks")
 
         n = sd.state.n_local
         L = np.asarray(sd.box.lengths, dtype=np.float64)

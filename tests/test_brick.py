@@ -374,3 +374,25 @@ def test_brick_eam_matches_single_device():
     m2 = np.asarray(psim.mask)
     assert int(m2.sum()) == sim.sysdef.state.n_local
     assert np.isfinite(np.asarray(psim.f)[m2]).all()
+
+
+def test_brick_pair_deck():
+    """PAIR (LJ) decks shard through the same nonbond path with Coulomb
+    zeroed; energy matches the single-device run."""
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+    from ddcmd_tpu.run.simulate import Simulation
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    lj_fluid(d, n=1500)
+    db, base = load(d)
+    psim = ParallelSimulation(db, base, shape=(2, 2, 2))
+    e_par = psim.first_energy()
+
+    db2, _ = load(d)
+    sim = Simulation(db2, base, run_dir=d, engine="nlist")
+    sim.first_energy()
+    assert e_par == pytest.approx(float(sim.ss.energy.eion), rel=1e-5)
+    psim.run(psim.chunk_steps, print_fn=lambda s: None)
+    assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
