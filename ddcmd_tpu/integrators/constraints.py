@@ -60,7 +60,12 @@ def make_constraint_project(cons_pairs, cons_dist, dtype, m: int,
         """One constraint group. r_g,v_g (m,3); sel_g (n,m); w_g (n,)."""
         r_ab = sel_g @ r_g                                   # (n,3)
         if Lv is not None:  # molecule may straddle the wrapped box
-            r_ab = r_ab - Lv * jnp.round(r_ab / Lv)
+            if Lv.ndim == 1:
+                r_ab = r_ab - Lv * jnp.round(r_ab / Lv)
+            else:             # triclinic h: fractional-space round
+                from ..core.box import inv3x3
+
+                r_ab = r_ab - jnp.round(r_ab @ inv3x3(Lv).T) @ Lv.T
         # M[ab,uv] = (r_ab . r_uv) * sum_a sel[ab,a] sel[uv,a] rmass_a
         rr = r_ab @ r_ab.T                                   # (n,n)
         smat = (sel_g * rmass_g[None, :]) @ sel_g.T          # (n,n)

@@ -136,9 +136,10 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                             coeffs, half, k1, mask, has_berendsen,
                             shear_ctx=shear_ctx)
         if constraint_fn is not None:
-            # live box lengths: the barostat above may have rescaled
+            # live box geometry: the barostat above may have rescaled
+            bgeom = box.lengths if box.ortho else box.h
             v = constraint_fn(state.replace(v=v), dt, "front",
-                              box_lengths=box.lengths).v
+                              box_lengths=bgeom).v
         state = state.replace(v=v)
 
         # --- drift (+ wrap unless the pair engine forbids it) ---------------
@@ -167,7 +168,8 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
                             shear_ctx=shear_ctx)
         if constraint_fn is not None:
             v = constraint_fn(state.replace(v=v), dt, "back",
-                              box_lengths=box.lengths).v
+                              box_lengths=box.lengths if box.ortho
+                              else box.h).v
         state = state.replace(v=v)
 
         # --- accounting ------------------------------------------------------

@@ -69,10 +69,6 @@ class Simulation:
                 raise NotImplementedError(
                     "PAIRENERGY/ORDERSH need the nlist engine, which is "
                     "orthorhombic-only; triclinic boxes unsupported here")
-            if sd.bonded is not None and sd.bonded.n_constraints > 0:
-                raise NotImplementedError(
-                    "holonomic constraints with a triclinic box are not "
-                    "supported yet")
             if any(g.type in ("SHEAR", "SHWALL") for g in sd.groups):
                 raise NotImplementedError(
                     "SHEAR/SHWALL groups assume an orthorhombic box")

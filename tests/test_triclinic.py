@@ -196,3 +196,48 @@ collection COLLECTION {{ mode=VARRECORDASCII; size={n}; files=atoms#; }}
     # of generic leapfrog discretization fluctuation at dt=4fs
     assert abs(e1 - e0) < 3e-4 * n
     assert np.isfinite(e1)
+
+
+def test_triclinic_constraint_projection():
+    """Constraint projection min-images through the full h matrix: a
+    diatomic straddling the tilted boundary keeps its bond length after
+    the front projection + drift (would fail with diagonal-only
+    min-image)."""
+    from ddcmd_tpu.integrators.constraints import build_constraint_fn
+    from ddcmd_tpu.core.state import State
+
+    L = 10.0
+    tilt = 0.3
+    h = _monoclinic_h(L, tilt)
+    d0 = 0.9
+    # atom 0 near the +y face, atom 1 its periodic partner across the
+    # TILTED boundary: r1 = r0 + (0,d0,0) - b_vec; the b lattice vector
+    # carries the off-diagonal tilt, so a diagonal-only min-image picks
+    # the wrong image
+    r0 = np.array([1.0, 0.47 * L, 0.0])
+    r1 = r0 + np.array([0.0, d0, 0.0]) - h[:, 1]
+    r = np.stack([r0, r1])
+    v = np.array([[0.4, -0.2, 0.1], [-0.3, 0.5, 0.2]])
+    st = State.create(r, v, np.zeros(2), np.array([10.0, 10.0]),
+                      np.zeros(2, np.int32), np.zeros(2, np.int32),
+                      np.arange(2, dtype=np.uint64), dtype=jnp.float64)
+
+    cons_atoms = np.array([[0, 1]], np.int32)
+    cons_pairs = np.array([[[0, 1]]], np.int32)
+    cons_dist = np.array([[d0]])
+    fn = build_constraint_fn(cons_atoms, cons_pairs, cons_dist,
+                             st.n_pad, jnp.float64)
+    dt = 0.05
+    st2 = fn(st, dt, "front", box_lengths=jnp.asarray(h))
+    r_new = np.asarray(st.r[:2] + dt * st2.v[:2])
+    dr = r_new[0] - r_new[1]
+    hinv = np.linalg.inv(h)
+    dr = dr - np.round(hinv @ dr) @ h.T    # h-aware min image
+    assert np.linalg.norm(dr) == pytest.approx(d0, rel=1e-9)
+
+    # diagonal-only min-image would NOT satisfy the constraint
+    st3 = fn(st, dt, "front", box_lengths=jnp.asarray(np.diagonal(h).copy()))
+    r_bad = np.asarray(st.r[:2] + dt * st3.v[:2])
+    db_ = r_bad[0] - r_bad[1]
+    db_ = db_ - np.round(hinv @ db_) @ h.T
+    assert abs(np.linalg.norm(db_) - d0) > 1e-4
