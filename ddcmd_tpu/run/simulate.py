@@ -384,6 +384,62 @@ class Simulation:
             (print_fn or print)(line)
         return self.ss
 
+    def run_nglftest(self, print_fn=None):
+        """NGLFTEST / NGLFERROR integrator analogs
+        (/root/reference/src/nglfTest.c:63-110, nglfError.c): integrate
+        the same interval three ways -- one dt step ("single"), subDivide
+        substeps ("multi"), and a fine high-accuracy reference -- and
+        write per-particle position-error distributions to
+        SingleStep.dist / MultiStep.dist.  Divergence from the reference:
+        errors are absolute |r - r_ref| histograms (the reference
+        normalizes by a half-step displacement)."""
+        sd = self.sysdef
+        iobj = self.db.get(sd.cfg.integrator_name, "INTEGRATOR")
+        dt = sd.cfg.dt
+        sub = iobj.get_int("subDivide", 4)
+        # the reference deck keyword is (sic) highAccuarcyDt
+        hi_dt = None
+        for key in ("highAccuarcyDt", "highAccuracyDt"):
+            if iobj.has(key):
+                hi_dt = iobj.get_with_units(key, "0", "t")
+        if not hi_dt:
+            hi_dt = dt / 32.0
+        n_hi = max(1, int(math.ceil(dt / hi_dt - 1e-9)))
+        n = sd.state.n_local
+        m = sd.state.mass[:, None]
+
+        def substeps(ss, k, dtk):
+            for _ in range(k):
+                v1 = ss.state.v + 0.5 * dtk * ss.state.f / m
+                r1 = ss.state.r + dtk * v1
+                ss = ss.replace(state=ss.state.replace(r=r1, v=v1))
+                ss = self._first_jit(ss)       # rebuild + forces at r1
+                v2 = ss.state.v + 0.5 * dtk * ss.state.f / m
+                ss = ss.replace(state=ss.state.replace(v=v2))
+            return ss
+
+        self.first_energy()
+        ss0 = self.ss
+        r_single = np.asarray(substeps(ss0, 1, dt).state.r[:n])
+        r_multi = np.asarray(substeps(ss0, sub, dt / sub).state.r[:n])
+        r_ref = np.asarray(substeps(ss0, n_hi, dt / n_hi).state.r[:n])
+
+        edges = np.logspace(-12, -2, 41)
+        for name, rr in (("SingleStep.dist", r_single),
+                         ("MultiStep.dist", r_multi)):
+            err = np.linalg.norm(rr - r_ref, axis=1)
+            hist, _ = np.histogram(err, bins=edges)
+            path = os.path.join(self.run_dir, name)
+            with open(path, "w") as f:
+                f.write("# |r - r_ref| (nm)   count   "
+                        f"(dt={dt} ps, sub={sub}, ref {n_hi} substeps)\n")
+                for c, h in zip(np.sqrt(edges[:-1] * edges[1:]), hist):
+                    f.write(f"{c:.6e} {int(h)}\n")
+            line = (f"{name}: median={np.median(err):.3e} "
+                    f"max={err.max():.3e} nm")
+            (print_fn or print)(line)
+        return self.ss
+
     def run(self, n_loops: int | None = None, *, print_fn=None,
             on_checkpoint=None, max_seconds: float | None = None,
             max_steps_per_dispatch: int = 400):
@@ -398,6 +454,8 @@ class Simulation:
         cfg = sd.cfg
         if sd.integrator_type == "NEXTFILE":
             return self.run_nextfile(print_fn)
+        if sd.integrator_type in ("NGLFTEST", "NGLFERROR"):
+            return self.run_nglftest(print_fn)
         if n_loops is None:
             n_loops = (cfg.deltaloop if cfg.deltaloop
                        else cfg.maxloop - int(self.ss.loop))

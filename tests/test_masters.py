@@ -117,3 +117,26 @@ def test_integration_test_master(waterbox_dir, tmp_path):
     extra = ("itest INTEGRATIONTEST { testPotentialPotential= martini martini ; }")
     db = wb_db(waterbox_dir, extra)
     integration_test_master(db, str(waterbox_dir), run_dir=str(tmp_path))
+
+
+def test_nglftest_integrator(tmp_path):
+    """NGLFTEST deck: writes SingleStep.dist / MultiStep.dist error
+    distributions; multi-step error <= single-step error (finer dt)."""
+    import numpy as np
+
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.simulate import Simulation
+
+    lj_fluid(str(tmp_path), n=300, integrator="NGLFTEST")
+    db, base = load(str(tmp_path))
+    iobj = db.get("integ", "INTEGRATOR")
+    iobj.keywords["subDivide"] = ["4"]
+    sim = Simulation(db, base, run_dir=str(tmp_path), dtype=jnp.float64)
+    lines = []
+    sim.run(print_fn=lines.append)
+    assert (tmp_path / "SingleStep.dist").exists()
+    assert (tmp_path / "MultiStep.dist").exists()
+    meds = [float(ln.split("median=")[1].split()[0]) for ln in lines]
+    assert len(meds) == 2
+    assert meds[1] <= meds[0]          # multi-step is more accurate
+    assert meds[0] < 1e-3              # sane magnitude (nm)
