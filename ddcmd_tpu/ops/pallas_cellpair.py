@@ -46,11 +46,15 @@ from .cellpair import (CellBlockGrid, _build_stencil,     # noqa: F401
 
 
 def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
-               lane_cap: int = 128, density_safety: float = 1.3
+               lane_cap: int | None = None, density_safety: float = 1.3
                ) -> CellBlockGrid:
     """Plan a FAT cell grid for the lane-parallel kernel: cells as large
     as the lane capacity allows (expected occupancy * safety <= lane_cap)
     but never smaller than rlist."""
+    import os as _os
+
+    if lane_cap is None:
+        lane_cap = int(_os.environ.get("DDCMD_PALLAS_LANE_CAP", "128"))
     L = np.asarray(box_lengths, dtype=np.float64)
     rlist = rcut + skin
     vol = float(np.prod(L))
