@@ -335,9 +335,14 @@ class Simulation:
         """Grow neighbor capacity after an overflow (allocPages analog)."""
         g = self.grid
         if self.engine == "pallas":
-            # lane-parallel kernel needs 128-multiple capacities
+            # lane-parallel kernel needs 128-multiple capacities; the
+            # kernel + stencil closures bake the capacity, so the force
+            # function must be rebuilt like the cellblock branch
             new_cap = 128 * int(math.ceil(g.cap * factor / 128.0))
             self.grid = g.with_cap(new_cap)
+            self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,
+                                           engine=self.engine, grid=self.grid)
+            self._rebuild_step_fn()
         elif self.engine == "cellblock":
             self.grid = g.with_cap(int(g.cap * factor))
             self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,

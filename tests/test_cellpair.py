@@ -142,3 +142,37 @@ def test_cellblock_half_matches_full():
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(pe2), np.asarray(pe1),
                                    rtol=1e-8, atol=1e-12)
+
+
+def test_overflow_recapacity_completes(tmp_path, monkeypatch):
+    """Cell-capacity overflow triggers host recapacity + chunk redo
+    (allocPages/checkbounds analog) on both cell engines."""
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.simulate import Simulation
+
+    lj_fluid(str(tmp_path), n=400)
+    for engine in ("cellblock", "pallas"):
+        if engine == "pallas":
+            monkeypatch.setenv("DDCMD_PALLAS_INTERPRET", "1")
+        db, base = load(str(tmp_path))
+        sim = Simulation(db, base, run_dir=str(tmp_path), engine=engine)
+        # sabotage: shrink the per-cell capacity so the first build overflows
+        small = 8 if engine == "cellblock" else 128
+        assert sim.grid.cap > small or engine == "pallas"
+        if engine == "cellblock":
+            sim.grid = sim.grid.with_cap(small)
+            from ddcmd_tpu.run.forces import build_force_fn
+
+            sim.force_fn = build_force_fn(sim.sysdef, dtype=sim.dtype,
+                                          engine=engine, grid=sim.grid)
+            sim._rebuild_step_fn()
+            sim._compile()
+            cap0 = small
+        else:
+            cap0 = sim.grid.cap
+        sim.first_energy()
+        sim.run(10, print_fn=lambda s: None)
+        e = float(sim.ss.energy.eion)
+        assert np.isfinite(e)
+        if engine == "cellblock":
+            assert sim.grid.cap > cap0      # recapacity actually fired
