@@ -414,3 +414,48 @@ def parallel_rebalance(psim):
 
 
 ParallelSimulation.rebalance = parallel_rebalance
+
+
+def parallel_view(psim):
+    """Gather the sharded run into a Simulation-shaped view (sysdef + ss)
+    so the single-chip ANALYSIS registry evaluates on multi-chip state
+    (the dataExchange/getRemoteData analog: analyses see the full
+    gathered system)."""
+    from ..core.box import Box
+    from ..core.energy import EnergyInfo
+    from ..integrators.nglf import StepState
+
+    sd = psim.sysdef
+    R, V = _gather_by_gid(psim)
+    n = sd.state.n_local
+    state = sd.state.replace(
+        r=sd.state.r.at[:n].set(jnp.asarray(R, sd.state.r.dtype)),
+        v=sd.state.v.at[:n].set(jnp.asarray(V, sd.state.v.dtype)))
+    box = Box.orthorhombic(np.asarray(psim.Lv, dtype=np.float64),
+                           dtype=sd.state.r.dtype)
+    ss = StepState(state=state, box=box, energy=EnergyInfo.zero(),
+                   loop=jnp.asarray(psim.loop, jnp.int32),
+                   time=jnp.asarray(0.0))
+    return _CheckpointShim(sd, ss, np.asarray(psim.key))
+
+
+def parallel_run_analyses(psim, run_dir: str = "."):
+    """Build every deck ANALYSIS and run eval + output on the gathered
+    state (analysisMaster semantics for the mesh driver)."""
+    from ..analysis.registry import build_analysis
+
+    view = parallel_view(psim)
+    done = []
+    for obj in psim.db.by_class("ANALYSIS"):
+        try:
+            a = build_analysis(obj.name, obj)
+        except Exception:
+            continue
+        a.eval(view)
+        a.output(view, run_dir)
+        done.append(obj.name)
+    return done
+
+
+ParallelSimulation.view = parallel_view
+ParallelSimulation.run_analyses = parallel_run_analyses

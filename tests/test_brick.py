@@ -396,3 +396,41 @@ def test_brick_pair_deck():
     assert e_par == pytest.approx(float(sim.ss.energy.eion), rel=1e-5)
     psim.run(psim.chunk_steps, print_fn=lambda s: None)
     assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
+
+
+def test_parallel_analyses_on_gathered_state(tmp_path):
+    """Deck analyses evaluate on the gathered multi-chip state and
+    match the single-device result (pair correlation on an LJ fluid)."""
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+    from ddcmd_tpu.run.simulate import Simulation
+    from ddcmd_tpu.analysis.registry import build_analysis
+    from ddcmd_tpu.objects.parser import DeckObject
+
+    lj_fluid(str(tmp_path), n=1000)
+    db, base = load(str(tmp_path))
+    db.compile_string(
+        "gr ANALYSIS { type=PAIRCORRELATION; eval_rate=1; outputrate=1; "
+        "rmax=8 Angstrom; nBins=40; }")
+    psim = ParallelSimulation(db, base, shape=(2, 2, 1))
+    psim.first_energy()
+    names = psim.run_analyses(str(tmp_path))
+    assert "gr" in names
+
+    db2, _ = load(str(tmp_path))
+    sim = Simulation(db2, base, run_dir=str(tmp_path), engine="nlist")
+    sim.first_energy()
+    a = build_analysis("gr", DeckObject(
+        "gr", "ANALYSIS",
+        {"type": ["PAIRCORRELATION"], "eval_rate": ["1"],
+         "outputrate": ["1"], "rmax": ["8", "Angstrom"], "nBins": ["40"]}))
+    a.eval(sim)
+    h_single = np.asarray(a.state["hist"], dtype=np.float64)
+
+    av = build_analysis("gr", DeckObject(
+        "gr", "ANALYSIS",
+        {"type": ["PAIRCORRELATION"], "eval_rate": ["1"],
+         "outputrate": ["1"], "rmax": ["8", "Angstrom"], "nBins": ["40"]}))
+    av.eval(psim.view())
+    h_par = np.asarray(av.state["hist"], dtype=np.float64)
+    np.testing.assert_allclose(h_par, h_single, rtol=1e-6)

@@ -140,3 +140,23 @@ def test_nglftest_integrator(tmp_path):
     assert len(meds) == 2
     assert meds[1] <= meds[0]          # multi-step is more accurate
     assert meds[0] < 1e-3              # sane magnitude (nm)
+
+
+def test_nan_rollback_kill_switch(tmp_path):
+    """Non-finite energy: the driver rolls back to the pre-chunk state
+    and retries (saveState/restoreState analog), then raises the
+    masters.c:470 kill switch after 3 retries for a deterministic NaN."""
+    import numpy as np
+
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.simulate import Simulation
+
+    lj_fluid(str(tmp_path), n=200)
+    db, base = load(str(tmp_path))
+    sim = Simulation(db, base, run_dir=str(tmp_path))
+    sim.first_energy()
+    # poison one position: forces blow up to inf -> NaN energy every retry
+    bad = sim.ss.state.r.at[0].set(jnp.asarray([jnp.inf, 0.0, 0.0]))
+    sim.ss = sim.ss.replace(state=sim.ss.state.replace(r=bad))
+    with pytest.raises(FloatingPointError):
+        sim.run(20, print_fn=lambda s: None)
