@@ -245,8 +245,11 @@ class ParallelSimulation:
             if loop % sd.cfg.printrate == 0:
                 e_pot, rk = float(scalars[j, 0]), float(scalars[j, 1])
                 T = 2.0 * rk / (3.0 * n * U.kB)
-                print_fn(f"{loop:10d} epot/N={e_pot / n:14.6f} "
-                         f"ekin/N={rk / n:12.6f} T={T:10.2f}")
+                line = (f"{loop:10d} epot/N={e_pot / n:14.6f} "
+                        f"ekin/N={rk / n:12.6f} T={T:10.2f}")
+                if scalars.shape[1] >= 7:
+                    line += f" V={float(scalars[j, 6]):12.4f}"
+                print_fn(line)
 
     def run(self, n_loops: int, *, migrate_rate: int | None = None,
             print_fn=None):
