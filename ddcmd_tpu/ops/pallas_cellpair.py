@@ -259,18 +259,22 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
                  sigma_ref, eps_ref, shift_ref,
                  out_f_ref,     # (cap, 3) f32 VMEM p-side forces
                  out_pe_ref,    # (cap, 1) f32 VMEM p-side energy
-                 out_q_ref,     # (1, 8, S*cap) f32 VMEM q-side [f, pe]
+                 out_q_ref,     # (ncell, 8, cap) f32 VMEM: ACCUMULATED
+                                # q-side reaction [fx fy fz pe 0 0 0 0]
                  out_cell_ref,  # (ncell, 8) f32 SMEM: e + virial6
                  q_scratch, sem,
                  *, cap: int, n_stencil: int, T: int,
                  krf: float, crf: float, keR: float, coulomb: bool):
     """Newton's-3rd-law variant of _kernel: the self block (index 0) is
     deduplicated with a triangular mask, only the 13 positive stencil
-    directions are evaluated, and the reaction forces on the q side come
-    out as (8, S*cap) rows [fx, fy, fz, pe] for the host-side permuted
-    reduction (half_back_map).  Halves the dominant VPU pair math; the
-    GPU reference reaches the same factor with atomics
-    (processPairShared, /root/reference/src/pairProcessGPU.cu:574)."""
+    directions are evaluated, and the reaction forces on the q side are
+    ACCUMULATED IN-KERNEL into a whole-array VMEM output indexed by the
+    target cell -- the TPU grid is sequential on a core, so the
+    read-modify-writes are race-free (the scatter the GPU reference
+    does with atomics, processPairShared,
+    /root/reference/src/pairProcessGPU.cu:574).  This keeps the q-side
+    output S times smaller than the fold-outside formulation and removes
+    the host-side permuted gathers."""
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
@@ -286,6 +290,10 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
             q_scratch.at[:, pl.ds(s * cap, cap)],
             sem.at[s],
         ).start()
+
+    @pl.when(c == 0)
+    def _zero_acc():
+        out_q_ref[...] = jnp.zeros_like(out_q_ref)
 
     P = p_ref[0]
     Pxyz = P[0:3, :]
@@ -404,7 +412,10 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
     peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)   # (1, W)
     zero4 = jnp.zeros((4, W), jnp.float32)
-    out_q_ref[0] = jnp.concatenate([Fq, peq, zero4], axis=0)
+    out8 = jnp.concatenate([Fq, peq, zero4], axis=0)     # (8, W)
+    for s in range(S):
+        tgt = stencil_ref[c, s * 4 + 0]
+        out_q_ref[tgt] = out_q_ref[tgt] + out8[:, s * cap:(s + 1) * cap]
 
     # each pair counted ONCE: no 0.5 on e/virial
     A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
@@ -455,7 +466,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
         out_specs=[
             pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
             pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
-            pl.BlockSpec((1, 8, S * cap), lambda c, stencil: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q accumulator resident
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
@@ -470,7 +481,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
         out_shape=[
             jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
             jax.ShapeDtypeStruct((ncell * cap, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ncell, 8, S * cap), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
             jax.ShapeDtypeStruct((ncell, 8), jnp.float32),
         ],
         interpret=interpret,
@@ -498,15 +509,12 @@ def pallas_cellpair_eval_half(r, q, tidx, perm, box_lengths,
     Ln = L / jnp.asarray(grid.ncells, dt)
     L8 = jnp.concatenate([Ln, jnp.asarray([tables["rcut2"]], dt),
                           jnp.zeros((4,), dt)]).reshape(1, 8)
+    del back_map  # kept in the signature for API stability
     out_slots, out_q, out_cells = eval_fn(slots, stencil_packed, L8)
 
-    # fold the q-side (reaction) contributions back: direction s of cell
-    # src targets cell stencil[src, s]; back_map inverts that bijection
-    qblk = out_q.reshape(ncell, 8, S, cap)
-    back = qblk[back_map[0], :, 0, :]
-    for s in range(1, S):
-        back = back + qblk[back_map[s], :, s, :]          # (ncell, 8, cap)
-    back = jnp.transpose(back, (0, 2, 1)).reshape(ncell * cap, 8)
+    # q-side reaction contributions arrive pre-accumulated per target
+    # cell (in-kernel scatter over the sequential grid)
+    back = jnp.transpose(out_q, (0, 2, 1)).reshape(ncell * cap, 8)
 
     F = out_slots[:, 0:3] + back[:, 0:3]
     pe_slot = out_slots[:, 3] + back[:, 3]
