@@ -182,3 +182,16 @@ def test_sharded_forces_match_with_zramp_walls():
     fields, maskd, f, ov = migrate_fn(fields, maskd, f)
     assert int(ov) == 0
     assert int(np.asarray(maskd).sum()) == n
+
+
+def test_clamp_walls_minimum_spacing():
+    """clamp_walls enforces the 1-hop minimum brick width while keeping
+    the 0/1 endpoints and monotonicity."""
+    from ddcmd_tpu.parallel.loadbalance import clamp_walls
+
+    w = clamp_walls([0.0, 0.02, 0.05, 0.9, 1.0], 0.1)
+    assert w[0] == 0.0 and w[-1] == 1.0
+    assert np.all(np.diff(w) >= 0.1 - 1e-12)
+    # infeasible request degrades to uniform
+    u = clamp_walls([0.0, 0.1, 0.2, 0.3, 1.0], 0.5)
+    np.testing.assert_allclose(u, np.linspace(0, 1, 5))
