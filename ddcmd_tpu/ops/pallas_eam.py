@@ -1,0 +1,324 @@
+"""Pallas TPU kernels for two-pass EAM on the half-stencil cell blocks.
+
+The XLA cell-block EAM engine (ops/cellpair_eam.py) materializes
+(C, c, S*c) intermediates in HBM twice per step; these kernels keep the
+pair tiles in VMEM like the LJ kernel (ops/pallas_cellpair.py):
+
+  pass A (rho kernel):  per cell, sweep the 14 half-stencil blocks,
+      evaluate the pair density/energy forms on the (cap, S*cap) tile,
+      emit p-side row sums + ACCUMULATE q-side column sums into a
+      whole-array VMEM output indexed by target cell (race-free: the
+      TPU grid is sequential per core).
+  middle (XLA):         rho = p-side + q-side; F(rho), dF(rho) per slot
+      (tiny elementwise); dF is packed into the spare sublane row 6 of
+      the slot records.
+  pass B (force kernel): same sweep; coef = de + (dF_i + dF_j) dp
+      (single-species symmetric combine, eam.c:166-190); p-side forces +
+      accumulated q-side reaction forces + virial.
+
+Scope: analytic forms (FS / SC / EXP / AT / RATIONAL) with ONE species
+-- the form parameters bake into the kernel as compile-time scalars
+(TABULAR needs in-kernel gathers; multi-species needs per-pair tables;
+both stay on the XLA engine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..potentials.eam import _embedding, _pair_eval
+from .cellpair import CellBlockGrid
+
+
+def pallas_eam_supported(tables) -> bool:
+    return (int(tables.get("n_species", 0)) == 1
+            and tables.get("form") in ("FS", "SC", "EXP", "AT", "RATIONAL"))
+
+
+def _np_tables(pair_tables):
+    """Device arrays -> host numpy so the kernels bake pure constants."""
+    out = {}
+    for k, v in pair_tables.items():
+        out[k] = np.asarray(v)
+    return out
+
+
+def _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem, slots_ref,
+              c, S, cap):
+    """Shared tile setup: issue/wait DMAs, shift q blocks into p's frame,
+    return (Pxyz (3,cap), Q (8,W), Qxyz (3,W))."""
+    W = S * cap
+    Lnx = L_ref[0, 0]
+    Lny = L_ref[0, 1]
+    Lnz = L_ref[0, 2]
+    for s in range(S):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            q_scratch.at[:, pl.ds(s * cap, cap)],
+            sem.at[s],
+        ).start()
+    row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
+    col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
+    shift_mat = jnp.zeros((3, S), jnp.float32)
+    for s in range(S):
+        sx = stencil_ref[c, s * 4 + 1].astype(jnp.float32) * Lnx
+        sy = stencil_ref[c, s * 4 + 2].astype(jnp.float32) * Lny
+        sz = stencil_ref[c, s * 4 + 3].astype(jnp.float32) * Lnz
+        v = jnp.where(row3s == 0, sx, jnp.where(row3s == 1, sy, sz))
+        shift_mat = jnp.where(col3s == s, v, shift_mat)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
+    indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
+                 == lane_blk).astype(jnp.float32)
+    Shift3 = jnp.dot(shift_mat, indicator,
+                     preferred_element_type=jnp.float32)
+    for s in range(S):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            q_scratch.at[:, pl.ds(s * cap, cap)],
+            sem.at[s],
+        ).wait()
+    P = p_ref[0]
+    Q = q_scratch[:]
+    return P, Q, Q[0:3, :] + Shift3
+
+
+def _pair_tile(P, Qxyz, Q, rcut2, cap, W):
+    """d2 / masks for the (cap, W) tile; returns (d2s, ir, ir2, w, pvc)."""
+    Pxyz = P[0:3, :]
+    pv_row = P[5:6, :]
+    qv_row = Q[5:6, :]
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    pvc = jax.lax.dot_general(pv_row, ones11, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    p2c = jax.lax.dot_general(Pxyz * Pxyz, jnp.ones((3, 1), jnp.float32),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
+    M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d2 = p2c + q2r - 2.0 * M
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 0)
+    dup = jnp.logical_and(lanes < cap, lanes <= rows)
+    valid = (pvc * qv_row > 0.0)
+    valid = jnp.logical_and(valid, d2 < rcut2)
+    valid = jnp.logical_and(valid, d2 > 0.0)
+    valid = jnp.logical_and(valid, jnp.logical_not(dup))
+    w = valid.astype(jnp.float32)
+    d2s = jnp.where(valid, d2, 1.0)
+    return d2s, jax.lax.rsqrt(d2s), 1.0 / d2s, w
+
+
+def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
+                out_p_ref,      # (cap, 2) [rho_p, pe_p]
+                out_acc_ref,    # (ncell, 8, cap) rows [rho_q, pe_q, ...]
+                q_scratch, sem,
+                *, cap, n_stencil, form, pt):
+    c = pl.program_id(0)
+    S = n_stencil
+    W = S * cap
+    rcut2 = L_ref[0, 3]
+
+    @pl.when(c == 0)
+    def _zero():
+        out_acc_ref[...] = jnp.zeros_like(out_acc_ref)
+
+    P, Q, Qxyz = _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem,
+                           slots_ref, c, S, cap)
+    d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+    e1, p1 = _pair_eval(form, pt, 0, d2s, ir, ir2, False)
+    e1 = e1 * w
+    p1 = p1 * w
+    out_p_ref[:] = jnp.concatenate(
+        [jnp.sum(p1, axis=1, keepdims=True),
+         0.5 * jnp.sum(e1, axis=1, keepdims=True)], axis=1)
+    rho_q = jnp.sum(p1, axis=0, keepdims=True)           # (1, W)
+    pe_q = 0.5 * jnp.sum(e1, axis=0, keepdims=True)
+    zero6 = jnp.zeros((6, W), jnp.float32)
+    out8 = jnp.concatenate([rho_q, pe_q, zero6], axis=0)
+    for s in range(S):
+        tgt = stencil_ref[c, s * 4 + 0]
+        out_acc_ref[tgt] = out_acc_ref[tgt] + out8[:, s * cap:(s + 1) * cap]
+
+
+def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
+                  out_f_ref,     # (cap, 3)
+                  out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ...]
+                  out_cell_ref,  # (ncell, 8) virial6
+                  q_scratch, sem,
+                  *, cap, n_stencil, form, pt):
+    c = pl.program_id(0)
+    S = n_stencil
+    W = S * cap
+    rcut2 = L_ref[0, 3]
+
+    @pl.when(c == 0)
+    def _zero():
+        out_acc_ref[...] = jnp.zeros_like(out_acc_ref)
+
+    P, Q, Qxyz = _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem,
+                           slots_ref, c, S, cap)
+    d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+    de, dp = _pair_eval(form, pt, 0, d2s, ir, ir2, True)
+
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    dF_pc = jax.lax.dot_general(P[6:7, :], ones11, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (cap,1)
+    dF_qr = Q[6:7, :]                                                # (1, W)
+    coef = (de + (dF_pc + dF_qr) * dp) * w
+
+    Pxyz = P[0:3, :]
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    csum = jnp.sum(coef, axis=1, keepdims=True)
+    cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out_f_ref[:] = -pxT * csum + cqT
+
+    qsum_r = jnp.sum(coef, axis=0, keepdims=True)
+    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)
+    Fq = Pcoef - Qxyz * qsum_r
+    zero5 = jnp.zeros((5, W), jnp.float32)
+    out8 = jnp.concatenate([Fq, zero5], axis=0)
+    for s in range(S):
+        tgt = stencil_ref[c, s * 4 + 0]
+        out_acc_ref[tgt] = out_acc_ref[tgt] + out8[:, s * cap:(s + 1) * cap]
+
+    A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    vir = -(A - B - B.T + C)
+    out_cell_ref[c, 0] = vir[0, 0]
+    out_cell_ref[c, 1] = vir[1, 1]
+    out_cell_ref[c, 2] = vir[2, 2]
+    out_cell_ref[c, 3] = vir[0, 1]
+    out_cell_ref[c, 4] = vir[0, 2]
+    out_cell_ref[c, 5] = vir[1, 2]
+    out_cell_ref[c, 6] = jnp.zeros((), jnp.float32)
+    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+
+
+def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
+    """grid from half_grid(); tables from eam_device_tables (T==1
+    analytic form).  Returns (rho_fn, force_fn)."""
+    assert pallas_eam_supported(tables), "pallas EAM: analytic T==1 only"
+    cap = grid.cap
+    assert cap % 128 == 0
+    ncell = grid.ncell
+    S = grid.n_stencil
+    form = tables["form"]
+    pt = _np_tables(tables["pair"])
+
+    common_in = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((1, 8, cap), lambda c, stencil: (c, 0, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((8, S * cap), jnp.float32),
+        pltpu.SemaphoreType.DMA((S,)),
+    ]
+
+    rho_call = pl.pallas_call(
+        functools.partial(_rho_kernel, cap=cap, n_stencil=S, form=form,
+                          pt=pt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(ncell,),
+            in_specs=common_in,
+            out_specs=[
+                pl.BlockSpec((cap, 2), lambda c, stencil: (c, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((ncell * cap, 2), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    force_call = pl.pallas_call(
+        functools.partial(_force_kernel, cap=cap, n_stencil=S, form=form,
+                          pt=pt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(ncell,),
+            in_specs=common_in,
+            out_specs=[
+                pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def rho_fn(slots, stencil_packed, L8):
+        return rho_call(stencil_packed, L8, slots, slots)
+
+    def force_fn(slots, stencil_packed, L8):
+        return force_call(stencil_packed, L8, slots, slots)
+
+    return rho_fn, force_fn
+
+
+def pallas_eam_eval(r, sidx, fmask, perm, box_lengths, grid: CellBlockGrid,
+                    tables, stencil_packed, rho_fn, force_fn):
+    """Drop-in replacement for eam_cellblock_eval_half (f32, T==1)."""
+    from .pallas_cellpair import pack_slots
+
+    n_pad = r.shape[0]
+    dt = jnp.float32
+    ncell, cap = grid.ncell, grid.cap
+    L = jnp.asarray(box_lengths, dt)
+    q0 = jnp.zeros((n_pad,), dt)
+    slots, _ = pack_slots(r, q0, sidx.astype(dt), perm, box_lengths, grid)
+    # fmask folds into the validity row (row 5)
+    fm_ext = jnp.concatenate([fmask.astype(dt), jnp.zeros((1,), dt)])
+    fm_slot = fm_ext[perm].reshape(ncell, cap)
+    slots = slots.at[:, 5, :].multiply(fm_slot)
+    Ln = L / jnp.asarray(grid.ncells, dt)
+    L8 = jnp.concatenate([Ln, jnp.asarray([tables["rcut2"]], dt),
+                          jnp.zeros((4,), dt)]).reshape(1, 8)
+
+    out_p, acc_a = rho_fn(slots, stencil_packed, L8)
+    rho = out_p[:, 0] + acc_a[:, 0, :].reshape(-1)       # (ncell*cap,)
+    pe_pair = out_p[:, 1] + acc_a[:, 1, :].reshape(-1)
+
+    valid = (slots[:, 5, :].reshape(-1) > 0)
+    zeros_t = jnp.zeros_like(rho, dtype=jnp.int32)
+    F_emb, dF = _embedding(tables["form"], tables["embed"], zeros_t, rho)
+    wv = valid.astype(dt)
+    F_emb = F_emb * wv
+    dF = dF * wv
+
+    slots2 = slots.at[:, 6, :].set(dF.reshape(ncell, cap))
+    out_f, acc_b, out_cells = force_fn(slots2, stencil_packed, L8)
+
+    F = out_f + jnp.transpose(acc_b[:, 0:3, :], (0, 2, 1)).reshape(-1, 3)
+    pe_slot = pe_pair + F_emb
+    f = jnp.zeros((n_pad + 1, 3), dt).at[perm].set(F, mode="drop")[:n_pad]
+    pe = jnp.zeros((n_pad + 1,), dt).at[perm].set(pe_slot,
+                                                  mode="drop")[:n_pad]
+    e = jnp.sum(pe_slot)
+    vir6 = jnp.sum(out_cells[:, 0:6], axis=0)
+    virial = jnp.asarray([[vir6[0], vir6[3], vir6[4]],
+                          [vir6[3], vir6[1], vir6[5]],
+                          [vir6[4], vir6[5], vir6[2]]])
+    return f, e, virial, pe

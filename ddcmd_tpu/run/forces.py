@@ -161,7 +161,27 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             from ..potentials.eam import eam_device_tables, eam_eval
 
             etables = eam_device_tables(parms, dtype=dtype)
-            if engine in ("cellblock", "pallas"):
+            if engine == "pallas":
+                from ..ops.pallas_cellpair import pack_stencil
+                from ..ops.pallas_eam import (make_pallas_eam,
+                                              pallas_eam_eval,
+                                              pallas_eam_supported)
+
+                assert pallas_eam_supported(etables),                     "Simulation routes unsupported EAM to cellblock"
+                hg = half_grid(grid)
+                rho_fn, fforce_fn = make_pallas_eam(
+                    hg, etables,
+                    interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
+                stencil = jnp.asarray(pack_stencil(hg))
+
+                def eam_term(state, box, perm, etables=etables, hg=hg,
+                             stencil=stencil, rho_fn=rho_fn,
+                             fforce_fn=fforce_fn):
+                    return pallas_eam_eval(
+                        state.r, state.species, state.fmask, perm,
+                        box.lengths, hg, etables, stencil, rho_fn,
+                        fforce_fn)
+            elif engine == "cellblock":
                 from ..ops.cellpair_eam import eam_cellblock_eval_half
 
                 hg = half_grid(grid)

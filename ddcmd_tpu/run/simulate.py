@@ -57,7 +57,11 @@ class Simulation:
         if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
             engine = "nlist"  # cell-block variants pending
         if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
-            engine = "cellblock"  # pallas kernel covers LJ/RF only
+            ep = next(p[2] for p in sd.potentials if p[0] == "EAM")
+            if not (ep.n_species == 1 and ep.form in (
+                    "FS", "SC", "EXP", "AT", "RATIONAL")):
+                # tabulated / multi-species EAM stays on the XLA engine
+                engine = "cellblock"
         if not sd.box.ortho:
             # triclinic boxes run on the XLA cell-block engine: it bins in
             # fractional coordinates with h-mapped static image shifts

@@ -203,3 +203,62 @@ def test_pallas_half_uniform_type_scalar_params():
     assert float(e1) == pytest.approx(float(e2), rel=1e-6)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6,
                                atol=1e-7)
+
+
+def test_pallas_eam_matches_xla(tmp_path, monkeypatch):
+    """Two-pass pallas EAM == XLA half engine (interpret mode), unit
+    level + end-to-end through Simulation(engine='pallas')."""
+    from ddcmd_tpu.ops.cellpair import (CellBlockGrid, build_cell_slots,
+                                        half_back_map, half_grid)
+    from ddcmd_tpu.ops.cellpair_eam import eam_cellblock_eval_half
+    from ddcmd_tpu.ops.pallas_cellpair import pack_stencil
+    from ddcmd_tpu.ops.pallas_eam import make_pallas_eam, pallas_eam_eval
+    from ddcmd_tpu.potentials.eam import eam_device_tables
+    from tests.test_eam import fcc, make_fs_parms, make_sc_parms
+
+    a_lat = 0.3615
+    r, L = fcc(a_lat, 5)                    # 500 atoms
+    n = len(r)
+    rng = np.random.default_rng(17)
+    r = r + rng.standard_normal(r.shape) * 0.006
+    rcut = 0.55
+    for make in (make_fs_parms, make_sc_parms):
+        tables = eam_device_tables(make(rcut), dtype=jnp.float32)
+        Lv = jnp.asarray([L] * 3, jnp.float32)
+        rj = jnp.asarray(r, jnp.float32)
+        sidx = jnp.zeros(n, jnp.int32)
+        fmask = jnp.ones(n, jnp.float32)
+        grid = plan_lanes([L] * 3, rcut, 0.1, n)
+        perm, ov = build_cell_slots(rj, fmask, Lv, grid)
+        assert not bool(ov)
+        hg = half_grid(grid)
+        bm = half_back_map(hg)
+        f1, e1, v1, pe1 = eam_cellblock_eval_half(rj, sidx, fmask, perm,
+                                                  Lv, hg, tables, bm)
+        rho_fn, force_fn = make_pallas_eam(hg, tables, interpret=True)
+        stencil = jnp.asarray(pack_stencil(hg))
+        f2, e2, v2, pe2 = pallas_eam_eval(rj, sidx, fmask, perm, Lv, hg,
+                                          tables, stencil, rho_fn, force_fn)
+        assert float(e2) == pytest.approx(float(e1), rel=2e-5)
+        scale = max(1.0, float(jnp.abs(f1).max()))
+        assert float(jnp.abs(f2 - f1).max()) / scale < 5e-5
+        assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=5e-3,
+                                               abs=1.0)
+
+    # end-to-end through the Simulation engine routing
+    monkeypatch.setenv("DDCMD_PALLAS_INTERPRET", "1")
+    from ddcmd_tpu.models import eam_crystal, load
+    from ddcmd_tpu.run.simulate import Simulation
+
+    eam_crystal(str(tmp_path), nc=4)
+    db, base = load(str(tmp_path))
+    sim_p = Simulation(db, base, run_dir=str(tmp_path), engine="pallas")
+    assert sim_p.engine == "pallas"
+    sim_p.first_energy()
+    e_p = float(sim_p.ss.energy.eion)
+    db2, _ = load(str(tmp_path))
+    sim_c = Simulation(db2, base, run_dir=str(tmp_path), engine="cellblock")
+    sim_c.first_energy()
+    assert e_p == pytest.approx(float(sim_c.ss.energy.eion), rel=2e-5)
+    sim_p.run(10, print_fn=lambda s: None)
+    assert np.isfinite(float(sim_p.ss.energy.eion))
