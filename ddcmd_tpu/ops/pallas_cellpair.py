@@ -268,6 +268,8 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     """Newton's-3rd-law variant of _kernel: the self block (index 0) is
     deduplicated with a triangular mask, only the 13 positive stencil
     directions are evaluated, and the reaction forces on the q side are
+    (NOTE: the DMA/shift/tile geometry here is mirrored by
+    ops/pallas_eam._geometry/_pair_tile -- keep fixes in sync)
     ACCUMULATED IN-KERNEL into a whole-array VMEM output indexed by the
     target cell -- the TPU grid is sequential on a core, so the
     read-modify-writes are race-free (the scatter the GPU reference
@@ -498,9 +500,9 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
 
 def pallas_cellpair_eval_half(r, q, tidx, perm, box_lengths,
                               grid: CellBlockGrid, tables, stencil_packed,
-                              eval_fn, back_map):
-    """Drop-in replacement for cellpair_eval using the N3L kernel.
-    back_map: jnp (S, ncell) from half_back_map(grid)."""
+                              eval_fn):
+    """Drop-in replacement for cellpair_eval using the N3L kernel; the
+    q-side reaction forces arrive pre-accumulated per target cell."""
     n_pad = r.shape[0]
     dt = jnp.float32
     ncell, cap, S = grid.ncell, grid.cap, grid.n_stencil
@@ -509,7 +511,6 @@ def pallas_cellpair_eval_half(r, q, tidx, perm, box_lengths,
     Ln = L / jnp.asarray(grid.ncells, dt)
     L8 = jnp.concatenate([Ln, jnp.asarray([tables["rcut2"]], dt),
                           jnp.zeros((4,), dt)]).reshape(1, 8)
-    del back_map  # kept in the signature for API stability
     out_slots, out_q, out_cells = eval_fn(slots, stencil_packed, L8)
 
     # q-side reaction contributions arrive pre-accumulated per target

@@ -68,15 +68,14 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                     hg, tables, coulomb=coul,
                     interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
                 stencil = jnp.asarray(pack_stencil(hg))
-                back = jnp.asarray(half_back_map(hg))
 
                 def martini_term(state, box, handle, tables=tables, tmap=tmap,
                                  eval_fn=eval_fn, stencil=stencil, hg=hg,
-                                 back=back, coul=coul):
+                                 coul=coul):
                     tidx = tmap[state.species]
                     f, e, virial, pe = pallas_cellpair_eval_half(
                         state.r, state.q, tidx, handle, box.lengths, hg,
-                        tables, stencil, eval_fn, back)
+                        tables, stencil, eval_fn)
                     if not coul:
                         return f, e, virial, pe
                     e_self_i = (-0.5 * state.q * state.q * state.fmask
@@ -133,14 +132,12 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                     hg, tables, coulomb=False,
                     interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
                 stencil = jnp.asarray(pack_stencil(hg))
-                back = jnp.asarray(half_back_map(hg))
 
                 def pair_term(state, box, handle, tables=tables,
-                              eval_fn=eval_fn, stencil=stencil, hg=hg,
-                              back=back):
+                              eval_fn=eval_fn, stencil=stencil, hg=hg):
                     return pallas_cellpair_eval_half(
                         state.r, state.q, state.species, handle, box.lengths,
-                        hg, tables, stencil, eval_fn, back)
+                        hg, tables, stencil, eval_fn)
             elif engine == "cellblock":
                 lj_tables = dict(tables)
                 hg = half_grid(grid)

@@ -247,7 +247,7 @@ class ParallelSimulation:
                 T = 2.0 * rk / (3.0 * n * U.kB)
                 line = (f"{loop:10d} epot/N={e_pot / n:14.6f} "
                         f"ekin/N={rk / n:12.6f} T={T:10.2f}")
-                if scalars.shape[1] >= 7:
+                if self.barostat is not None and scalars.shape[1] >= 7:
                     line += f" V={float(scalars[j, 6]):12.4f}"
                 print_fn(line)
 
@@ -434,11 +434,25 @@ def parallel_view(psim):
     state = sd.state.replace(
         r=sd.state.r.at[:n].set(jnp.asarray(R, sd.state.r.dtype)),
         v=sd.state.v.at[:n].set(jnp.asarray(V, sd.state.v.dtype)))
+    if psim.f is not None:
+        # forces gather exactly like positions (same mask/gid rows)
+        m = np.asarray(psim.mask)
+        gp = np.asarray(psim.fields["gid"])[m]
+        g64 = gp[:, 0].astype(np.int64) | (gp[:, 1].astype(np.int64) << 32)
+        col_gid = np.asarray(sd.collection.gid, dtype=np.int64)
+        pos = {int(g): i for i, g in enumerate(col_gid)}
+        idx = np.fromiter((pos[int(g)] for g in g64), dtype=np.int64,
+                          count=len(g64))
+        Fh = np.zeros((n, 3))
+        Fh[idx] = np.asarray(psim.f)[m]
+        state = state.replace(
+            f=state.f.at[:n].set(jnp.asarray(Fh, state.f.dtype)))
     box = Box.orthorhombic(np.asarray(psim.Lv, dtype=np.float64),
                            dtype=sd.state.r.dtype)
     ss = StepState(state=state, box=box, energy=EnergyInfo.zero(),
                    loop=jnp.asarray(psim.loop, jnp.int32),
-                   time=jnp.asarray(0.0))
+                   time=jnp.asarray((psim.loop - sd.cfg.loop) * sd.cfg.dt
+                                    + sd.cfg.time))
     return _CheckpointShim(sd, ss, np.asarray(psim.key))
 
 
@@ -447,12 +461,15 @@ def parallel_run_analyses(psim, run_dir: str = "."):
     state (analysisMaster semantics for the mesh driver)."""
     from ..analysis.registry import build_analysis
 
+    import warnings
+
     view = parallel_view(psim)
     done = []
     for obj in psim.db.by_class("ANALYSIS"):
         try:
             a = build_analysis(obj.name, obj)
-        except Exception:
+        except Exception as err:
+            warnings.warn(f"analysis {obj.name} skipped: {err}")
             continue
         a.eval(view)
         a.output(view, run_dir)

@@ -66,7 +66,8 @@ class Simulation:
             # triclinic boxes run on the XLA cell-block engine: it bins in
             # fractional coordinates with h-mapped static image shifts
             # (reference GEOM non-orthorhombic binning, src/geom.c); the
-            # pallas/nlist paths and constraint solver stay diagonal-only
+            # pallas/nlist paths stay diagonal-only (constraints are
+            # h-aware via the fractional-space min-image)
             if engine in ("pallas", "nlist"):
                 engine = "cellblock"
             if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
@@ -434,9 +435,14 @@ class Simulation:
         r_ref = np.asarray(substeps(ss0, n_hi, dt / n_hi).state.r[:n])
 
         edges = np.logspace(-12, -2, 41)
+        Lbox = np.asarray(ss0.box.lengths, dtype=np.float64)
         for name, rr in (("SingleStep.dist", r_single),
                          ("MultiStep.dist", r_multi)):
-            err = np.linalg.norm(rr - r_ref, axis=1)
+            # min-image: rebuilds wrap positions, so trajectories that
+            # wrap on one path but not the other differ by a box vector
+            d = rr - r_ref
+            d = d - Lbox * np.round(d / Lbox)
+            err = np.linalg.norm(d, axis=1)
             hist, _ = np.histogram(err, bins=edges)
             path = os.path.join(self.run_dir, name)
             with open(path, "w") as f:

@@ -87,9 +87,8 @@ def test_pallas_half_matches_xla_cellblock(n, L):
     from ddcmd_tpu.ops.pallas_cellpair import pack_stencil
 
     stencil = jnp.asarray(pack_stencil(hgrid))
-    back = jnp.asarray(half_back_map(hgrid))
     f2, e2, v2, pe2 = pallas_cellpair_eval_half(
-        rj, qj, tj, perm, Lv, hgrid, tables, stencil, eval_fn, back)
+        rj, qj, tj, perm, Lv, hgrid, tables, stencil, eval_fn)
 
     scale = max(1.0, float(jnp.abs(f1).max()))
     assert float(jnp.abs(f2 - f1).max()) / scale < 2e-5
@@ -197,7 +196,7 @@ def test_pallas_half_uniform_type_scalar_params():
         ev = make_pallas_cellpair_half(hgrid, tabs(T), coulomb=True,
                                        interpret=True)
         outs[T] = pallas_cellpair_eval_half(rj, qj, tj, perm, Lv, hgrid,
-                                            tabs(T), stencil, ev, back)
+                                            tabs(T), stencil, ev)
     f2, e2, v2, _ = outs[2]
     f1, e1, v1, _ = outs[1]
     assert float(e1) == pytest.approx(float(e2), rel=1e-6)
