@@ -340,11 +340,29 @@ class Simulation:
         """Grow neighbor capacity after an overflow (allocPages analog)."""
         g = self.grid
         if self.engine == "pallas":
-            # lane-parallel kernel needs 128-multiple capacities; the
-            # kernel + stencil closures bake the capacity, so the force
-            # function must be rebuilt like the cellblock branch
+            # lane-parallel kernel needs 128-multiple capacities; cap=256
+            # exceeds the ~16M scoped-VMEM stack limit (the (cap, S*cap)
+            # tile temporaries scale quadratically), so growth past one
+            # lane tile falls back to the XLA cell-block engine instead
+            # of compiling a program Mosaic will reject
             new_cap = 128 * int(math.ceil(g.cap * factor / 128.0))
-            self.grid = g.with_cap(new_cap)
+            if new_cap > 128:
+                import warnings
+
+                warnings.warn(
+                    "pallas cell capacity overflow: falling back to the "
+                    "XLA cell-block engine")
+                from ..ops.cellpair import CellBlockGrid
+
+                sd = self.sysdef
+                self.engine = "cellblock"
+                geom = sd.box.lengths if sd.box.ortho else sd.box.h
+                self.grid = CellBlockGrid.plan(
+                    np.asarray(geom, dtype=np.float64),
+                    sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
+                    density_safety=2.5)
+            else:
+                self.grid = g.with_cap(new_cap)
             self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,
                                            engine=self.engine, grid=self.grid)
             self._rebuild_step_fn()

@@ -176,3 +176,23 @@ def test_overflow_recapacity_completes(tmp_path, monkeypatch):
         assert np.isfinite(e)
         if engine == "cellblock":
             assert sim.grid.cap > cap0      # recapacity actually fired
+
+
+def test_pallas_recapacity_falls_back_to_cellblock(tmp_path, monkeypatch):
+    """Growing the pallas lane capacity past one 128-lane tile exceeds
+    the scoped-VMEM stack; recapacity must fall back to the XLA engine
+    and keep running."""
+    monkeypatch.setenv("DDCMD_PALLAS_INTERPRET", "1")
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.simulate import Simulation
+
+    lj_fluid(str(tmp_path), n=400)
+    db, base = load(str(tmp_path))
+    sim = Simulation(db, base, run_dir=str(tmp_path), engine="pallas")
+    assert sim.engine == "pallas"
+    sim.first_energy()
+    with pytest.warns(UserWarning, match="falling back"):
+        sim.recapacity()
+    assert sim.engine == "cellblock"
+    sim.run(10, print_fn=lambda s: None)
+    assert np.isfinite(float(sim.ss.energy.eion))
