@@ -504,6 +504,7 @@ class Simulation:
 
         done = 0
         retries = 0
+        ov_retries = 0
         t0 = _time.monotonic()
         while done < n_loops:
             k = min(n_loops - done, max_steps_per_dispatch)
@@ -533,8 +534,18 @@ class Simulation:
                 scal = np.asarray(scal, dtype=np.float64)  # device sync
             PROFILE.count("md_steps", k)
             if bool(overflow):
+                # a transient density spike can overflow a cell once and
+                # pass under fresh thermostat noise: retry the chunk ONCE
+                # before recapacitating (which, for the pallas engine,
+                # means dropping to the slower XLA engine for good);
+                # deterministic NVE overflows repeat and fall through
+                ov_retries += 1
+                if ov_retries <= 1:
+                    continue
                 self.recapacity()
+                ov_retries = 0
                 continue  # redo this chunk with bigger capacity
+            ov_retries = 0
             if not np.isfinite(scal[:, 0] + scal[:, 1]).all():
                 # parity-style in-memory rollback (saveState/restoreState,
                 # /root/reference/src/saveState.c:45,117; masters.c:461-466):
