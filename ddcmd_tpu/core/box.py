@@ -70,20 +70,23 @@ class Box:
         return self.ortho
 
     @property
-    def minspan(self) -> jnp.ndarray:
-        """Smallest perpendicular span (reference MINSPAN, box.c)."""
+    def perp_spans(self) -> jnp.ndarray:
+        """Per-axis perpendicular spans (= lengths when orthorhombic)."""
+        if self.is_orthorhombic:
+            return self.lengths
         # span_i = volume / |a_j x a_k|
         a = self.h.T  # rows = lattice vectors
-        cross01 = jnp.cross(a[0], a[1])
-        cross12 = jnp.cross(a[1], a[2])
-        cross20 = jnp.cross(a[2], a[0])
         v = self.volume
-        spans = jnp.stack([
-            v / jnp.linalg.norm(cross12),
-            v / jnp.linalg.norm(cross20),
-            v / jnp.linalg.norm(cross01),
+        return jnp.stack([
+            v / jnp.linalg.norm(jnp.cross(a[1], a[2])),
+            v / jnp.linalg.norm(jnp.cross(a[2], a[0])),
+            v / jnp.linalg.norm(jnp.cross(a[0], a[1])),
         ])
-        return jnp.min(spans)
+
+    @property
+    def minspan(self) -> jnp.ndarray:
+        """Smallest perpendicular span (reference MINSPAN, box.c)."""
+        return jnp.min(self.perp_spans)
 
     @property
     def pbc_mask(self) -> jnp.ndarray:

@@ -364,8 +364,10 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
     )
 
 
-def plan_grid(sysdef: SystemDef, density_safety: float = 2.0) -> CellGrid:
+def plan_grid(sysdef: SystemDef, density_safety: float = 2.0,
+              plan_margin: float = 1.0) -> CellGrid:
     L = np.asarray(sysdef.box.lengths, dtype=np.float64)
     return CellGrid.plan(L, sysdef.rcut_max, sysdef.neighbor_deltaR,
                          sysdef.state.n_local, sysdef.state.n_pad,
-                         density_safety=density_safety)
+                         density_safety=density_safety,
+                         plan_margin=plan_margin)

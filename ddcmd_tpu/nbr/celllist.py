@@ -48,10 +48,12 @@ class CellGrid:
     @classmethod
     def plan(cls, box_lengths, rcut: float, skin: float, n_particles: int,
              n_pad: int, density_safety: float = 2.0,
-             max_neighbors: int | None = None) -> "CellGrid":
+             max_neighbors: int | None = None,
+             plan_margin: float = 1.0) -> "CellGrid":
         L = np.asarray(box_lengths, dtype=np.float64)
         rlist = rcut + skin
-        ncells = tuple(max(1, int(math.floor(l / rlist))) for l in L)
+        ncells = tuple(max(1, int(math.floor(l / (rlist * plan_margin))))
+                       for l in L)
         vol = float(np.prod(L))
         density = n_particles / vol
         cell_vol = vol / (ncells[0] * ncells[1] * ncells[2])

@@ -58,16 +58,22 @@ class CellBlockGrid:
 
     @classmethod
     def plan(cls, box_geom, rcut: float, skin: float, n_particles: int,
-             density_safety: float = 1.6) -> "CellBlockGrid":
+             density_safety: float = 1.6,
+             plan_margin: float = 1.0) -> "CellBlockGrid":
         """box_geom: (3,) orthorhombic lengths or a full (3,3) h matrix
         (lattice vectors as columns).  For a triclinic box the cell count
         per axis comes from the PERPENDICULAR span between the opposing
         fractional-coordinate planes (the reference GEOM's non-orthorhombic
         binning, /root/reference/src/geom.c), so one stencil shell still
-        covers every pair within rlist."""
+        covers every pair within rlist.
+
+        plan_margin > 1 plans fewer/larger cells so a shrinking box (NPT /
+        prescribed box(t)) keeps cell edge >= rlist until it has compressed
+        by that factor -- avoids replan churn right at the edge."""
         spans, vol = perp_spans(box_geom)
         rlist = rcut + skin
-        ncells = tuple(max(1, int(math.floor(s / rlist))) for s in spans)
+        ncells = tuple(max(1, int(math.floor(s / (rlist * plan_margin))))
+                       for s in spans)
         cell_vol = vol / np.prod(ncells)
         cap = int(n_particles / vol * cell_vol * density_safety) + 4
         cap = ((cap + 7) // 8) * 8

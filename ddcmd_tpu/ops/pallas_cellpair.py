@@ -46,17 +46,19 @@ from .cellpair import (CellBlockGrid, _build_stencil,     # noqa: F401
 
 
 def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
-               lane_cap: int | None = None, density_safety: float = 1.3
-               ) -> CellBlockGrid:
+               lane_cap: int | None = None, density_safety: float = 1.3,
+               plan_margin: float = 1.0) -> CellBlockGrid:
     """Plan a FAT cell grid for the lane-parallel kernel: cells as large
     as the lane capacity allows (expected occupancy * safety <= lane_cap)
-    but never smaller than rlist."""
+    but never smaller than rlist.  plan_margin > 1 reserves shrink
+    headroom for NPT runs (see CellBlockGrid.plan)."""
     import os as _os
 
     if lane_cap is None:
         lane_cap = int(_os.environ.get("DDCMD_PALLAS_LANE_CAP", "128"))
     L = np.asarray(box_lengths, dtype=np.float64)
     rlist = rcut + skin
+    rplan = rlist * plan_margin          # shrink headroom for NPT planning
     vol = float(np.prod(L))
     density = n_particles / vol
 
@@ -68,7 +70,7 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
     # capacity; never cells smaller than rlist), then greedily coarsen:
     # fewer, fatter cells = fuller lanes = less wasted pair math
     ncells = [min(max(1, int(_math.ceil(l / edge_cap))),
-                  max(1, int(_math.floor(l / rlist)))) for l in L]
+                  max(1, int(_math.floor(l / rplan)))) for l in L]
     improved = True
     while improved:
         improved = False

@@ -272,6 +272,16 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         fields, mask, f, ov_m = _migrate(fields, mask, f, Lv0)
         return fields, mask, f, scal, ov | ov_m
 
+    # narrowest brick as a FRACTION of its axis: the walls are clamped to
+    # >= 1.05*rlist/L only at construction, but the barostat can shrink
+    # the live box past that margin mid-chunk, breaking the 1-hop halo
+    # assumption (a brick narrower than rlist needs 2-hop ghosts); guard
+    # it in the overflow flag like cell_ok guards the cell grid
+    _min_brick_frac = np.array(
+        [(float(np.min(np.diff(np.asarray(plan.walls[a]))))
+          if plan.walls is not None else 1.0 / plan.shape[a])
+         for a in range(3)], dtype=np.float64)
+
     def chunk_npt(fields, mask, f_prev, vir_diag, Lv, key):
         """NPT chunk: the barostat rescales Lv and positions at the start
         of every scanned step from the previous step's virial diagonal."""
@@ -279,6 +289,10 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
             fields, f, vird, Lv, ov = carry
             lam = _lam(vird, Lv)
             Lv = Lv * lam
+            brick_ok = jnp.all(
+                jnp.asarray(_min_brick_frac, Lv.dtype) * Lv
+                >= jnp.asarray(plan.rlist, Lv.dtype))
+            ov = ov | (~brick_ok).astype(ov.dtype)
             fields = dict(fields, r=fields["r"] * lam[None, :])
             fields, f, scalars, ov_i = _step(fields, mask, f,
                                              jax.random.fold_in(key, i), Lv)

@@ -2,10 +2,11 @@
 
 Makes the ddc decomposition usable from decks/CLI: `ddc DDC {lx=2; ly=2;
 lz=2;}` (reference domain lattice keywords, ddc.c:35-137) selects a
-brick mesh.  Martini nonbond + gid-keyed sharded bonded terms (bonds/
-angles/torsions/impropers/bpairs/exclusions) with molecule-coherent
-migration (ddcRuleMolecule analog) + Langevin/FREE NVT are supported
-sharded; constraints/barostat/CMAP stay single-chip for now.
+brick mesh.  Sharded coverage: Martini/PAIR/EAM nonbond, gid-keyed
+bonded terms (bonds/angles/torsions/impropers/bpairs/exclusions/CMAP),
+constraints, the Berendsen-style barostat, molecule-coherent migration
+(ddcRuleMolecule analog), and the Langevin/FREE group kicks.
+Orthorhombic boxes only (halos/walls/min-image use the h diagonal).
 """
 
 from __future__ import annotations
@@ -31,6 +32,12 @@ class ParallelSimulation:
         self.dtype = dtype
         sd = build_system(db, base_dir, dtype=dtype)
         self.sysdef = sd
+        if not sd.box.ortho:
+            # halos, brick walls and wraps below all use the h diagonal;
+            # a tilted box would silently drop the off-diagonal terms
+            raise NotImplementedError(
+                "ParallelSimulation requires an orthorhombic box; run "
+                "triclinic (BOX type=GENERAL) decks single-chip")
 
         # decomposition shape: deck ddc lx/ly/lz override
         sim = db.by_class("SIMULATE")[0]
@@ -370,7 +377,8 @@ def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
                            dtype=jnp.float64)
     ss = StepState(state=state, box=box, energy=EnergyInfo.zero(),
                    loop=jnp.asarray(psim.loop, jnp.int32),
-                   time=jnp.asarray(0.0))
+                   time=jnp.asarray((psim.loop - sd.cfg.loop) * sd.cfg.dt
+                                    + sd.cfg.time))
     return _wc(_CheckpointShim(sd, ss, np.asarray(psim.key)), run_dir)
 
 

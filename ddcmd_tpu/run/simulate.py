@@ -83,21 +83,31 @@ class Simulation:
                 raise NotImplementedError(
                     "NGLFNK assumes an orthorhombic box")
         self.engine = engine
+        # dynamic boxes (barostats / prescribed box(t)) plan the cell grid
+        # with shrink headroom so compression doesn't trip the cell-edge
+        # guard (and a 16s replan-recompile) right away
+        ip0 = sd.integrator_parms
+        dyn_box = (sd.box_time is not None
+                   or sd.integrator_type in ("NPTGLF", "NGLFNK")
+                   or ip0.get("beta", 0.0) > 0)
+        self._plan_margin = 1.08 if dyn_box else 1.0
         if engine == "pallas":
             from ..ops.pallas_cellpair import plan_lanes
 
             self.grid = plan_lanes(
                 np.asarray(sd.box.lengths, dtype=np.float64),
-                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local)
+                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
+                plan_margin=self._plan_margin)
         elif engine == "cellblock":
             from ..ops.cellpair import CellBlockGrid
 
             geom = sd.box.lengths if sd.box.ortho else sd.box.h
             self.grid = CellBlockGrid.plan(
                 np.asarray(geom, dtype=np.float64),
-                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local)
+                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
+                plan_margin=self._plan_margin)
         else:
-            self.grid = plan_grid(sd)
+            self.grid = plan_grid(sd, plan_margin=self._plan_margin)
         self.force_fn = build_force_fn(sd, dtype=dtype, engine=engine,
                                        grid=self.grid)
         self.printinfo = PrintInfo.from_deck(db, sd.cfg.printinfo_name)
@@ -262,6 +272,17 @@ class Simulation:
         step_fn = self.step_fn
         force_fn = self.force_fn
 
+        # a shrinking box (barostat / prescribed box(t)) can drop the
+        # LIVE cell edge below rlist while ncells stays static, silently
+        # missing one-shell pairs; flag it as overflow so the host
+        # replans (same hazard brickstep.py guards via cell_ok)
+        ncells_v = np.asarray(grid.ncells, dtype=np.float64)
+
+        def cell_edge_bad(box):
+            spans = box.perp_spans
+            return jnp.any(spans / jnp.asarray(ncells_v, spans.dtype)
+                           < jnp.asarray(grid.rlist, spans.dtype))
+
         if self.engine in ("cellblock", "pallas"):
             from ..ops.cellpair import build_cell_slots
 
@@ -273,12 +294,12 @@ class Simulation:
                 geom = ss.box.lengths if ss.box.ortho else ss.box.h
                 perm, overflow = build_cell_slots(
                     r, ss.state.fmask, geom, grid)
-                return ss, perm, overflow
+                return ss, perm, overflow | cell_edge_bad(ss.box)
         else:
             def build_nbr(ss):
                 nbr_idx, _, overflow = build_neighbor_list(
                     ss.state.r, ss.state.fmask, ss.box.lengths, grid)
-                return ss, nbr_idx, overflow
+                return ss, nbr_idx, overflow | cell_edge_bad(ss.box)
 
         deltaR2 = float(self.sysdef.neighbor_deltaR) ** 2
 
@@ -335,6 +356,51 @@ class Simulation:
         self._chunk_jit = jax.jit(superchunk, static_argnums=(4, 5))
         self._first_jit = jax.jit(first)
         self._build_nbr_jit = jax.jit(build_nbr)
+
+    def _grid_stale(self, slack: float = 1.0) -> bool:
+        """True when the LIVE box has shrunk a cell edge below slack*rlist
+        (static ncells vs barostat/prescribed-box compression) -- growing
+        capacity cannot fix that; the cell plan itself must change.
+        slack > 1 also catches compression that happened INSIDE the chunk
+        that just overflowed (self.ss is the pre-chunk state)."""
+        spans = np.asarray(self.ss.box.perp_spans, dtype=np.float64)
+        ncells = np.asarray(self.grid.ncells, dtype=np.float64)
+        return bool(np.any(spans / ncells < self.grid.rlist * slack))
+
+    def replan_grid(self):
+        """Re-plan the cell grid against the LIVE box (NPT compression
+        dropped a cell edge below rlist; fewer, larger cells restore the
+        one-shell stencil guarantee)."""
+        sd = self.sysdef
+        box = self.ss.box
+        margin = getattr(self, "_plan_margin", 1.0)
+        if self.engine == "pallas":
+            from ..ops.pallas_cellpair import plan_lanes
+
+            self.grid = plan_lanes(
+                np.asarray(box.lengths, dtype=np.float64),
+                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
+                plan_margin=margin)
+        elif self.engine == "cellblock":
+            from ..ops.cellpair import CellBlockGrid
+
+            geom = box.lengths if box.ortho else box.h
+            self.grid = CellBlockGrid.plan(
+                np.asarray(geom, dtype=np.float64),
+                sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
+                plan_margin=margin)
+        else:
+            from ..nbr.celllist import CellGrid
+
+            g = self.grid
+            self.grid = CellGrid.plan(
+                np.asarray(box.lengths, dtype=np.float64), sd.rcut_max,
+                sd.neighbor_deltaR, sd.state.n_local, sd.state.n_pad,
+                max_neighbors=g.max_neighbors, plan_margin=margin)
+        self.force_fn = build_force_fn(sd, dtype=self.dtype,
+                                       engine=self.engine, grid=self.grid)
+        self._rebuild_step_fn()
+        self._compile()
 
     def recapacity(self, factor: float = 1.5):
         """Grow neighbor capacity after an overflow (allocPages analog)."""
@@ -542,9 +608,22 @@ class Simulation:
                 ov_retries += 1
                 if ov_retries <= 1:
                     continue
-                self.recapacity()
-                ov_retries = 0
-                continue  # redo this chunk with bigger capacity
+                if ov_retries > 8:
+                    raise RuntimeError(
+                        "neighbor overflow persists after repeated "
+                        "recapacity/replan (loop "
+                        f"{int(self.ss.loop)})")
+                # _grid_stale sees the PRE-chunk box; in-chunk barostat
+                # compression can trip cell_edge_bad while the pre-chunk
+                # edge still clears rlist -- check with slack, and if
+                # capacity growth isn't fixing it, replan cells anyway
+                if self._grid_stale(slack=1.05) or ov_retries >= 4:
+                    # box compression, not density: replan cells, don't
+                    # just grow capacity
+                    self.replan_grid()
+                else:
+                    self.recapacity()
+                continue  # redo this chunk with the new plan/capacity
             ov_retries = 0
             if not np.isfinite(scal[:, 0] + scal[:, 1]).all():
                 # parity-style in-memory rollback (saveState/restoreState,
