@@ -41,6 +41,19 @@ def main():
         eam_crystal(d, nc=int(os.environ.get("BENCH_NC", "12")))
         db, base = load(d)
         metric = "eam_crystal_steps_per_sec"
+    elif workload == "bilayer":
+        # ~100k-bead Martini DPPC bilayer: nonbond + bonds + angles +
+        # constraints + semi-aniso NPT in one workload (BASELINE.json's
+        # "Martini lipid bilayer ~100k beads" config)
+        import tempfile
+
+        from ddcmd_tpu.models import load, martini_bilayer
+
+        d = tempfile.mkdtemp()
+        nx = int(os.environ.get("BENCH_NX", "48"))
+        martini_bilayer(d, nx=nx, ny=nx)
+        db, base = load(d)
+        metric = "bilayer_steps_per_sec"
     else:
         db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
                      os.path.join(REFERENCE_WATERBOX, "snapshot.mem",

@@ -273,7 +273,7 @@ def _dppc_mmff() -> str:
     return "\n".join(out) + "\n"
 
 
-def martini_bilayer(out_dir, *, nx=48, ny=48, apl_nm2=0.64, water_nm=2.2,
+def martini_bilayer(out_dir, *, nx=48, ny=48, apl_nm2=0.55, water_nm=2.2,
                     density_nm3=7.47, T=323.0, dt_fs=20.0, seed=4,
                     beta_per_bar=3.0e-4, tau_ps=1.0, isotropic=0):
     """DPPC-like Martini bilayer in water: 2*nx*ny lipids (12 beads each)
