@@ -33,9 +33,14 @@ class BrickPlan:
     halo_cap: int                    # per direction per phase
     migrate_cap: int
     rlist: float
-    # per-axis non-uniform wall FRACTIONS ((n_ax+1,) tuples) from the
-    # load balancer (loadbalance.tensor_walls) -- the tensor-product ORCB
-    # a fixed brick topology admits; None = uniform walls
+    # per-axis non-uniform wall FRACTIONS from the load balancer; None =
+    # uniform walls.  Two shapes are accepted per axis:
+    #   tensor (loadbalance.tensor_walls): (n_ax+1,) -- shared walls
+    #   hierarchical ORCB (loadbalance.orcb_walls): y walls (nx, ny+1)
+    #     per x-slab, z walls (nx, ny, nz+1) per (x,y) column -- true
+    #     recursive bisection (bisectionCalc.c analog); the staged
+    #     x->y->z exchange stays valid because each phase's sender and
+    #     receiver live in the same slab/column and share the wall set
     walls: tuple | None = None
 
     @property
@@ -49,9 +54,15 @@ class BrickPlan:
         return 6 * self.halo_cap
 
 
-def _axis_bounds(box_l, n, idx, dtype, walls=None):
+def _axis_bounds(box_l, n, idx, dtype, walls=None, prefix=()):
+    """[lo, hi) of this device's brick along one axis.  walls may be a
+    shared (n+1,) set or a hierarchical set with one leading dim per
+    EARLIER mesh axis (ORCB); prefix holds those axes' device indices."""
     if walls is not None:
         w = jnp.asarray(walls, dtype=dtype)
+        if w.ndim > 1:
+            for p in prefix:
+                w = w[p.astype(jnp.int32)]
         i = idx.astype(jnp.int32)
         return (w[i] - 0.5) * box_l, (w[i + 1] - 0.5) * box_l
     w = box_l / n
@@ -87,8 +98,10 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         if n == 1:
             continue
         me = jax.lax.axis_index(axis)
+        prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
         lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
-                              None if plan.walls is None else plan.walls[ax_i])
+                              None if plan.walls is None else plan.walls[ax_i],
+                              prefix)
         x = pool["r"][:, ax_i]
         sel_lo = pool_mask & (x < lo + plan.rlist)
         sel_hi = pool_mask & (x >= hi - plan.rlist)
@@ -127,6 +140,23 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
     return ghosts, gmask, overflow
 
 
+def _head_positions(cur: dict, mask):
+    """Per-particle position of its molecule HEAD bead (own position when
+    headless or the head is off-device)."""
+    from .bonded_shard import pack_gid
+
+    g64 = pack_gid(cur["gid"])
+    h64 = pack_gid(cur["hgid"])
+    big = jnp.asarray(jnp.iinfo(g64.dtype).max, g64.dtype)
+    keyed = jnp.where(mask, g64, big)
+    order = jnp.argsort(keyed)
+    sgg = keyed[order]
+    pos = jnp.clip(jnp.searchsorted(sgg, h64), 0, keyed.shape[0] - 1)
+    hrow = order[pos]
+    ok = (sgg[pos] == h64)[:, None]
+    return jnp.where(ok, cur["r"][hrow], cur["r"])
+
+
 def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
     """Staged 1-hop migration along x, then y, then z (<=1 brick hop per
     axis per rebuild, mirroring the lazy re-bisect assumption).
@@ -144,21 +174,12 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
             continue
         me = jax.lax.axis_index(axis)
         dtype = cur["r"].dtype
+        prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
         lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
-                              None if plan.walls is None else plan.walls[ax_i])
+                              None if plan.walls is None else plan.walls[ax_i],
+                              prefix)
         if "hgid" in cur:
-            from .bonded_shard import pack_gid
-
-            g64 = pack_gid(cur["gid"])
-            h64 = pack_gid(cur["hgid"])
-            big = jnp.asarray(jnp.iinfo(g64.dtype).max, g64.dtype)
-            keyed = jnp.where(mask, g64, big)
-            order = jnp.argsort(keyed)
-            sgg = keyed[order]
-            pos = jnp.clip(jnp.searchsorted(sgg, h64), 0, keyed.shape[0] - 1)
-            hrow = order[pos]
-            ok = sgg[pos] == h64
-            x = jnp.where(ok, cur["r"][hrow, ax_i], cur["r"][:, ax_i])
+            x = _head_positions(cur, mask)[:, ax_i]
         else:
             x = cur["r"][:, ax_i]
         go_lo = mask & (x < lo)
@@ -176,6 +197,26 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         cur, count, ov3 = compact_rows(pool, pool_mask, plan.local_cap)
         mask = jnp.arange(plan.local_cap) < count
         overflow = overflow | ov1 | ov2 | ov3
+
+    # hierarchical (ORCB) walls: crossing an x wall swaps the y/z wall
+    # set, so one staged hop can leave a particle >1 brick from its owner
+    # (tensor walls cannot -- the set is shared).  Verify containment
+    # (head-based when molecule-coherent) and flag overflow so the host
+    # redistributes exactly instead of silently mis-owning pairs.
+    if plan.walls is not None and any(
+            np.asarray(w).ndim > 1 for w in plan.walls):
+        rr = _head_positions(cur, mask) if "hgid" in cur else cur["r"]
+        dtype = rr.dtype
+        for ax_i, axis in enumerate(AXES):
+            n = plan.shape[ax_i]
+            if n == 1:
+                continue
+            me = jax.lax.axis_index(axis)
+            prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
+            lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
+                                  plan.walls[ax_i], prefix)
+            x = rr[:, ax_i]
+            overflow = overflow | jnp.any(mask & ((x < lo) | (x >= hi)))
     return cur, mask, overflow
 
 
@@ -194,14 +235,17 @@ def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
     nx, ny, nz = plan.shape
     L = np.asarray(box_lengths, dtype=np.float64)
     if plan.walls is not None:
-        cj = [np.clip(np.searchsorted(np.asarray(plan.walls[a])[1:-1],
-                                      r[:, a] / L[a] + 0.5, side="right"),
-                      0, plan.shape[a] - 1) for a in range(3)]
+        from .loadbalance import walls_assign
+
+        fr = r / L[None, :] + 0.5
+        fr = fr - np.floor(fr)
+        cx, cy, cz = walls_assign(fr, plan.walls, plan.shape)
+        dest = (cx * ny + cy) * nz + cz
     else:
         cj = [np.clip(np.floor((r[:, a] / L[a] + 0.5)
                                * plan.shape[a]).astype(int),
                       0, plan.shape[a] - 1) for a in range(3)]
-    dest = (cj[0] * ny + cj[1]) * nz + cj[2]
+        dest = (cj[0] * ny + cj[1]) * nz + cj[2]
     out = {}
     counts = np.zeros(plan.n_dev, dtype=np.int32)
     for d in range(plan.n_dev):

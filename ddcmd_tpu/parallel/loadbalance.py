@@ -99,6 +99,94 @@ def tensor_walls(r, box_lengths, shape, **kw):
     return out
 
 
+def _split_fracs(f, weight, n_dev):
+    """Equal-weight wall FRACTIONS (n_dev+1,) in [0,1] for samples f in
+    [0,1]: weighted-quantile splits (the recursive-bisection split step,
+    /root/reference/src/bisectionCalc.c:45-98 computes the same median
+    plane per level, by trial bisection on the work integral)."""
+    walls = np.linspace(0.0, 1.0, n_dev + 1)
+    if len(f) == 0:
+        return walls
+    order = np.argsort(f)
+    fs = f[order]
+    w = (np.ones(len(f)) if weight is None else
+         np.asarray(weight, dtype=np.float64)[order])
+    cw = np.cumsum(w)
+    total = cw[-1]
+    if total <= 0:
+        return walls
+    for k in range(1, n_dev):
+        j = int(np.searchsorted(cw, total * k / n_dev))
+        j = min(j, len(fs) - 1)
+        # split halfway between the straddling samples so neither sits
+        # exactly on a wall (ownership ties)
+        hi = fs[j]
+        lo = fs[j - 1] if j > 0 else 0.0
+        walls[k] = 0.5 * (lo + hi)
+    return np.maximum.accumulate(walls)
+
+
+def orcb_walls(r, box_lengths, shape, *, work=None, min_frac=None):
+    """TRUE orthogonal recursive coordinate bisection for a brick mesh:
+    x walls are global, y walls are computed PER x-slab, z walls per
+    (x, y) column -- the hierarchical domain tree of the reference's
+    bisection balancer (/root/reference/src/bisectionCalc.c:7-136),
+    restricted to the mesh's fixed split order so the staged x->y->z
+    ppermute halo exchange stays valid (each phase's sender and receiver
+    share the same wall set).
+
+    Returns (wx (nx+1,), wy (nx, ny+1), wz (nx, ny, nz+1)) fraction
+    arrays.  Unlike tensor_walls this equalizes NON-separable density
+    (droplets, bilayers-in-vacuum, shock fronts): per-leaf counts are
+    balanced exactly up to the min-width clamp.
+
+    min_frac: optional per-axis minimum brick width as a fraction of the
+    axis (1-hop halos need every brick wider than rlist)."""
+    nx, ny, nz = shape
+    r = np.asarray(r, dtype=np.float64)
+    L = np.asarray(box_lengths, dtype=np.float64)
+    f = r / L[None, :] + 0.5
+    f = f - np.floor(f)                       # wrap into [0,1)
+    w = None if work is None else np.asarray(work, dtype=np.float64)
+    mf = (0.0, 0.0, 0.0) if min_frac is None else tuple(min_frac)
+
+    wx = clamp_walls(_split_fracs(f[:, 0], w, nx), mf[0])
+    wy = np.zeros((nx, ny + 1))
+    wz = np.zeros((nx, ny, nz + 1))
+    for i in range(nx):
+        si = (f[:, 0] >= wx[i]) & (f[:, 0] < wx[i + 1])
+        wy[i] = clamp_walls(
+            _split_fracs(f[si, 1], None if w is None else w[si], ny), mf[1])
+        for j in range(ny):
+            sj = si & (f[:, 1] >= wy[i, j]) & (f[:, 1] < wy[i, j + 1])
+            wz[i, j] = clamp_walls(
+                _split_fracs(f[sj, 2], None if w is None else w[sj], nz),
+                mf[2])
+    return wx, wy, wz
+
+
+def walls_assign(f, walls, shape):
+    """Owning (ix, iy, iz) per particle for hierarchical OR tensor walls;
+    f: (n, 3) box fractions in [0, 1)."""
+    nx, ny, nz = shape
+    wx, wy, wz = [np.asarray(w) for w in walls]
+    cx = np.clip(np.searchsorted(wx[1:-1], f[:, 0], side="right"), 0, nx - 1)
+    cy = np.empty(len(f), dtype=np.int64)
+    cz = np.empty(len(f), dtype=np.int64)
+    for i in range(nx):
+        si = cx == i
+        wyi = wy if wy.ndim == 1 else wy[i]
+        cy[si] = np.clip(np.searchsorted(wyi[1:-1], f[si, 1], side="right"),
+                         0, ny - 1)
+        for j in range(ny):
+            sj = si & (cy == j)
+            wzij = wz if wz.ndim == 1 else wz[i, j]
+            cz[sj] = np.clip(
+                np.searchsorted(wzij[1:-1], f[sj, 2], side="right"),
+                0, nz - 1)
+    return cx, cy, cz
+
+
 def clamp_walls(walls, min_frac):
     """Enforce a minimum wall spacing (1-hop halos need every domain
     wider than rlist): forward/backward projection keeping 0 and 1."""

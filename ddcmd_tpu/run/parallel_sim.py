@@ -97,19 +97,31 @@ class ParallelSimulation:
         # tensor-product ORCB a fixed brick topology admits
         walls = None
         self.lb_rate = 0
+        self._lb_kind = None
         lbobj = (db.find(ddc.get_str("loadBalance", ""), "LOADBALANCE")
                  if ddc is not None else None)
-        if lbobj is not None and lbobj.get_str("type", "").upper() in (
-                "ZRAMP", "TENSOR", "BISECTION"):
-            from ..parallel.loadbalance import clamp_walls, tensor_walls
+        if lbobj is not None:
+            kind = lbobj.get_str("type", "").upper()
+            self._lb_work_power = lbobj.get_int("workPower", 2)
+            if kind == "BISECTION":
+                # TRUE recursive coordinate bisection (bisectionCalc.c):
+                # y walls per x-slab, z walls per (x,y) column
+                from ..parallel.loadbalance import orcb_walls
 
-            wp = lbobj.get_int("workPower", 2)
-            self._lb_work_power = wp
-            raw = tensor_walls(np.asarray(sd.state.r[:n]), L, self.shape,
-                               work_power=wp)
-            walls = tuple(tuple(clamp_walls(w, 1.05 * rlist / L[a]))
-                          for a, w in enumerate(raw))
-            self.lb_rate = lbobj.get_int("rate", 0)
+                walls = orcb_walls(
+                    np.asarray(sd.state.r[:n]), L, self.shape,
+                    min_frac=tuple(1.05 * rlist / L[a] for a in range(3)))
+                self._lb_kind = "bisection"
+                self.lb_rate = lbobj.get_int("rate", 0)
+            elif kind in ("ZRAMP", "TENSOR"):
+                from ..parallel.loadbalance import clamp_walls, tensor_walls
+
+                raw = tensor_walls(np.asarray(sd.state.r[:n]), L, self.shape,
+                                   work_power=self._lb_work_power)
+                walls = tuple(tuple(clamp_walls(w, 1.05 * rlist / L[a]))
+                              for a, w in enumerate(raw))
+                self._lb_kind = "tensor"
+                self.lb_rate = lbobj.get_int("rate", 0)
 
         # halo windows scale with rlist / brick width: dense short-cutoff
         # systems (EAM metals) can need windows holding most of a brick's
@@ -297,10 +309,13 @@ class ParallelSimulation:
                 f"as a multiple of chunk_steps={k}")
         next_lb = (self.loop - self.loop % self.lb_rate + self.lb_rate
                    if self.lb_rate else None)
+        redis_tries = 0
         while done + k <= n_loops:
             if next_lb is not None and self.loop >= next_lb:
                 self.rebalance()
                 next_lb += self.lb_rate
+            prev = (self.fields, self.mask, self.f,
+                    getattr(self, "vird", None), getattr(self, "Lv", None))
             self.key, sub = jax.random.split(self.key)
             if self.barostat is not None:
                 (self.fields, self.mask, self.f, self.vird, self.Lv,
@@ -310,7 +325,19 @@ class ParallelSimulation:
                 (self.fields, self.mask, self.f, scalars,
                  ov) = self.chunk_fn(self.fields, self.mask, self.f, sub)
             if int(ov):
-                raise RuntimeError(f"overflow in chunk at loop {self.loop}")
+                # roll back to the pre-chunk state and redistribute on
+                # the host (exact ownership); retry the chunk ONCE --
+                # covers ORCB misplacement flags and transient spikes
+                redis_tries += 1
+                if redis_tries > 1:
+                    raise RuntimeError(
+                        f"overflow in chunk at loop {self.loop}")
+                self.fields, self.mask, self.f = prev[:3]
+                if self.barostat is not None:
+                    self.vird, self.Lv = prev[3], prev[4]
+                self.redistribute()
+                continue
+            redis_tries = 0
             self._print_scalars(scalars, print_fn, self.loop)
             self.loop += k
             done += k
@@ -402,10 +429,17 @@ def parallel_rebalance(psim):
     L = psim._box_L
     if psim.barostat is not None:
         L = np.asarray(psim.Lv, dtype=np.float64)
-    raw = tensor_walls(R, L, psim.shape,
-                       work_power=getattr(psim, "_lb_work_power", 2))
-    walls = tuple(tuple(clamp_walls(w, 1.05 * psim.plan.rlist / L[a]))
-                  for a, w in enumerate(raw))
+    if getattr(psim, "_lb_kind", None) == "bisection":
+        from ..parallel.loadbalance import orcb_walls
+
+        walls = orcb_walls(
+            R, L, psim.shape,
+            min_frac=tuple(1.05 * psim.plan.rlist / L[a] for a in range(3)))
+    else:
+        raw = tensor_walls(R, L, psim.shape,
+                           work_power=getattr(psim, "_lb_work_power", 2))
+        walls = tuple(tuple(clamp_walls(w, 1.05 * psim.plan.rlist / L[a]))
+                      for a, w in enumerate(raw))
     psim.plan = dataclasses.replace(psim.plan, walls=walls)
     kw = dict(psim._step_kwargs, box_lengths=L)
     out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
@@ -425,6 +459,34 @@ def parallel_rebalance(psim):
 
 
 ParallelSimulation.rebalance = parallel_rebalance
+
+
+def parallel_redistribute(psim):
+    """Host-exact re-assignment under the CURRENT walls (no wall update,
+    no recompile): recovers from staged-migration misplacement -- with
+    hierarchical ORCB walls one x-hop can land a particle >1 brick from
+    its owner, which migrate_3d flags as overflow."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.brick import distribute_bricks
+
+    R, V = _gather_by_gid(psim)
+    L = psim._box_L
+    if psim.barostat is not None:
+        L = np.asarray(psim.Lv, dtype=np.float64)
+    arrays = dict(psim._host_arrays,
+                  r=R.astype(np.float32), v=V.astype(np.float32))
+    buf, mask, counts = distribute_bricks(arrays, L, psim.plan)
+    shard = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
+    psim.fields = {k: shard(v) for k, v in buf.items()}
+    psim.mask = shard(mask)
+    psim.f = None
+    psim.first_energy()
+    return counts
+
+
+ParallelSimulation.redistribute = parallel_redistribute
 
 
 def parallel_view(psim):
