@@ -75,7 +75,11 @@ def main(argv=None):
     elif args.master == "testPressure":
         from .testpressure import testpressure_master
 
-        testpressure_master(db, base_dir, dtype=dtype)
+        # the delta-halving sweep needs f64: at f32 the central difference
+        # hits roundoff after ~3 halvings and the slope check is meaningless
+        jax.config.update("jax_enable_x64", True)
+        testpressure_master(db, base_dir, dtype=jnp.float64,
+                            out_dir=args.run_dir)
     elif args.master == "analysis":
         from .masters import analysis_master
 
