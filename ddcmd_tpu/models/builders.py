@@ -48,8 +48,13 @@ def _lattice(n_target, L, jitter, seed):
 
 def lj_fluid(out_dir, *, n=4096, density=0.0208, T=120.0,
              eps_ev=0.0104, sigma_ang=3.4, mass=39.948, dt_fs=4.0,
-             cutoff_ang=8.5, seed=0, integrator="NGLF"):
-    """Lennard-Jones fluid (argon-like) at number density (1/Ang^3)."""
+             cutoff_ang=8.5, seed=0, integrator="NGLF", table=False):
+    """Lennard-Jones fluid (argon-like) at number density (1/Ang^3).
+
+    table=True writes the same LJ sampled into per-interval cubic Taylor
+    rows (table_function_uniform format, table_function.c:85-101) and a
+    function=TableFunction deck — the tabulated-PAIR fixture.
+    """
     L = (n / density) ** (1 / 3)
     r, rng = _lattice(n, L, 0.05 * L / n ** (1 / 3), seed)
     kB_ev = 8.617333e-5
@@ -59,12 +64,38 @@ def lj_fluid(out_dir, *, n=4096, density=0.0208, T=120.0,
     v *= 1e-2  # start cool; the thermostat warms it
     write_atoms(os.path.join(out_dir, "atoms#000000"), r, v,
                 ["Ar"] * n, ["free"] * n, np.diag([L] * 3))
+    if table:
+        def vfun(rr):
+            s6 = (sigma_ang / rr) ** 6
+            return 4 * eps_ev * (s6 ** 2 - s6)
+
+        def dv(rr):
+            s6 = (sigma_ang / rr) ** 6
+            return 24 * eps_ev * (s6 - 2 * s6 ** 2) / rr
+
+        x = np.linspace(0.8 * sigma_ang, cutoff_ang + 0.2, 512)
+        h = 1e-4
+        rows = []
+        for xi in x:
+            d2 = (dv(xi + h) - dv(xi - h)) / (2 * h)
+            d3 = (dv(xi + h) - 2 * dv(xi) + dv(xi - h)) / h ** 2
+            rows.append([xi, vfun(xi), dv(xi), d2 / 2, d3 / 6])
+        with open(os.path.join(out_dir, "table.data"), "w") as f:
+            for row in rows:
+                f.write(" ".join("%.12e" % z for z in row) + "\n")
+        pot = (f"pot POTENTIAL {{ type=PAIR; function=TableFunction;\n"
+               f"  number_intervals={len(x)}; number_terms=4;\n"
+               f"  filename=table.data; table_energyUnits=eV;\n"
+               f"  table_lengthUnits=Angstrom;\n"
+               f"  Rmax={cutoff_ang} Angstrom; }}")
+    else:
+        pot = (f"pot POTENTIAL {{ type=PAIR; cutoff={cutoff_ang} Angstrom;\n"
+               f"  eps={eps_ev} eV; sigma={sigma_ang} Angstrom; }}")
     deck = f"""
 simulate SIMULATE {{ type=MD; system=system; integrator=integ; dt={dt_fs};
   maxloop=100000; printrate=100; checkpointrate=10000; ddc=ddc; }}
 ddc DDC {{ updateRate=20; }}
-pot POTENTIAL {{ type=PAIR; cutoff={cutoff_ang} Angstrom;
-  eps={eps_ev} eV; sigma={sigma_ang} Angstrom; }}
+{pot}
 integ INTEGRATOR {{ type={integrator}; T={T}K; }}
 system SYSTEM {{ type=NORMAL; potential=pot; neighbor=nbr; groups=free;
   box=box; collection=collection; species=Ar; }}

@@ -49,7 +49,14 @@ class CellGrid:
     def plan(cls, box_lengths, rcut: float, skin: float, n_particles: int,
              n_pad: int, density_safety: float = 2.0,
              max_neighbors: int | None = None,
-             plan_margin: float = 1.0) -> "CellGrid":
+             plan_margin: float = 1.0, positions=None,
+             occupancy_factor: float = 1.0) -> "CellGrid":
+        """positions (optional): measure the REAL peak cell occupancy and
+        raise capacities above the mean-density heuristic — inhomogeneous
+        systems (a solvated peptide, a droplet, a bilayer in water) bust
+        the homogeneous estimate.  occupancy_factor scales the measured
+        peak (e.g. sharded ghost duplication when a brick's halo window
+        wraps around a small box)."""
         L = np.asarray(box_lengths, dtype=np.float64)
         rlist = rcut + skin
         ncells = tuple(max(1, int(math.floor(l / (rlist * plan_margin))))
@@ -62,6 +69,20 @@ class CellGrid:
         if max_neighbors is None:
             nsphere = density * 4.0 / 3.0 * math.pi * rlist ** 3 * 1.6
             max_neighbors = ((int(nsphere) + 127) // 128) * 128
+        if positions is not None and len(positions):
+            p = np.asarray(positions, dtype=np.float64)
+            nc = np.asarray(ncells)
+            c = np.floor((p / L + 0.5 - np.floor(p / L + 0.5)) * nc)
+            c = np.clip(c.astype(np.int64), 0, nc - 1)
+            lin = (c[:, 0] * nc[1] + c[:, 1]) * nc[2] + c[:, 2]
+            occ = int(np.bincount(lin, minlength=int(np.prod(nc))).max())
+            meas = int(occ * occupancy_factor * 1.5) + 8
+            cap = max(cap, ((meas + 7) // 8) * 8)
+            peak_density = occ / cell_vol
+            nsph = (peak_density * 4.0 / 3.0 * math.pi * rlist ** 3
+                    * 1.6 * occupancy_factor)
+            max_neighbors = max(max_neighbors,
+                                ((int(nsph) + 127) // 128) * 128)
         return cls(ncells=ncells, cell_capacity=cap,
                    max_neighbors=max_neighbors, rlist=rlist)
 

@@ -12,14 +12,17 @@ pair tiles in VMEM like the LJ kernel (ops/pallas_cellpair.py):
   middle (XLA):         rho = p-side + q-side; F(rho), dF(rho) per slot
       (tiny elementwise); dF is packed into the spare sublane row 6 of
       the slot records.
-  pass B (force kernel): same sweep; coef = de + (dF_i + dF_j) dp
-      (single-species symmetric combine, eam.c:166-190); p-side forces +
+  pass B (force kernel): same sweep; coef = de + dF_i dp + dF_j dpT
+      (asymmetric-alloy combine, eam.c:166-190); p-side forces +
       accumulated q-side reaction forces + virial.
 
-Scope: analytic forms (FS / SC / EXP / AT / RATIONAL) with ONE species
--- the form parameters bake into the kernel as compile-time scalars
-(TABULAR needs in-kernel gathers; multi-species needs per-pair tables;
-both stay on the XLA engine).
+Scope: analytic forms (FS / SC / EXP / AT / RATIONAL), 1-4 species.
+Form parameters bake into the kernel as compile-time scalars; alloys
+sweep the tile once per ordered type combo with arithmetic lane masks
+(_typed_pair_sums).  TABULAR decks stay on the XLA engine by default
+(per-lane interval gathers don't vectorize on the VPU); `eam
+tabularFit=rational` refits the tables to the RATIONAL form at load
+time and runs THESE kernels (potentials/eam.py:fit docs).
 """
 
 from __future__ import annotations
@@ -37,7 +40,12 @@ from .cellpair import CellBlockGrid
 
 
 def pallas_eam_supported(tables) -> bool:
-    return (int(tables.get("n_species", 0)) == 1
+    """Analytic forms, any (small) species count: multi-species runs the
+    pair forms once per ordered type combo with arithmetic lane masks
+    (T^2 tile sweeps -- cheap for the alloys the reference targets,
+    eam.c:39-44).  TABULAR stays on the XLA engine (per-lane interval
+    gathers don't vectorize on the VPU)."""
+    return (1 <= int(tables.get("n_species", 0)) <= 4
             and tables.get("form") in ("FS", "SC", "EXP", "AT", "RATIONAL"))
 
 
@@ -115,11 +123,45 @@ def _pair_tile(P, Qxyz, Q, rcut2, cap, W):
     return d2s, jax.lax.rsqrt(d2s), 1.0 / d2s, w
 
 
+def _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T, derivative):
+    """Per-pair evals with species-typed parameters.
+
+    T==1 bakes scalar params straight into the flops.  T>1 runs the
+    analytic form once per ordered type combo (a,b) and blends with
+    arithmetic lane masks (types live in slot sublane 4; exact in f32).
+    Returns (e_or_de, p_ab, p_ba): the pair term, the (t_p,t_q)-typed
+    density term (density ON the p side), and the transposed
+    (t_q,t_p)-typed one (density ON the q side) -- the asymmetric-alloy
+    combine of eam_cellblock_eval_half (ops/cellpair_eam.py:189-225)."""
+    if T == 1:
+        e, p = _pair_eval(form, pt, 0, d2s, ir, ir2, derivative)
+        return e, p, p
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    Pt_c = jax.lax.dot_general(P[4:5, :], ones11, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    Qt_r = Q[4:5, :]
+    e_t = jnp.zeros_like(d2s)
+    p_ab = jnp.zeros_like(d2s)
+    p_ba = jnp.zeros_like(d2s)
+    for a in range(T):
+        m_a = Pt_c == float(a)
+        mT_a = Qt_r == float(a)
+        for b in range(T):
+            e_c, p_c = _pair_eval(form, pt, a * T + b, d2s, ir, ir2,
+                                  derivative)
+            m_ab = jnp.logical_and(m_a, Qt_r == float(b))
+            m_ba = jnp.logical_and(Pt_c == float(b), mT_a)
+            e_t = e_t + jnp.where(m_ab, e_c, 0.0)
+            p_ab = p_ab + jnp.where(m_ab, p_c, 0.0)
+            p_ba = p_ba + jnp.where(m_ba, p_c, 0.0)
+    return e_t, p_ab, p_ba
+
+
 def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                 out_p_ref,      # (cap, 2) [rho_p, pe_p]
                 out_acc_ref,    # (ncell, 8, cap) rows [rho_q, pe_q, ...]
                 q_scratch, sem,
-                *, cap, n_stencil, form, pt):
+                *, cap, n_stencil, form, pt, T):
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
@@ -132,13 +174,14 @@ def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
     P, Q, Qxyz = _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem,
                            slots_ref, c, S, cap)
     d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
-    e1, p1 = _pair_eval(form, pt, 0, d2s, ir, ir2, False)
+    e1, p1, p1T = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T, False)
     e1 = e1 * w
     p1 = p1 * w
+    p1T = p1T * w
     out_p_ref[:] = jnp.concatenate(
         [jnp.sum(p1, axis=1, keepdims=True),
          0.5 * jnp.sum(e1, axis=1, keepdims=True)], axis=1)
-    rho_q = jnp.sum(p1, axis=0, keepdims=True)           # (1, W)
+    rho_q = jnp.sum(p1T, axis=0, keepdims=True)          # (1, W)
     pe_q = 0.5 * jnp.sum(e1, axis=0, keepdims=True)
     zero6 = jnp.zeros((6, W), jnp.float32)
     out8 = jnp.concatenate([rho_q, pe_q, zero6], axis=0)
@@ -152,7 +195,7 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                   out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ...]
                   out_cell_ref,  # (ncell, 8) virial6
                   q_scratch, sem,
-                  *, cap, n_stencil, form, pt):
+                  *, cap, n_stencil, form, pt, T):
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
@@ -165,13 +208,13 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
     P, Q, Qxyz = _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem,
                            slots_ref, c, S, cap)
     d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
-    de, dp = _pair_eval(form, pt, 0, d2s, ir, ir2, True)
+    de, dp, dpT = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T, True)
 
     ones11 = jnp.ones((1, 1), jnp.float32)
     dF_pc = jax.lax.dot_general(P[6:7, :], ones11, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (cap,1)
     dF_qr = Q[6:7, :]                                                # (1, W)
-    coef = (de + (dF_pc + dF_qr) * dp) * w
+    coef = (de + dF_pc * dp + dF_qr * dpT) * w
 
     Pxyz = P[0:3, :]
     I3 = jnp.eye(3, dtype=jnp.float32)
@@ -211,12 +254,13 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
 def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
     """grid from half_grid(); tables from eam_device_tables (T==1
     analytic form).  Returns (rho_fn, force_fn)."""
-    assert pallas_eam_supported(tables), "pallas EAM: analytic T==1 only"
+    assert pallas_eam_supported(tables), "pallas EAM: analytic forms only"
     cap = grid.cap
     assert cap % 128 == 0
     ncell = grid.ncell
     S = grid.n_stencil
     form = tables["form"]
+    T = int(tables["n_species"])
     pt = _np_tables(tables["pair"])
 
     common_in = [
@@ -231,7 +275,7 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
 
     rho_call = pl.pallas_call(
         functools.partial(_rho_kernel, cap=cap, n_stencil=S, form=form,
-                          pt=pt),
+                          pt=pt, T=T),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncell,),
             in_specs=common_in,
@@ -250,7 +294,7 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
 
     force_call = pl.pallas_call(
         functools.partial(_force_kernel, cap=cap, n_stencil=S, form=form,
-                          pt=pt),
+                          pt=pt, T=T),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncell,),
             in_specs=common_in,
@@ -302,8 +346,8 @@ def pallas_eam_eval(r, sidx, fmask, perm, box_lengths, grid: CellBlockGrid,
     pe_pair = out_p[:, 1] + acc_a[:, 1, :].reshape(-1)
 
     valid = (slots[:, 5, :].reshape(-1) > 0)
-    zeros_t = jnp.zeros_like(rho, dtype=jnp.int32)
-    F_emb, dF = _embedding(tables["form"], tables["embed"], zeros_t, rho)
+    tidx_slot = slots[:, 4, :].reshape(-1).astype(jnp.int32)
+    F_emb, dF = _embedding(tables["form"], tables["embed"], tidx_slot, rho)
     wv = valid.astype(dt)
     F_emb = F_emb * wv
     dF = dF * wv

@@ -134,3 +134,19 @@ def resolve_constraints(cons_gids, pool_gid64, pool_mask, local_cap):
              & local[:, 0])
     atoms = jnp.where(local, rows, n_pool).astype(jnp.int32)
     return atoms, owned.astype(jnp.float32)
+
+
+def molecule_gid_tables(mol, gid):
+    """Gid-keyed molecule membership for the sharded molecular virial
+    (molecularPressure.c:22-67 rank-parallel analog).
+
+    Returns dict(mol_gids (M,A) int64 [pad -> -1]) or None for trivial
+    (single-atom) molecule classes, which need no correction.
+    """
+    if mol is None or mol.is_trivial:
+        return None
+    gid = np.asarray(gid, dtype=np.int64)
+    rows = np.asarray(mol.atom_rows)
+    mg = np.where(np.asarray(mol.atom_mask) > 0,
+                  gid[np.clip(rows, 0, len(gid) - 1)], -1)
+    return dict(mol_gids=jnp.asarray(mg))

@@ -28,7 +28,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                     n_global: int, bonded_tables=None,
                     field_keys=FIELD_KEYS, chunk_steps: int | None = None,
                     constraint_tables=None, barostat=None,
-                    force_kind: str = "martini"):
+                    mol_tables=None, force_kind: str = "martini"):
     """barostat: None (fixed box) or dict(P0, beta, tau, T, isotropic,
     n_molecules) -- the NGLFCONSTRAINT Berendsen-style volume change
     (changeVolume, /root/reference/src/nglfconstraint.c:64-85) applied at
@@ -36,9 +36,12 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
     virial.  With a barostat the chunk signature grows to
     chunk(fields, mask, f, vir_diag, Lv, key) ->
     (fields, mask, f, vir_diag, Lv, scalars (k,7), overflow); the carried
-    Lv is the live box.  The pressure uses the ATOMIC virial -- identical
-    to the reference's molecular pressure for single-bead molecules (the
-    waterbox); multi-bead molecular pressure stays single-chip."""
+    Lv is the live box.  With mol_tables (multi-bead molecules) the
+    barostat-facing diag in scalars[3:6] is the MOLECULAR virial
+    (molecularPressure.c:22-67): each molecule is wholly local on its
+    owner (molecule-coherent migration), so the intra-molecular force
+    moment is computed locally per owned molecule and psum'd; without it
+    the atomic virial is used (identical for single-bead molecules)."""
     Lv_host = np.asarray(box_lengths, dtype=np.float64)
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
@@ -150,8 +153,33 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
                           >= jnp.asarray(grid.rlist, Lv.dtype))
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov | ~cell_ok
 
-    local_forces = (local_forces_eam if force_kind == "eam"
-                    else local_forces_martini)
+    def local_forces_pairtab(fields, mask, Lv):
+        """Tabulated PAIR (function=TableFunction): the piecewise
+        polynomial is evaluated per neighbor via pair_lj; halo/energy
+        accounting is identical to the martini path (local rows only,
+        0.5-per-pair so local-ghost pairs psum to 1 across owners)."""
+        from ..potentials.pair import pair_lj
+
+        ghosts, gmask, ov = halo_exchange_3d(
+            {k: fields[k] for k in ("r", "species")}, mask, Lv, plan)
+        r_ext = jnp.concatenate([fields["r"], ghosts["r"]], axis=0)
+        s_ext = jnp.concatenate([fields["species"], ghosts["species"]],
+                                axis=0)
+        bin_mask = jnp.concatenate([mask, gmask]).astype(r_ext.dtype)
+        row_mask = (jnp.concatenate([mask, jnp.zeros_like(gmask)])
+                    .astype(r_ext.dtype))
+        nbr_idx, _, nbr_ov = build_neighbor_list(
+            r_ext, bin_mask, Lv, grid, row_mask=row_mask)
+        f, e_pot, virial, pe = pair_lj(r_ext, s_ext, row_mask, nbr_idx,
+                                       Lv, tables)
+        n_loc = fields["r"].shape[0]
+        cell_ok = jnp.all(Lv / jnp.asarray(ncells_v, Lv.dtype)
+                          >= jnp.asarray(grid.rlist, Lv.dtype))
+        return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov | ~cell_ok
+
+    local_forces = {"eam": local_forces_eam,
+                    "pairtab": local_forces_pairtab}.get(
+                        force_kind, local_forces_martini)
 
     if constraint_tables is not None:
         from ..integrators.constraints import make_constraint_project
@@ -180,6 +208,33 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         v_buf = jnp.concatenate([v, jnp.zeros((1, 3), dtc)])
         v_buf = v_buf.at[atoms.reshape(-1)].set(v_new.reshape(-1, 3))
         return v_buf[:n_loc]
+
+    if mol_tables is not None:
+        mol_gids = jnp.asarray(mol_tables["mol_gids"])
+
+    def _mol_corr(fields, mask, f, Lv):
+        """Diagonal molecular-virial correction, summed over molecules
+        owned by this device: corr_a = sum_mol sum_i d_ia f_ia with d the
+        min-imaged offset from the molecule's COM.  Exactly-once across
+        the mesh (a molecule resolves fully-local only on its owner)."""
+        dt_ = f.dtype
+        n_loc = f.shape[0]
+        g64 = pack_gid(fields["gid"])
+        atoms, gw = resolve_constraints(mol_gids, g64, mask, n_loc)
+        r_ext = jnp.concatenate([fields["r"].astype(dt_),
+                                 jnp.zeros((1, 3), dt_)])
+        f_ext = jnp.concatenate([f, jnp.zeros((1, 3), dt_)])
+        m_ext = jnp.concatenate([fields["mass"].astype(dt_),
+                                 jnp.zeros((1,), dt_)])
+        rm, fm, mm = r_ext[atoms], f_ext[atoms], m_ext[atoms]
+        am = (atoms < n_loc).astype(dt_)
+        mm = mm * am
+        M = jnp.maximum(mm.sum(1, keepdims=True), 1e-30)
+        d = rm - rm[:, :1]
+        d = d - Lv * jnp.round(d / Lv)                   # nearestImage
+        com = (mm[:, :, None] * d).sum(1, keepdims=True) / M[:, :, None]
+        d = (d - com) * am[:, :, None]
+        return jnp.einsum("m,mia,mia->a", gw.astype(dt_), d, fm)
 
     def _step(fields, mask, f_prev, key, Lv):
         for ax in full_axes:
@@ -211,9 +266,12 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         rk = jax.lax.psum(rk, full_axes)
         virial = jax.lax.psum(virial, full_axes)
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), full_axes)
+        vd = jnp.stack([virial[0, 0], virial[1, 1], virial[2, 2]])
+        if mol_tables is not None:
+            vd = vd - jax.lax.psum(_mol_corr(fields, mask, f, Lv),
+                                   full_axes)
         scalars = jnp.stack([e_pot, rk, jnp.trace(virial),
-                             virial[0, 0], virial[1, 1], virial[2, 2],
-                             jnp.prod(Lv)])
+                             vd[0], vd[1], vd[2], jnp.prod(Lv)])
         return fields, f, scalars, overflow
 
     def step(fields, mask, f_prev, key):
@@ -226,6 +284,10 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         f, e_pot, virial, pe, overflow = local_forces(fields, mask, Lv)
         e_pot = jax.lax.psum(e_pot, full_axes)
         virial = jax.lax.psum(virial, full_axes)
+        if mol_tables is not None:
+            # seed the barostat with the molecular virial diag too
+            corr = jax.lax.psum(_mol_corr(fields, mask, f, Lv), full_axes)
+            virial = virial - jnp.diag(corr)
         return f, e_pot, virial, jax.lax.pmax(overflow.astype(jnp.int32), full_axes)
 
     def _migrate(fields, mask, f, Lv):

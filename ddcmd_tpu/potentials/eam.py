@@ -172,8 +172,22 @@ def compile_eam(db: ObjectDB, name: str, species, base_dir: str = ".") -> EamPar
                 os.path.join(base_dir, pot.get_str(f"{si.name}_embed"))))
         if rmax <= 0:
             rmax = rmax_seen
-        return EamParms(form, ns, rmax,
-                        dict(tabs=pair_tabs), dict(tabs=embed_tabs))
+        tab = EamParms(form, ns, rmax,
+                       dict(tabs=pair_tabs), dict(tabs=embed_tabs))
+        if pot.get_str("tabularFit", "").lower() == "rational":
+            # TPU-native opt-in: the VPU has no per-lane gather, so
+            # tabular decks either run on the XLA engine (linear-interp
+            # lookups) or refit to the rational-in-r^2 RATIONAL form the
+            # pallas kernels evaluate with pure flops.  Fit residual is
+            # checked against tabularFitTol (default 1e-3 relative).
+            tol = float(pot.get_str("tabularFitTol", "1e-3"))
+            fitted, err = fit_tabular_rational(tab)
+            if err > tol:
+                raise DeckError(
+                    f"{name}: tabularFit=rational residual {err:.2e} "
+                    f"exceeds tabularFitTol={tol:.2e}")
+            return fitted
+        return tab
 
     if form == "RATIONAL":
         # FIT objects: <sp>_embedding, <i>_<j>_density (or <sp>_density for
@@ -269,6 +283,140 @@ def compile_eam(db: ObjectDB, name: str, species, base_dir: str = ".") -> EamPar
     raise DeckError(f"EAM form {form} not implemented")
 
 
+def _fit_rational_1d(x, y, n_p=12, n_q=8, n_iter=12):
+    """Least-squares rational fit y(x) ~ P(x)/Q(x) by Sanathanan-Koerner
+    iteration (linearize y*Q - P = 0, reweight by 1/Q_prev) on a
+    Chebyshev basis over the sample range (monomial Vandermondes above
+    degree ~8 are too ill-conditioned for lstsq).  Candidate (deg_p,
+    deg_q) pairs are tried and any fit whose Q has a zero in range is
+    rejected; coefficients convert back to the monomial form
+    _rational_eval expects.  Returns (p, q, max_abs_err / max|y|, x_mid):
+    the coefficients are monomials of (x - x_mid)."""
+    import numpy.polynomial.chebyshev as Ch
+    from numpy.polynomial import Polynomial
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    scale = max(np.abs(y).max(), 1e-300)
+    # fit in the range-CENTERED variable u = x - xm: converting Chebyshev
+    # to monomials of raw x explodes the coefficients (the kernels run
+    # the Horner in f32), while centered monomials keep term growth
+    # ~2^deg * |c_deg| -- benign cancellation
+    xm = 0.5 * (float(x.min()) + float(x.max()))
+    h = max(0.5 * (float(x.max()) - float(x.min())), 1e-300)
+    t = (x - xm) / h                             # [-1, 1]
+
+    def cheb_cols(deg):
+        return Ch.chebvander(t, deg)
+
+    def to_mono(coef):
+        series = Ch.Chebyshev(coef)             # domain = [-1, 1] = t
+        return series.convert(kind=Polynomial).coef
+
+    def attempt(np_, nq_):
+        Vp = cheb_cols(np_)
+        Vq = cheb_cols(nq_)[:, 1:] if nq_ else np.zeros((len(t), 0))
+        w = np.ones_like(y)
+        best_pq = None
+        for _ in range(n_iter):
+            A = np.concatenate([Vp * w[:, None], -(y * w)[:, None] * Vq],
+                               axis=1)
+            sol, *_ = np.linalg.lstsq(A, y * w, rcond=None)
+            p, q = sol[: np_ + 1], sol[np_ + 1:]
+            Qx = 1.0 + Vq @ q
+            if np.any(Qx <= 1e-6):               # pole (or near) in range
+                break
+            err = np.abs((Vp @ p) / Qx - y).max() / scale
+            if best_pq is None or err < best_pq[2]:
+                best_pq = (p, q, err)
+            w = 1.0 / np.abs(Qx)
+        if best_pq is None:
+            return None
+        p, q, err = best_pq
+        pk = to_mono(p)
+        qk = to_mono(np.concatenate([[1.0], q])) if len(q) else np.array([1.0])
+        return pk, qk, err
+
+    best = None
+    for np_, nq_ in ((n_p, n_q), (n_p, n_q // 2), (n_p + 4, 0), (n_p, 0),
+                     (n_p + 8, 0)):
+        got = attempt(np_, nq_)
+        if got is not None and (best is None or got[2] < best[2]):
+            best = got
+            if got[2] < 1e-8:
+                break
+    if best is None:                             # unreachable: nq=0 is Q=1
+        raise RuntimeError("rational fit failed")
+    return best + (xm, 1.0 / h)
+
+
+def fit_tabular_rational(parms: EamParms, n_p=10, n_q=6):
+    """TABULAR -> RATIONAL refit (opt-in, deck `tabularFit=rational`).
+
+    The reference GPU path gathers tabular phi/rho/F from texture-like
+    tables per pair (eam_tabular.c, pairProcessGPU.cu); the TPU VPU has
+    no per-lane gather, so the TPU-native equivalent is to refit each
+    table to the RATIONAL form (rationals of r^2 for phi/rho, of rho for
+    F) and run the analytic pallas kernels.  Returns (EamParms RATIONAL,
+    max relative residual over all fitted tables)."""
+    assert parms.form == "TABULAR"
+    ns = parms.n_species
+    worst = 0.0
+    rhoP = {}
+    phiP = {}
+    for (i, j), tf in parms.pair_tables["tabs"].items():
+        if (j, i) in phiP:                       # (i,j)/(j,i) share the tf
+            phiP[(i, j)] = phiP[(j, i)]
+            rhoP[(i, j)] = rhoP[(j, i)]
+            continue
+        r = tf.x0 + tf.dx * np.arange(tf.values.shape[1])
+        keep = r > 1e-6
+        r2 = r[keep] ** 2
+        pphi, qphi, e1, x1, s1 = _fit_rational_1d(r2, tf.values[0][keep],
+                                                  n_p, n_q)
+        prho, qrho, e2, x2, s2 = _fit_rational_1d(r2, tf.values[1][keep],
+                                                  n_p, n_q)
+        worst = max(worst, e1, e2)
+        phiP[(i, j)] = (tf.x_max ** 2, pphi, qphi, x1, s1)
+        rhoP[(i, j)] = (tf.x_max ** 2, prho, qrho, x2, s2)
+    embeds = []
+    for tf in parms.embed_tables["tabs"]:
+        rho = tf.x0 + tf.dx * np.arange(tf.values.shape[1])
+        pe, qe, e3, x3, s3 = _fit_rational_1d(rho, tf.values[0], n_p, n_q)
+        worst = max(worst, e3)
+        # keep F live past the sampled range (TABULAR clips; zeroing
+        # would kill dF and kick forces discontinuously if rho drifts)
+        embeds.append((np.inf, pe, qe, x3, s3))
+
+    def stack(fits, count):
+        dmax = max(max(len(f[1]), len(f[2])) for f in fits.values()) \
+            if isinstance(fits, dict) else \
+            max(max(len(f[1]), len(f[2])) for f in fits)
+        P = np.zeros((count, dmax))
+        Q = np.zeros((count, dmax))
+        cut = np.zeros(count)
+        x0 = np.zeros(count)
+        sc = np.ones(count)
+        items = fits.items() if isinstance(fits, dict) else enumerate(fits)
+        for k, (c, p, q, xm, ih) in items:
+            idx = k[0] * ns + k[1] if isinstance(k, tuple) else k
+            P[idx, : len(p)] = p
+            Q[idx, : len(q)] = q
+            cut[idx] = c
+            x0[idx] = xm
+            sc[idx] = ih
+        return P, Q, cut, x0, sc
+
+    rP, rQ, rc, rx, rs = stack(rhoP, ns * ns)
+    pP, pQ, pc, px, ps = stack(phiP, ns * ns)
+    eP, eQ, ec, ex, es = stack(embeds, ns)
+    fitted = EamParms("RATIONAL", ns, parms.rcut,
+                      dict(rhoP=rP, rhoQ=rQ, rho_cut=rc, rhoX0=rx, rhoS=rs,
+                           phiP=pP, phiQ=pQ, phi_cut=pc, phiX0=px, phiS=ps),
+                      dict(P=eP, Q=eQ, cut=ec, X0=ex, S=es))
+    return fitted, worst
+
+
 def _rational_eval(P, Q, x, derivative: bool):
     """P(x)/Q(x) with gathered coefficient rows P,Q of shape (..., D).
 
@@ -301,10 +449,23 @@ def _pair_eval(form: str, pt: dict, pair_idx, r2, ir, ir2, derivative: bool):
         # (rational_pass0, eam_rational.c:339-381); (d/dr)/r = 2 d/d(r2)
         ok_p = r2 < pt["rho_cut"][pair_idx]
         ok_e = r2 < pt["phi_cut"][pair_idx]
+        # tabularFit coefficients are monomials of t = (r2 - X0) * S
+        # (f32-safe normalized variable); plain FIT decks carry no
+        # shift/scale keys (X0=0, S=1); chain rule: d/d(r2) = S d/dt
+        if "phiX0" in pt:
+            s_e = pt["phiS"][pair_idx]
+            s_p = pt["rhoS"][pair_idx]
+            u_e = (r2 - pt["phiX0"][pair_idx]) * s_e
+            u_p = (r2 - pt["rhoX0"][pair_idx]) * s_p
+        else:
+            s_e = s_p = 1.0
+            u_e = u_p = r2
         e, de2 = _rational_eval(pt["phiP"][pair_idx], pt["phiQ"][pair_idx],
-                                r2, True)
+                                u_e, True)
+        de2 = de2 * s_e
         p, dp2 = _rational_eval(pt["rhoP"][pair_idx], pt["rhoQ"][pair_idx],
-                                r2, True)
+                                u_p, True)
+        dp2 = dp2 * s_p
         if not derivative:
             return jnp.where(ok_e, e, 0.0), jnp.where(ok_p, p, 0.0)
         return (jnp.where(ok_e, 2.0 * de2, 0.0),
@@ -365,7 +526,14 @@ def _embedding(form: str, et: dict, tidx, rho):
         # F(rho) = P(rho)/Q(rho) for rho < cutoff else 0
         # (rational_embedding, eam_rational.c:320-337)
         ok = rho < et["cut"][tidx]
-        v, dv = _rational_eval(et["P"][tidx], et["Q"][tidx], rho, True)
+        if "X0" in et:
+            sc = et["S"][tidx]
+            u = (rho - et["X0"][tidx]) * sc
+        else:
+            sc = 1.0
+            u = rho
+        v, dv = _rational_eval(et["P"][tidx], et["Q"][tidx], u, True)
+        dv = dv * sc
         return jnp.where(ok, v, 0.0), jnp.where(ok, dv, 0.0)
     if form == "TABULAR":
         v = _tab_lookup(et, tidx, rho, 0, False)

@@ -70,15 +70,18 @@ class ParallelSimulation:
             from ..potentials.pair import pair_device_tables
 
             pp = next(p for p in sd.potentials if p[0] == "PAIR")
-            if pp[2].table is not None:
-                raise NotImplementedError(
-                    "tabulated PAIR is single-chip only for now")
             parms = None
-            z = jnp.zeros((), dtype)
-            self.tables = dict(pair_device_tables(pp[2], dtype=dtype),
-                               krf=z, crf=z, keR=z)
             tmap = np.arange(len(sd.species), dtype=np.int32)
-            self.force_kind = "martini"
+            if pp[2].table is not None:
+                # piecewise-polynomial TableFunction rides its own
+                # brickstep force path (pair_lj table branch)
+                self.tables = pair_device_tables(pp[2], dtype=dtype)
+                self.force_kind = "pairtab"
+            else:
+                z = jnp.zeros((), dtype)
+                self.tables = dict(pair_device_tables(pp[2], dtype=dtype),
+                                   krf=z, crf=z, keR=z)
+                self.force_kind = "martini"
         else:
             raise NotImplementedError(
                 "ParallelSimulation shards MARTINI/CHARMM, EAM and PAIR "
@@ -136,8 +139,18 @@ class ParallelSimulation:
             halo_cap=_cap(max(3 * n // n_dev // 2, halo_est)),
             migrate_cap=_cap(max(256, n // (4 * n_dev))),
             rlist=rlist, walls=walls)
+        # measured-occupancy planning: the mean-density heuristic
+        # underestimates clustered decks, and when a brick's halo window
+        # wraps a small box the same atom appears as multiple ghost
+        # images (duplication factor = extended-span / box per axis)
+        spans = [min(1.0, rlist / (L[a] / self.shape[a])) for a in range(3)]
+        dup = float(np.prod([
+            max(1.0, (L[a] / self.shape[a]) * (1 + 2 * spans[a]) / L[a])
+            for a in range(3)]))
         self.grid = CellGrid.plan(L, sd.rcut_max, sd.neighbor_deltaR, n,
-                                  self.plan.local_cap + self.plan.ghost_cap)
+                                  self.plan.local_cap + self.plan.ghost_cap,
+                                  positions=np.asarray(sd.state.r[:n]),
+                                  occupancy_factor=dup)
         self.mesh = make_brick_mesh(self.shape)
         self.coeffs = sd.group_table.coefficients(sd.cfg.time, 0.5 * sd.cfg.dt,
                                                   dtype=dtype)
@@ -178,6 +191,7 @@ class ParallelSimulation:
         # pressure for single-bead molecules (waterbox); warn otherwise
         ip = sd.integrator_parms
         barostat = None
+        mol_tab = None
         if (sd.integrator_type in ("NGLFCONSTRAINT", "NGLFCONSTRAINTGPU",
                                    "NGLFCONSTRAINTGPULANGEVIN", "NGLFGPU",
                                    "NGLFGPULANGEVIN", "NGLFNEW")
@@ -189,11 +203,11 @@ class ParallelSimulation:
                                         sd.collection.gid)
             n_mol = mols.n_molecules if mols else n
             if mols and n_mol < n:
-                import warnings
+                # multi-bead molecules: the barostat runs on the sharded
+                # MOLECULAR virial (gid-resolved per owner, psum'd)
+                from ..parallel.bonded_shard import molecule_gid_tables
 
-                warnings.warn(
-                    "sharded barostat uses the atomic virial; molecular "
-                    "pressure for multi-bead molecules is single-chip only")
+                mol_tab = molecule_gid_tables(mols, gid64)
             barostat = dict(P0=ip["P0"], beta=ip["beta"],
                             tau=ip["tauBarostat"], T=ip["T"],
                             isotropic=ip["isotropic"], n_molecules=n_mol)
@@ -209,7 +223,7 @@ class ParallelSimulation:
                                       "group", "gid"),
             chunk_steps=max(1, int(sd.cfg.ddc_update_rate)),
             constraint_tables=cons_tab, barostat=barostat,
-            force_kind=self.force_kind)
+            mol_tables=mol_tab, force_kind=self.force_kind)
 
         arrays = dict(
             r=np.asarray(sd.state.r[:n], dtype=np.float32),
@@ -234,7 +248,7 @@ class ParallelSimulation:
                                       "group", "gid"),
             chunk_steps=self.chunk_steps,
             constraint_tables=cons_tab, barostat=barostat,
-            force_kind=self.force_kind)
+            mol_tables=mol_tab, force_kind=self.force_kind)
         buf, mask, counts = distribute_bricks(arrays, L, self.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, P(("bx", "by", "bz"))))

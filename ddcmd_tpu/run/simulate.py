@@ -58,9 +58,10 @@ class Simulation:
             engine = "nlist"  # cell-block variants pending
         if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
             ep = next(p[2] for p in sd.potentials if p[0] == "EAM")
-            if not (ep.n_species == 1 and ep.form in (
+            if not (1 <= ep.n_species <= 4 and ep.form in (
                     "FS", "SC", "EXP", "AT", "RATIONAL")):
-                # tabulated / multi-species EAM stays on the XLA engine
+                # tabulated EAM stays on the XLA engine (per-lane
+                # interval gathers don't vectorize on the VPU)
                 engine = "cellblock"
         if not sd.box.ortho:
             # triclinic boxes run on the XLA cell-block engine: it bins in

@@ -398,6 +398,29 @@ def test_brick_pair_deck():
     assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
 
 
+def test_brick_pair_table_deck():
+    """Tabulated PAIR (function=TableFunction) shards via the pairtab
+    brickstep path; energy matches the single-device nlist run."""
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+    from ddcmd_tpu.run.simulate import Simulation
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    lj_fluid(d, n=1500, table=True)
+    db, base = load(d)
+    psim = ParallelSimulation(db, base, shape=(2, 2, 2))
+    assert psim.force_kind == "pairtab"
+    e_par = psim.first_energy()
+
+    db2, _ = load(d)
+    sim = Simulation(db2, base, run_dir=d, engine="nlist")
+    sim.first_energy()
+    assert e_par == pytest.approx(float(sim.ss.energy.eion), rel=1e-5)
+    psim.run(psim.chunk_steps, print_fn=lambda s: None)
+    assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
+
+
 def test_parallel_analyses_on_gathered_state(tmp_path):
     """Deck analyses evaluate on the gathered multi-chip state and
     match the single-device result (pair correlation on an LJ fluid)."""
@@ -434,3 +457,75 @@ def test_parallel_analyses_on_gathered_state(tmp_path):
     av.eval(psim.view())
     h_par = np.asarray(av.state["hist"], dtype=np.float64)
     np.testing.assert_allclose(h_par, h_single, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_molecular_pressure_bilayer(tmp_path):
+    """Multi-bead NPT over the mesh: (a) the sharded barostat virial diag
+    equals the single-chip MOLECULAR virial (molecularPressure.c:22-67
+    rank-parallel analog); (b) a deterministic (FREE-group) sharded NPT
+    run tracks the single-chip box-volume trajectory over 100+ steps."""
+    import jax.numpy as jnp
+    from ddcmd_tpu.core.molecule import (build_molecule_class,
+                                         make_molecular_virial_fn)
+    from ddcmd_tpu.core.system import build_system, plan_grid
+    from ddcmd_tpu.models import load, martini_bilayer
+    from ddcmd_tpu.nbr.celllist import build_neighbor_list
+    from ddcmd_tpu.run.forces import build_force_fn
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+    from ddcmd_tpu.run.simulate import Simulation
+
+    d = str(tmp_path)
+    martini_bilayer(d, nx=4, ny=4, water_nm=1.2)
+    # deterministic dynamics (NVE + barostat, no Langevin noise) so the
+    # sharded trajectory is bitwise-comparable to single-chip modulo
+    # reduction order
+    deck = (tmp_path / "object.data").read_text()
+    assert "type=LANGEVIN" in deck
+    deck = deck.replace("free GROUP { type=LANGEVIN; Teq=323.0K; tau=1.0ps; }",
+                        "free GROUP { type=FREE; }")
+    (tmp_path / "object.data").write_text(deck)
+
+    # --- (a) t=0 molecular virial diag parity --------------------------
+    db, base = load(d)
+    psim = ParallelSimulation(db, base, shape=(2, 2, 1))
+    psim.first_energy()
+    vird_par = np.asarray(psim.vird, dtype=np.float64)
+
+    db2, _ = load(d)
+    sd = build_system(db2, base, dtype=jnp.float32)
+    grid = plan_grid(sd)
+    force_fn = build_force_fn(sd, dtype=jnp.float32, engine="nlist")
+    nbr, _, ov = build_neighbor_list(sd.state.r, sd.state.fmask,
+                                     sd.box.lengths, grid)
+    assert not bool(ov)
+    f, e, virial, _ = force_fn(sd.state, sd.box, nbr)
+    sysobj = db2.get(sd.cfg.system_name, "SYSTEM")
+    mols = build_molecule_class(db2, sysobj, sd.collection.species_names,
+                                sd.collection.gid)
+    mol_fn = make_molecular_virial_fn(mols, dtype=jnp.float32)
+    assert mol_fn is not None                  # lipids are multi-bead
+    mvir = np.asarray(mol_fn(sd.state.replace(f=f), sd.box, virial),
+                      dtype=np.float64)
+    avir = np.asarray(virial, dtype=np.float64)
+    # the molecular correction is large for 12-bead lipids: the test is
+    # vacuous unless it moves the diag
+    assert np.abs(np.diag(mvir) - np.diag(avir)).max() > \
+        1e-3 * np.abs(np.diag(avir)).max()
+    np.testing.assert_allclose(vird_par, np.diag(mvir), rtol=2e-3,
+                               atol=2e-2 * np.abs(np.diag(mvir)).max())
+
+    # --- (b) 100+ step NPT box-trajectory parity -----------------------
+    sim = Simulation(db2, base, run_dir=d, engine="nlist")
+    n_steps = 9 * psim.chunk_steps             # 108 steps
+    psim.run(n_steps, print_fn=lambda s: None)
+    sim.run(n_steps, print_fn=lambda s: None)
+    v_par = float(jnp.prod(psim.Lv))
+    v_single = float(sim.ss.box.volume)
+    assert np.isfinite(v_par) and v_par > 0
+    # both barostats compress/expand together; f32 reduction-order noise
+    # compounds through the trajectory, so compare the volume CHANGE
+    dv_par = v_par / float(np.prod(np.asarray(psim._box_L))) - 1.0
+    dv_single = v_single / float(sd.box.volume) - 1.0
+    assert dv_single != 0.0
+    assert dv_par == pytest.approx(dv_single, rel=0.15, abs=2e-4)

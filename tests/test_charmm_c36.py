@@ -293,3 +293,33 @@ def test_c36_nve_100_steps(tmp_path):
     assert np.isfinite(e1)
     # conservation: drift well under thermal scale (kT ~ 2.5 kJ/mol)
     assert abs(e1 - e0) < 0.5
+
+
+@pytest.mark.slow
+def test_c36_multichip(tmp_path):
+    """The c36 tripeptide deck sharded over a 2x2x1 CPU mesh: first
+    energy matches single-chip (RF self-energy constant excepted), and
+    NVE chunks with cross-brick bonded terms + CMAP stay finite.  The
+    peptide is centered at the origin, so its covalent topology straddles
+    all four bricks."""
+    from ddcmd_tpu.objects import units as U
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    # L=30 so brick width (15 A) > rlist (cutoff 9 + deltaR 2)
+    make_solvated_fixture(tmp_path, L=30.0, nve=True, dt_fs=0.25)
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    psim = ParallelSimulation(db, str(tmp_path), shape=(2, 2, 1))
+    e_par = psim.first_energy()
+
+    db2 = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db2, str(tmp_path), run_dir=str(tmp_path),
+                     engine="nlist")
+    sim.first_energy()
+    mp = next(p[2] for p in sim.sysdef.potentials if p[0] == "MARTINI")
+    q = np.asarray(sim.sysdef.state.q[: sim.sysdef.state.n_local])
+    e_self = -0.5 * float((q ** 2).sum()) * U.ke / mp.epsilon_r * mp.crf
+    assert e_par + e_self == pytest.approx(float(sim.ss.energy.eion),
+                                           rel=2e-4, abs=0.5)
+    psim.run(2 * psim.chunk_steps, print_fn=lambda s: None)
+    assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
+    assert int(np.asarray(psim.mask).sum()) == sim.sysdef.state.n_local

@@ -518,3 +518,64 @@ def test_eam_multispecies_asymmetric_density_fd():
             em = float(engines["nlist"](rj.at[i, ax].add(-h))[1])
             fd = -(ep - em) / (2 * h)
             assert f[i, ax] == pytest.approx(fd, rel=2e-5, abs=1e-7)
+
+
+def test_eam_tabular_fit_rational():
+    """deck `tabularFit=rational`: TABULAR tables refit to the RATIONAL
+    form (the TPU-native path -- no per-lane gather on the VPU, so the
+    pallas kernels want pure flops).  The fitted form must track the
+    underlying smooth FS functions the tables sampled, and route to the
+    pallas engine."""
+    import os
+    import tempfile
+
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.ops.pallas_eam import pallas_eam_supported
+    from ddcmd_tpu.potentials.eam import compile_eam
+
+    rcut = 0.55
+    fs = make_fs_parms(rcut)
+    a, b, c = (fs.pair_tables[k][0, 0] for k in ("a", "b", "c"))
+    m, nn, ro, x = (fs.pair_tables[k][0, 0] for k in ("m", "n", "ro", "x"))
+    r = np.linspace(0.15, rcut - 1e-4, 4000)
+    phi = a * np.exp(c / (r - x) - m * np.log(r / ro))
+    rho = b * np.exp(c / (r - x) - nn * np.log(r / ro))
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "pair.dat"), "w") as f:
+        for i in range(len(r)):
+            f.write(f"{r[i]} {phi[i]} {rho[i]}\n")
+    p = np.linspace(1e-6, max(1.0, rho.max() * 30), 8000)
+    with open(os.path.join(d, "embed.dat"), "w") as f:
+        for i in range(len(p)):
+            f.write(f"{p[i]} {-np.sqrt(p[i])}\n")
+
+    db = ObjectDB().compile_string(
+        f"pot POTENTIAL {{ type=EAM; form=TABULAR; rmax={rcut} nm; "
+        f"tabularFit=rational; tabularFitTol=5e-3; "
+        f"Cu-Cu_pair=pair.dat; Cu_embed=embed.dat; }}")
+
+    class Sp:
+        name = "Cu"
+
+    parms = compile_eam(db, "pot", [Sp()], d)
+    assert parms.form == "RATIONAL"
+    fit_tables = eam_device_tables(parms, dtype=jnp.float64)
+    assert pallas_eam_supported(fit_tables)
+    fs_tables = eam_device_tables(fs, dtype=jnp.float64)
+
+    rr, L = fcc(0.3615, 3)
+    n = len(rr)
+    rng = np.random.default_rng(3)
+    rr = rr + rng.standard_normal(rr.shape) * 0.004
+    grid = CellGrid.plan([L] * 3, rcut, 0.1, n, n)
+    Lv = jnp.asarray([L] * 3, jnp.float64)
+    rj = jnp.asarray(rr, jnp.float64)
+    sidx = jnp.zeros(n, jnp.int32)
+    fmask = jnp.ones(n, jnp.float64)
+    nbr, _, _ = build_neighbor_list(rj, fmask, Lv, grid)
+
+    f1, e1, _, _ = eam_eval(rj, sidx, fmask, nbr, Lv, fs_tables)
+    f2, e2, _, _ = eam_eval(rj, sidx, fmask, nbr, Lv, fit_tables)
+    assert float(e2) == pytest.approx(float(e1), rel=5e-3)
+    scale = float(jnp.abs(f1).max())
+    assert float(jnp.abs(f2 - f1).max()) / scale < 2e-2

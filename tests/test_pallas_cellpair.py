@@ -261,3 +261,58 @@ def test_pallas_eam_matches_xla(tmp_path, monkeypatch):
     assert e_p == pytest.approx(float(sim_c.ss.energy.eion), rel=2e-5)
     sim_p.run(10, print_fn=lambda s: None)
     assert np.isfinite(float(sim_p.ss.energy.eion))
+
+
+def test_pallas_eam_alloy_matches_xla():
+    """Multi-species (T=2, asymmetric FS density) pallas EAM == XLA half
+    engine: the typed-combo lane-mask sweep must reproduce the
+    asymmetric-alloy combine (coef = de + dF_i dp + dF_j dpT)."""
+    from ddcmd_tpu.objects import units as U
+    from ddcmd_tpu.ops.cellpair import (build_cell_slots, half_back_map,
+                                        half_grid)
+    from ddcmd_tpu.ops.cellpair_eam import eam_cellblock_eval_half
+    from ddcmd_tpu.ops.pallas_cellpair import pack_stencil
+    from ddcmd_tpu.ops.pallas_eam import (make_pallas_eam, pallas_eam_eval,
+                                          pallas_eam_supported)
+    from ddcmd_tpu.potentials.eam import EamParms, eam_device_tables
+    from tests.test_eam import fcc
+
+    eV = U.unit_scale("eV")
+    Ang = U.unit_scale("Angstrom")
+    rcut = 0.55
+    a = np.array([[0.8, 0.7], [0.7, 0.9]]) * eV
+    b = np.array([[2.0, 3.5], [1.2, 2.6]]) * eV * eV     # asymmetric rho
+    c = np.array([[1.5, 1.4], [1.4, 1.6]]) * Ang
+    parms = EamParms(form="FS", n_species=2, rcut=rcut,
+                     pair_tables=dict(a=a, b=b, c=c, m=np.full((2, 2), 5.0),
+                                      n=np.full((2, 2), 7.0),
+                                      ro=np.full((2, 2), 1.0) * Ang,
+                                      x=np.full((2, 2), rcut)),
+                     embed_tables={})
+    tables = eam_device_tables(parms, dtype=jnp.float32)
+    assert pallas_eam_supported(tables)
+
+    r, L = fcc(0.3615, 5)
+    n = len(r)
+    rng = np.random.default_rng(9)
+    r = r + rng.standard_normal(r.shape) * 0.006
+    sidx = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    rj = jnp.asarray(r, jnp.float32)
+    fmask = jnp.ones(n, jnp.float32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    grid = plan_lanes([L] * 3, rcut, 0.1, n)
+    perm, ov = build_cell_slots(rj, fmask, Lv, grid)
+    assert not bool(ov)
+    hg = half_grid(grid)
+    bm = half_back_map(hg)
+    f1, e1, v1, pe1 = eam_cellblock_eval_half(rj, sidx, fmask, perm, Lv,
+                                              hg, tables, bm)
+    rho_fn, force_fn = make_pallas_eam(hg, tables, interpret=True)
+    stencil = jnp.asarray(pack_stencil(hg))
+    f2, e2, v2, pe2 = pallas_eam_eval(rj, sidx, fmask, perm, Lv, hg,
+                                      tables, stencil, rho_fn, force_fn)
+    assert float(e2) == pytest.approx(float(e1), rel=2e-5)
+    scale = max(1.0, float(jnp.abs(f1).max()))
+    assert float(jnp.abs(f2 - f1).max()) / scale < 5e-5
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=5e-3,
+                                           abs=1.0)
