@@ -343,32 +343,104 @@ class ForceAverage(Analysis):
                 f.write(f"{name:12s} {acc / cnt:16.8e}\n")
 
 
+def _dsf_shell(m):
+    """Integer k-triples with i^2+j^2+k^2 = m^2, half-space deduped
+    (addKvectors, dsf.c:237-268).  The FULL shell, not the reference's
+    axis-aligned 'testing!!!!!' restriction (dsf.c:258) -- that line is
+    an obviously-temporary debug clamp left in the open release."""
+    out = []
+    msq = m * m
+    for i in range(-m, m + 1):
+        for j in range(-m, m + 1):
+            for k in range(0, m + 1):
+                if k == 0 and (j < 0 or (j == 0 and i <= 0)):
+                    continue
+                if i * i + j * j + k * k == msq:
+                    out.append((i, j, k))
+    return out
+
+
 class Dsf(Analysis):
-    """dynamic structure factor: rho_k(t) series -> S(k, omega) by FFT
-    (dsf.c, 275 LoC)."""
+    """rho_k(t) series on integer reciprocal-lattice shells (dsf.c).
+
+    Deck: m= list of integer shell radii (every (i,j,k) with
+    |k|^2 = m^2, half-space deduped); species= optional filter;
+    weight=charge (reference, dsf.c:205) or number.  Legacy kmax= decks
+    get shells m=1..floor(kmax L/2pi) (capped at 8).  Two outputs:
+    the reference-format rho_k series table (loop, time, Re/Im per k;
+    dsf_output, dsf.c:98-124) and the derived S(k,omega) periodogram.
+    """
 
     def setup(self):
+        ms = [int(v) for v in self.obj.get_floatv("m", "")]
         self.kmax = self.obj.get_with_units("kmax", "5.0", "1/l")
+        self.species = self.obj.get_str("species", "")
+        self.weight = self.obj.get_str("weight", "charge").lower()
+        base = "rho_k" + (f"_{self.species}" if self.species else "")
+        self.series_file = self.obj.get_str("seriesFilename", base + ".data")
         self.filename = self.obj.get_str("filename", "dsf.dat")
+        self._m_list = ms
         self.state["series"] = []
+        self.state["meta"] = []                 # (loop, time) rows
         self._kvecs = None
+        self._ktrip = None
+
+    def _plan_k(self, box):
+        ms = self._m_list
+        L = np.asarray(box.lengths, dtype=np.float64)
+        if not ms:
+            mmax = max(1, min(int(self.kmax * L.min() / (2 * np.pi)), 8))
+            ms = list(range(1, mmax + 1))
+        trips = []
+        for m in ms:
+            trips.extend(_dsf_shell(m))
+        self._ktrip = np.asarray(trips, dtype=np.int64)
+        # reciprocal basis rows b_a (b_a . h_col_b = 2 pi delta_ab):
+        # exact for triclinic h
+        h = np.asarray(box.h, dtype=np.float64)
+        recip = 2.0 * np.pi * np.linalg.inv(h)
+        self._kvecs = self._ktrip @ recip
 
     def eval(self, sim):
         ss = sim.ss
         n = sim.sysdef.state.n_local
-        L = np.asarray(ss.box.lengths, dtype=np.float64)
         if self._kvecs is None:
-            mmax = max(1, min(int(self.kmax * L.min() / (2 * np.pi)), 6))
-            ks = [2 * np.pi * np.array([m, 0, 0]) / L for m in range(1, mmax + 1)]
-            ks += [2 * np.pi * np.array([0, m, 0]) / L for m in range(1, mmax + 1)]
-            ks += [2 * np.pi * np.array([0, 0, m]) / L for m in range(1, mmax + 1)]
-            self._kvecs = np.asarray(ks)
-        r = np.asarray(ss.state.r[:n])
-        rho_k = np.exp(1j * (r @ self._kvecs.T)).sum(axis=0) / np.sqrt(n)
+            self._plan_k(ss.box)
+        r = np.asarray(ss.state.r[:n], dtype=np.float64)
+        if self.weight == "charge":
+            w = np.asarray(ss.state.q[:n], dtype=np.float64)
+        else:
+            w = np.ones(n)
+        count = n
+        if self.species:
+            names = np.asarray(sim.sysdef.collection.species_names)
+            m = names == self.species
+            r, w = r[m], w[m]
+            count = int(m.sum())
+        rho_k = (w[:, None] * np.exp(1j * (r @ self._kvecs.T))).sum(axis=0)
+        rho_k /= max(count, 1)                  # dsf.c:214-216
         self.state["series"].append(rho_k)
+        self.state["meta"].append((int(ss.loop), float(getattr(ss, "time", 0.0))))
 
     def output(self, sim, run_dir="."):
         series = np.asarray(self.state["series"])
+        if not len(series):
+            return
+        # reference-format rho_k table (appended per output like dsf.c)
+        path = os.path.join(run_dir, self.series_file)
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            if new:
+                f.write("#loop            time")
+                for t in self._ktrip:
+                    f.write("    (%d,%d,%d)" % tuple(t))
+                f.write("\n")
+            for (loop, time), row in zip(self.state["meta"], series):
+                f.write(f"{loop:08d} {time:16.6f}")
+                for z in row:
+                    f.write(f"   {z.real:13.6e} {z.imag:13.6e}")
+                f.write("\n")
+        self.state["meta"] = []
         if len(series) < 4:
             return
         # S(k, w) = |FFT_t rho_k(t)|^2 / T  (rho_k is complex: full FFT)
@@ -498,60 +570,139 @@ class AcklandJones(Analysis):
 
 
 class CoarseGrain(Analysis):
-    """coarsegrain (600 LoC): grid-averaged density / velocity /
-    temperature fields accumulated over frames."""
+    """coarsegrain.c (600 LoC): per-(cell, species) grid records with
+    CIC smearing, accumulated between outputs.
+
+    Deck: nx/ny/nz, smearRadius (0 = nearest-cell impulse),
+    smearMethod=impulse|hat (coarsegrain.c:343-356), outputMode 1/2/3
+    (field sets, coarsegrain.c:459-496), filename.  Fields follow the
+    reference records: number_particles, mass, Kx/Ky/Kz, U (per-atom
+    potential), px/py/pz; mode 2 adds the stress tensor; mode 3 swaps
+    to the electrostatic view (Ex/Ey/Ez = f/q, ESpotential = U/q).
+    Deviation (documented): the reference's per-atom configurational
+    virial/stress (sion) is a CPU-engine running tally; the TPU engines
+    reduce the virial globally, so mode 1's `virial` column and mode 2's
+    vir_* columns here carry the KINETIC part (m v_a v_b) only.
+    """
 
     def setup(self):
         self.nx = self.obj.get_int("nx", 8)
         self.ny = self.obj.get_int("ny", 8)
         self.nz = self.obj.get_int("nz", 8)
-        self.filename = self.obj.get_str("filename", "coarsegrain.dat")
-        shape = (self.nx, self.ny, self.nz)
-        self.state["count"] = np.zeros(shape)
-        self.state["mass"] = np.zeros(shape)
-        self.state["mom"] = np.zeros(shape + (3,))
-        self.state["ke"] = np.zeros(shape)
+        self.mode = self.obj.get_int("outputMode", 2)
+        self.smear = self.obj.get_with_units("smearRadius", "0", "l")
+        self.smethod = self.obj.get_str("smearMethod", "impulse").lower()
+        self.filename = self.obj.get_str("filename", "cgrid")
+        self.state["acc"] = None
         self.state["frames"] = 0
+
+    def _weights(self, r, L, dims):
+        """Cell indices + CIC weights: (P, 8) flat cells and weights.
+        smearRadius<=0: single nearest cell (impulse into one cell)."""
+        g = (r / L + 0.5 - np.floor(r / L + 0.5)) * dims   # [0, dims)
+        if self.smear <= 0:
+            c = np.clip(g.astype(int), 0, dims - 1)
+            flat = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+            return flat[:, None], np.ones((len(r), 1))
+        cell = L / dims
+        l_sm = np.minimum(2.0 * self.smear, cell)          # coarsegrain.c:280
+        wall = np.floor(g + 0.5)
+        # physical offset of the atom from the nearest cell wall, clipped
+        # to the smearing half-width and normalized by the smear width
+        d = np.clip((wall - g), -0.5 * l_sm / cell, 0.5 * l_sm / cell) \
+            * (cell / l_sm)
+        if self.smethod == "hat":
+            w0 = 0.5 + 2 * d * (1.0 - np.abs(d))
+        else:                                              # impulse
+            w0 = 0.5 + d
+        lo = (wall.astype(int) - 1) % dims
+        hi = wall.astype(int) % dims
+        flats = np.empty((len(r), 8), dtype=np.int64)
+        ws = np.empty((len(r), 8))
+        k = 0
+        for ii, wxi in ((0, w0[:, 0]), (1, 1 - w0[:, 0])):
+            cx = lo[:, 0] if ii == 0 else hi[:, 0]
+            for jj, wyi in ((0, w0[:, 1]), (1, 1 - w0[:, 1])):
+                cy = lo[:, 1] if jj == 0 else hi[:, 1]
+                for kk, wzi in ((0, w0[:, 2]), (1, 1 - w0[:, 2])):
+                    cz = lo[:, 2] if kk == 0 else hi[:, 2]
+                    flats[:, k] = (cx * dims[1] + cy) * dims[2] + cz
+                    ws[:, k] = wxi * wyi * wzi
+                    k += 1
+        return flats, ws
 
     def eval(self, sim):
         st = sim.ss.state
         n = sim.sysdef.state.n_local
-        r = np.asarray(st.r[:n])
-        v = np.asarray(st.v[:n])
-        m = np.asarray(st.mass[:n])
-        L = np.asarray(sim.ss.box.lengths)
+        r = np.asarray(st.r[:n], dtype=np.float64)
+        v = np.asarray(st.v[:n], dtype=np.float64)
+        m = np.asarray(st.mass[:n], dtype=np.float64)
+        q = np.asarray(st.q[:n], dtype=np.float64)
+        f = np.asarray(st.f[:n], dtype=np.float64)
+        pe = np.asarray(st.pe[:n], dtype=np.float64)
+        sp = np.asarray(st.species[:n])
+        L = np.asarray(sim.ss.box.lengths, dtype=np.float64)
         dims = np.array([self.nx, self.ny, self.nz])
-        c = np.clip(np.floor((r / L + 0.5) * dims).astype(int), 0, dims - 1)
-        flat = (c[:, 0] * self.ny + c[:, 1]) * self.nz + c[:, 2]
-        size = self.nx * self.ny * self.nz
-        shape = (self.nx, self.ny, self.nz)
-        np.add.at(self.state["count"].reshape(-1), flat, 1.0)
-        np.add.at(self.state["mass"].reshape(-1), flat, m)
-        for a in range(3):
-            np.add.at(self.state["mom"].reshape(-1, 3)[:, a], flat, m * v[:, a])
-        np.add.at(self.state["ke"].reshape(-1), flat, 0.5 * m * (v ** 2).sum(axis=1))
+        nsp = int(sp.max()) + 1 if n else 1
+        size = int(np.prod(dims))
+
+        # per-atom field columns (coarsegrain.c:371-396)
+        qs = np.where(np.abs(q) > 1e-12, q, np.inf)        # E undefined q=0
+        cols = dict(
+            number=np.ones(n), mass=m,
+            Kx=0.5 * m * v[:, 0] ** 2, Ky=0.5 * m * v[:, 1] ** 2,
+            Kz=0.5 * m * v[:, 2] ** 2, U=pe,
+            virial=m * (v ** 2).sum(1) / 3.0,              # kinetic part
+            px=m * v[:, 0], py=m * v[:, 1], pz=m * v[:, 2],
+            vir_xx=m * v[:, 0] ** 2, vir_yy=m * v[:, 1] ** 2,
+            vir_zz=m * v[:, 2] ** 2, vir_xy=m * v[:, 0] * v[:, 1],
+            vir_xz=m * v[:, 0] * v[:, 2], vir_yz=m * v[:, 1] * v[:, 2],
+            Ex=f[:, 0] / qs, Ey=f[:, 1] / qs, Ez=f[:, 2] / qs,
+            ESpotential=pe / qs,
+        )
+        names = self._field_names()
+        if self.state["acc"] is None or \
+                self.state["acc"].shape != (size, nsp, len(names)):
+            self.state["acc"] = np.zeros((size, nsp, len(names)))
+        flats, ws = self._weights(r, L, dims)
+        acc = self.state["acc"]
+        for k in range(flats.shape[1]):
+            keep = ws[:, k] > 1e-20
+            idx = (flats[keep, k], sp[keep])
+            for ci, nm in enumerate(names):
+                np.add.at(acc, idx + (ci,), ws[keep, k] * cols[nm][keep])
         self.state["frames"] += 1
         self.state["vol_cell"] = float(np.prod(L)) / size
 
+    def _field_names(self):
+        if self.mode == 3:
+            return ["number", "mass", "px", "py", "pz",
+                    "Ex", "Ey", "Ez", "ESpotential"]
+        base = ["number", "mass", "Kx", "Ky", "Kz", "U", "virial",
+                "px", "py", "pz"]
+        if self.mode == 2:
+            base += ["vir_xx", "vir_yy", "vir_zz",
+                     "vir_xy", "vir_xz", "vir_yz"]
+        return base
+
     def output(self, sim, run_dir="."):
-        if self.state["frames"] == 0:
+        if self.state["frames"] == 0 or self.state["acc"] is None:
             return
         frames = self.state["frames"]
-        cnt = np.maximum(self.state["count"], 1e-12)
-        with open(os.path.join(run_dir, self.filename), "w") as f:
-            f.write("# ix iy iz density(amu/nm^3) vx vy vz(nm/ps) T(K)\n")
-            for ix in range(self.nx):
-                for iy in range(self.ny):
-                    for iz in range(self.nz):
-                        c = cnt[ix, iy, iz]
-                        rho = self.state["mass"][ix, iy, iz] / frames / self.state["vol_cell"]
-                        vcm = self.state["mom"][ix, iy, iz] / max(
-                            self.state["mass"][ix, iy, iz], 1e-12)
-                        T = (2.0 * self.state["ke"][ix, iy, iz]
-                             / (3.0 * c * U.kB))
-                        f.write(f"{ix:4d} {iy:4d} {iz:4d} {rho:12.4f} "
-                                f"{vcm[0]:10.5f} {vcm[1]:10.5f} {vcm[2]:10.5f} "
-                                f"{T:10.3f}\n")
+        names = self._field_names()
+        spnames = [s.name for s in getattr(sim.sysdef, "species", [])]
+        acc = self.state["acc"] / frames
+        with open(os.path.join(run_dir, self.filename), "w") as fh:
+            fh.write("# label species_index " + " ".join(names) + "\n")
+            fh.write(f"# nx={self.nx} ny={self.ny} nz={self.nz} "
+                     f"frames={frames} species={','.join(spnames)}\n")
+            for cell in range(acc.shape[0]):
+                for s in range(acc.shape[1]):
+                    row = acc[cell, s]
+                    if row[0] < 1e-20:          # number_particles == 0
+                        continue
+                    fh.write(f"{cell:8d} {s:3d} " +
+                             " ".join(f"{x:14.6e}" for x in row) + "\n")
 
 
 class PairAnalysis(Analysis):

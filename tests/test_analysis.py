@@ -66,7 +66,8 @@ def test_ackland_jones_classifies_fcc_and_bcc():
 
 def test_dsf_accumulates_and_outputs(tmp_path):
     r, L = fcc(0.36, 3)
-    a = _analysis("d ANALYSIS { type=DSF; kmax=30.0 1/nm; }", "d")
+    a = _analysis("d ANALYSIS { type=DSF; kmax=30.0 1/nm; weight=number; }",
+                  "d")
     sim = FakeSim(r, L)
     rng = np.random.default_rng(0)
     import jax.numpy as jnp2
@@ -78,6 +79,28 @@ def test_dsf_accumulates_and_outputs(tmp_path):
     a.output(sim, str(tmp_path))
     data = np.loadtxt(tmp_path / "dsf.dat")
     assert data.shape[1] == 3 and np.isfinite(data[:, 2]).all()
+    # reference-format rho_k series table written too (dsf.c:98-124)
+    lines = (tmp_path / "rho_k.data").read_text().splitlines()
+    assert lines[0].startswith("#loop")
+    assert len(lines) == 9                      # header + 8 eval rows
+
+
+def test_dsf_full_shell_bragg_peak(tmp_path):
+    """m=6 shell on a perfect 3-cell FCC lattice: the full integer shell
+    (addKvectors without dsf.c:258's debug axis-aligned clamp) contains
+    the (0,0,6)-type Bragg triples, where |rho_k| = 1 after the 1/count
+    normalization; mixed triples like (2,4,4) are far off-Bragg."""
+    r, L = fcc(0.36, 3)
+    a = _analysis("d ANALYSIS { type=DSF; m=6; weight=number; }", "d")
+    sim = FakeSim(r, L)
+    a.eval(sim)
+    trips = a._ktrip
+    assert len(trips) > 3                       # full shell, not 3 axes
+    rho = np.abs(a.state["series"][0])
+    axis = np.array([(t != 0).sum() == 1 for t in trips])
+    assert axis.sum() == 3
+    np.testing.assert_allclose(rho[axis], 1.0, atol=1e-9)
+    assert rho[~axis].max() < 0.05
 
 
 def test_quaternion_bcc_uniform_color(tmp_path):
@@ -237,3 +260,40 @@ def test_bxyz_write(tmp_path):
     assert gid0 == 0
     rx = np.frombuffer(rec[14:18].tobytes(), "<f4")[0]
     assert rx == pytest.approx(r[0, 0] * U.LENGTH_TO_ANG, rel=1e-6)
+
+
+def test_coarsegrain_fields_and_smearing(tmp_path):
+    """coarsegrain.c analog: per-(cell, species) records, CIC smearing
+    conserves every accumulated field, outputMode field sets."""
+    rng = np.random.default_rng(2)
+    n, L = 400, 4.0
+    r = (rng.random((n, 3)) - 0.5) * L
+    sim = FakeSim(r, L)
+    st = sim.ss.state
+    sim.ss.state = st.replace(
+        v=jnp.asarray(rng.standard_normal((n, 3))),
+        species=jnp.asarray(rng.integers(0, 2, n), jnp.int32),
+        pe=jnp.asarray(rng.standard_normal(n)),
+        f=jnp.asarray(rng.standard_normal((n, 3))),
+        q=jnp.asarray(np.where(rng.random(n) < 0.5, 0.0, 1.0)))
+    sim.sysdef.state = sim.ss.state
+
+    for mode, nf in ((1, 10), (2, 16), (3, 9)):
+        for smear, meth in ((0.0, "impulse"), (0.3, "impulse"),
+                            (0.3, "hat")):
+            a = _analysis(
+                f"cg ANALYSIS {{ type=COARSEGRAIN; nx=4; ny=4; nz=4; "
+                f"outputMode={mode}; smearRadius={smear}; "
+                f"smearMethod={meth}; }}", "cg")
+            a.eval(sim)
+            acc = a.state["acc"]
+            assert acc.shape == (64, 2, nf)
+            # smearing conserves the total of every field
+            names = a._field_names()
+            ni = names.index("number")
+            assert acc[:, :, ni].sum() == pytest.approx(n, rel=1e-9)
+            mi = names.index("mass")
+            assert acc[:, :, mi].sum() == pytest.approx(n, rel=1e-9)
+            a.output(sim, str(tmp_path))
+            head = (tmp_path / "cgrid").read_text().splitlines()[0]
+            assert all(nm in head for nm in names)
