@@ -139,6 +139,14 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
     # per-phase timing table into the snapshot (dumpprofile, ddcMD.c:209-223)
     from ..utils.profile import PROFILE
 
+    if os.environ.get("DDCMD_PROFILE_PHASES"):
+        # opt-in: time rebuild/force/kick as separate dispatches so the
+        # snapshot profile has per-phase attribution (ptiming.h analog);
+        # off by default -- it re-runs phases outside the fused step
+        try:
+            sim.profile_phases()
+        except Exception:
+            pass
     PROFILE.write(snapdir)
 
     # domain-center decomposition file (writePXYZ, io.c:113)

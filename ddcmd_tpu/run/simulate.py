@@ -452,6 +452,73 @@ class Simulation:
         self.ss = self._first_jit(self.ss)
         return self.ss
 
+    def profile_phases(self, n_iter: int = 10) -> dict:
+        """Per-phase time attribution (the ptiming.h per-phase timers,
+        /root/reference/src/ptiming.h:10-36, profile.c:468).
+
+        XLA fuses the whole MD step into one dispatch, so the production
+        path cannot be split by host timers without destroying fusion.
+        Instead, ON DEMAND (snapshot cadence with DDCMD_PROFILE_PHASES=1,
+        or the `profile` runtime command) each phase runs as its OWN
+        jitted dispatch -- neighbor rebuild, nonbond+bonded force eval,
+        group kick, and the fused step for comparison -- timed with
+        block_until_ready over n_iter reps.  Results land in the PROFILE
+        table as phase.* timers (us/step = avg(ms)*1000); production
+        steps pay zero overhead.
+        """
+        import jax
+
+        from ..core.groups import velocity_update
+        from ..utils.profile import PROFILE
+
+        ss = self.ss
+        grid = self.grid
+
+        if self.engine in ("cellblock", "pallas"):
+            from ..ops.cellpair import build_cell_slots
+
+            def rebuild(ss):
+                r = ss.box.back_in_box(ss.state.r)
+                geom = ss.box.lengths if ss.box.ortho else ss.box.h
+                return build_cell_slots(r, ss.state.fmask, geom, grid)[0]
+        else:
+            def rebuild(ss):
+                return build_neighbor_list(ss.state.r, ss.state.fmask,
+                                           ss.box.lengths, grid)[0]
+
+        rebuild_j = jax.jit(rebuild)
+        force_j = jax.jit(lambda ss, nbr: self.force_fn(ss.state, ss.box,
+                                                        nbr)[0])
+        half = 0.5 * self.sysdef.cfg.dt
+        kick_j = jax.jit(lambda ss, f, key: velocity_update(
+            "front", ss.state.v, f, ss.state.mass, ss.state.group,
+            self.coeffs, half, key, ss.state.mask))
+        key = jax.random.PRNGKey(0)
+        step_j = jax.jit(lambda ss, nbr, key: self.step_fn(
+            ss, nbr, key, self.coeffs))
+
+        nbr = rebuild_j(ss)
+        f = force_j(ss, nbr)
+        phases = {
+            "phase.nbr_rebuild": lambda: rebuild_j(ss),
+            "phase.force": lambda: force_j(ss, nbr),
+            "phase.group_kick": lambda: kick_j(ss, f, key),
+            "phase.step_fused": lambda: step_j(ss, nbr, key),
+        }
+        out = {}
+        for name, fn in phases.items():
+            try:
+                jax.block_until_ready(fn())       # warmup/compile
+            except Exception:
+                continue                          # e.g. step signature
+            t = PROFILE.timer(name)
+            for _ in range(n_iter):
+                t.start()
+                jax.block_until_ready(fn())
+                t.stop()
+            out[name] = t.total / max(t.calls, 1)
+        return out
+
     def run_nextfile(self, print_fn=None):
         """NEXTFILE integrator: 'integrate' by loading successive snapshot
         files (replay; /root/reference/src/nextfile.c:34-63).  Each file is
@@ -861,6 +928,11 @@ class Simulation:
             on_checkpoint(self)
         if "profile" in text:
             from ..utils.profile import PROFILE
+
+            try:
+                self.profile_phases()
+            except Exception:
+                pass
 
             print(PROFILE.table())
         if "analysis" in text:

@@ -160,3 +160,22 @@ def test_nan_rollback_kill_switch(tmp_path):
     sim.ss = sim.ss.replace(state=sim.ss.state.replace(r=bad))
     with pytest.raises(FloatingPointError):
         sim.run(20, print_fn=lambda s: None)
+
+
+def test_profile_phases(tmp_path):
+    """Per-phase attribution (ptiming analog): rebuild/force/kick timed
+    as separate dispatches, fused step alongside, into PROFILE."""
+    from ddcmd_tpu.models import lj_fluid, load
+    from ddcmd_tpu.run.simulate import Simulation
+    from ddcmd_tpu.utils.profile import PROFILE
+
+    lj_fluid(str(tmp_path), n=500)
+    db, base = load(str(tmp_path))
+    sim = Simulation(db, base, run_dir=str(tmp_path), engine="nlist")
+    sim.first_energy()
+    out = sim.profile_phases(n_iter=3)
+    for k in ("phase.nbr_rebuild", "phase.force", "phase.group_kick",
+              "phase.step_fused"):
+        assert k in out and out[k] > 0, (k, out)
+        assert k in PROFILE.timers
+    assert "phase.force" in PROFILE.table()
