@@ -94,6 +94,32 @@ def main():
 
     steps_per_sec = n_steps / elapsed
     ns_per_day = steps_per_sec * dt_fs * 86400.0 / 1e6
+
+    # --- roofline estimate (VERDICT r1: make "fast" measurable) ---------
+    # The cell-block/pallas engines do dense padded work: every
+    # (cell, stencil-neighbor) block evaluates cap x cap pair slots; the
+    # distance matrix is a (cap,3)@(3,cap) matmul -> 6 MXU flops/slot,
+    # plus ~45 VPU flops/slot (rsqrt, LJ/coulomb polys, accumulates).
+    # f32 with Precision.HIGHEST runs the MXU at ~1/6 of bf16 peak
+    # (3-pass decomposition each side), so the f32 matmul roofline is
+    # peak_bf16/6.  Peaks: v5e 197 TFLOP/s bf16, v5p 459, v4 275.
+    roofline = {}
+    g = getattr(sim, "grid", None)
+    if g is not None and hasattr(g, "cap"):
+        slots = g.ncell * g.n_stencil * g.cap * g.cap
+        dev = str(jax.devices()[0]).lower()
+        peak_bf16 = (459e12 if "v5p" in dev else
+                     275e12 if "v4" in dev else 197e12)  # default: v5e
+        mxu_flops = slots * 6.0 * steps_per_sec
+        roofline = {
+            "pair_slots_per_step": int(slots),
+            "pair_slots_per_sec": round(slots * steps_per_sec / 1e9, 3),
+            "pair_slots_unit": "G slots/s (padded cap^2 blocks)",
+            "est_mxu_tflops": round(mxu_flops / 1e12, 4),
+            "mxu_frac_f32_roofline": round(mxu_flops / (peak_bf16 / 6.0), 4),
+            "roofline_note": "6 MXU flops/slot (dist matmul) vs bf16peak/6 "
+                             "f32-HIGHEST ceiling; VPU work excluded",
+        }
     # the single-core CPU estimate scales ~1/N: compare per-particle work
     baseline = BASELINE_STEPS_PER_SEC / rep ** 3
     out = {
@@ -107,6 +133,7 @@ def main():
         "device": str(jax.devices()[0]),
         "engine": engine,
         "baseline_note": "estimated CPU-ddcMD ~100 steps/s; reference binary unbuildable from mount (missing util/ and recbis/ sources, no MPI)",
+        **roofline,
     }
     print(json.dumps(out))
 

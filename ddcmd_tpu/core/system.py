@@ -98,38 +98,35 @@ def _parse_box_time(boxobj) -> dict | None:
     """Prescribed time-dependent box (boxPrescriptiveTimeParse,
     /root/reference/src/boxPrescriptiveTime.c:10-95).
 
-    Modes: STRAIN (per-element dudt eq targets, h *= exp(int u dt)),
-    VOLUME_FUNCTION_OF_TIME (Veq = per-atom volume eq target),
-    DEFORMATION_RATE (h <- h expm(D dt)).  The TPU box is orthorhombic:
-    only the diagonal components are supported; off-diagonal terms or
-    rotationMatrix raise at deck load.
+    Modes: STRAIN (full 3x3 of dudt eq targets; h_ij *= exp(int u_ij dt)
+    elementwise, boxPrescriptiveTime.c:102-117 -- 1/2/3 elements fill
+    the diagonal, 9 the full matrix), VOLUME_FUNCTION_OF_TIME (Veq =
+    per-atom volume eq target), DEFORMATION_RATE (full h <- h expm(D dt)),
+    ROTATION (constant h = R h0, applied at build -- the reference never
+    integrates it in time).  Off-diagonal terms run on the triclinic
+    cell-block engine.
     """
-    import warnings
-
     from ..objects.eq import eq_parse
 
     if boxobj.has("dudt"):
         u = boxobj.get_strv("dudt")
         n = len(u)
+        zero = "0.0"
         if n == 0:
-            diag = ["0.0"] * 3
+            grid9 = [zero] * 9
         elif n == 1:
-            diag = [u[0]] * 3
+            grid9 = [u[0], zero, zero, zero, u[0], zero, zero, zero, u[0]]
         elif n == 2:
-            diag = [u[0], u[1], u[1]]
+            grid9 = [u[0], zero, zero, zero, u[1], zero, zero, zero, u[1]]
         elif n == 3:
-            diag = list(u)
+            grid9 = [u[0], zero, zero, zero, u[1], zero, zero, zero, u[2]]
         elif n == 9:
-            diag = [u[0], u[4], u[8]]
-            off = [u[i] for i in (1, 2, 3, 5, 6, 7)]
-            if any(float(x.rstrip("/fsp")) if x[0] in "0123456789-." else 1.0
-                   for x in off):
-                raise DeckError("time-dependent box: off-diagonal dudt "
-                                "unsupported (orthorhombic TPU box)")
+            grid9 = list(u)
         else:
             raise DeckError(f"dudt expects 1/2/3/9 elements, got {n}")
-        return dict(mode="strain",
-                    eqs=tuple(eq_parse(x, "1/t", "t") for x in diag))
+        eqs = tuple(tuple(eq_parse(grid9[3 * i + j], "1/t", "t")
+                          for j in range(3)) for i in range(3))
+        return dict(mode="strain", eqs=eqs)
     veq = boxobj.get_literal("Veq", "")
     if veq.strip():
         return dict(mode="volume",
@@ -138,14 +135,29 @@ def _parse_box_time(boxobj) -> dict | None:
         d = boxobj.get_with_unitsv("deformationRate", "0 0 0 0 0 0 0 0 0",
                                    "1/t")
         if any(abs(x) > 0 for x in d):
-            off = [d[i] for i in (1, 2, 3, 5, 6, 7)]
-            if any(abs(x) > 0 for x in off):
-                raise DeckError("time-dependent box: off-diagonal "
-                                "deformationRate unsupported")
-            return dict(mode="deformation", diag=(d[0], d[4], d[8]))
+            return dict(mode="deformation",
+                        D=np.asarray(d, dtype=np.float64).reshape(3, 3))
     if boxobj.has("rotationMatrix"):
-        warnings.warn("BOX rotationMatrix ignored (orthorhombic TPU box)")
+        R = np.asarray(boxobj.get_floatv("rotationMatrix"),
+                       dtype=np.float64).reshape(3, 3)
+        if not np.allclose(R, 0.0):
+            return dict(mode="rotation", R=R)
     return None
+
+
+def _box_time_tilts(bt: dict) -> bool:
+    """True when a prescribed box(t) can GROW off-diagonal h terms.
+    STRAIN is elementwise-multiplicative (h_ij *= exp(..)): zero entries
+    stay zero, so it never tilts a diagonal box; only an off-diagonal
+    DEFORMATION_RATE (h <- h expm(D dt)) does."""
+    if bt["mode"] == "deformation":
+        D = bt["D"]
+        return bool(np.any(D != np.diag(np.diagonal(D))))
+    return False
+
+
+def dataclasses_replace_ortho(box: Box) -> Box:
+    return box.replace(ortho=False)
 
 
 def _ddc_update_rate(db: ObjectDB, sim) -> int:
@@ -177,6 +189,17 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         hvals = [v * U.ANG_TO_LENGTH for v in col.header.get_floatv("h")]
     box = Box.from_h(np.asarray(hvals).reshape(3, 3), pbc=pbc, dtype=dtype)
     box_time = _parse_box_time(boxobj)
+    if box_time is not None and box_time["mode"] == "rotation":
+        # constant h = R h0 (boxPrescriptiveTime.c:141-143 never
+        # integrates ROTATION in time): fold into the static box
+        box = Box.from_h(box_time["R"] @ np.asarray(hvals).reshape(3, 3),
+                         pbc=pbc, dtype=dtype)
+        box_time = None
+    if box_time is not None and _box_time_tilts(box_time):
+        # off-diagonal strain/deformation tilts the box mid-run: the
+        # ortho flag is STATIC under jit, so demote to the triclinic
+        # (GENERAL) paths from step one
+        box = dataclasses_replace_ortho(box)
 
     # --- species -------------------------------------------------------------
     sp_names_decl = sysobj.get_strv("species")
@@ -366,7 +389,12 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
 
 def plan_grid(sysdef: SystemDef, density_safety: float = 2.0,
               plan_margin: float = 1.0) -> CellGrid:
-    L = np.asarray(sysdef.box.lengths, dtype=np.float64)
+    # triclinic: plan cell counts from PERPENDICULAR plane spacings so
+    # a one-shell stencil still covers rlist (lengths overestimate the
+    # perpendicular width of tilted cells)
+    box = sysdef.box
+    L = np.asarray(box.lengths if box.ortho else box.perp_spans,
+                   dtype=np.float64)
     return CellGrid.plan(L, sysdef.rcut_max, sysdef.neighbor_deltaR,
                          sysdef.state.n_local, sysdef.state.n_pad,
                          density_safety=density_safety,

@@ -147,8 +147,18 @@ def make_nglf_step(force_fn: Callable, default_coeffs, dt: float, *,
         # prescribed box(t): h <- h(t+dt), positions affinely rescaled
         # (scalePositionsByBoxChange, /root/reference/src/nglf.c:89)
         if has_box_time and box_lam is not None:
-            box = box.scale(box_lam)
-            r = r * box_lam[None, :]
+            # generalized update h' = (E * h) @ M (boxPrescriptiveTime.c:
+            # 96-145): E carries STRAIN's elementwise exp-integral factors
+            # (a diagonal scale is E = lam[:,None]), M carries
+            # DEFORMATION_RATE's expm(D dt); positions map affinely by
+            # A = h' h^-1 (scalePositionsByBoxChange)
+            from ..core.box import inv3x3
+
+            E, M = box_lam
+            h_new = (E * box.h) @ M
+            A = h_new @ inv3x3(box.h)
+            box = box.replace(h=h_new)
+            r = r @ A.T
         if wrap_positions:
             r = box.back_in_box(r)
         state = state.replace(r=r)

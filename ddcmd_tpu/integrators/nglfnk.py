@@ -38,8 +38,19 @@ from .nglf import StepState
 
 
 def make_nglfnk_step(force_fn, dt: float, *, T: float, tau: float,
-                     Peq: float, W, kB: float, wrap_positions: bool = False):
+                     Peq: float, W, kB: float, wrap_positions: bool = False,
+                     h_frac=None):
+    """h_frac: None for an orthorhombic box; a static (3,3) shape matrix
+    for a triclinic one, with h = h_frac @ diag(L) (fixed cell shape,
+    per-axis piston lengths L).  The triclinic path de-tilts r/v/f by
+    h_frac^-1, runs the identical per-axis dynamics, and maps back --
+    exactly the diagonal algorithm when h_frac = I."""
     W = jnp.asarray(W)
+    if h_frac is not None:
+        import numpy as _np
+
+        hf = jnp.asarray(h_frac)
+        hf_inv = jnp.asarray(_np.linalg.inv(_np.asarray(h_frac)))
 
     def axis_pressure(virial, tion, V):
         p = (jnp.diagonal(virial) + jnp.diagonal(tion)) / V
@@ -52,12 +63,20 @@ def make_nglfnk_step(force_fn, dt: float, *, T: float, tau: float,
         dtype = state.r.dtype
         half = 0.5 * dt
         mask = state.fmask[:, None]
-        L = box.lengths
+        if h_frac is None:
+            L = box.lengths
+            r_p, v_p, f_p = state.r, state.v, state.f
+        else:
+            # de-tilted frame: h = h_frac diag(L)
+            L = jnp.diagonal(hf_inv @ box.h)
+            r_p = state.r @ hf_inv.T
+            v_p = state.v @ hf_inv.T
+            f_p = state.f @ hf_inv.T
         V = box.volume
         dLdt = ss.bdot.astype(dtype)
 
-        S = state.r / L
-        dSdt = (state.v - state.r * (dLdt / L)) / L
+        S = r_p / L
+        dSdt = (v_p - r_p * (dLdt / L)) / L
 
         mu = 1.0 / tau
         kBT = kB * T
@@ -66,7 +85,7 @@ def make_nglfnk_step(force_fn, dt: float, *, T: float, tau: float,
 
         k1, k2 = jax.random.split(jax.random.fold_in(key, 0))
         g1 = jax.random.normal(k1, S.shape, dtype=dtype)
-        acc = state.f * rmass - mu * dLdt * S + sigma * g1
+        acc = f_p * rmass - mu * dLdt * S + sigma * g1
         dSdt = dSdt + half * (acc - (mu * L + 2.0 * dLdt) * dSdt) / L
         dSdt = dSdt * mask
 
@@ -75,12 +94,16 @@ def make_nglfnk_step(force_fn, dt: float, *, T: float, tau: float,
 
         S = S + dt * dSdt
         L = L + dt * dLdt
-        box = box.replace(h=jnp.diag(L).astype(box.h.dtype))
+        if h_frac is None:
+            box = box.replace(h=jnp.diag(L).astype(box.h.dtype))
+            r = S * L
+        else:
+            box = box.replace(h=(hf * L[None, :]).astype(box.h.dtype))
+            r = (S * L) @ hf.T
         V = box.volume
-        r = S * L
         if wrap_positions:
             r = box.back_in_box(r)
-            S = r / L
+            S = (r if h_frac is None else r @ hf_inv.T) / L
         state = state.replace(r=r)
 
         f, e_pot, virial, pe = force_fn(state, box, nbr_idx)
@@ -89,16 +112,21 @@ def make_nglfnk_step(force_fn, dt: float, *, T: float, tau: float,
         # the back piston kick needs the kinetic tensor at the half step:
         # use the current canonical velocities mapped to native space
         v_half = (L * dSdt + S * dLdt) * mask
+        if h_frac is not None:
+            v_half = v_half @ hf.T        # native frame (virial is native)
         _, tion_h = kinetic_terms(v_half, state.mass, state.fmask)
         P2 = axis_pressure(virial, tion_h, V)
         dLdt = dLdt + half * V / (W * L) * (P2 - Peq)
 
         g2 = jax.random.normal(k2, S.shape, dtype=dtype)
-        acc2 = state.f * rmass - mu * dLdt * S + sigma * g2
+        f_p2 = state.f if h_frac is None else state.f @ hf_inv.T
+        acc2 = f_p2 * rmass - mu * dLdt * S + sigma * g2
         dSdt = (dSdt + half * acc2 / L) / (1.0 + half * (mu * L + 2.0 * dLdt) / L)
         dSdt = dSdt * mask
 
         v = (L * dSdt + S * dLdt) * mask
+        if h_frac is not None:
+            v = v @ hf.T
         state = state.replace(v=v)
         rk, tion = kinetic_terms(v, state.mass, state.fmask)
         energy = EnergyInfo(eion=e_pot, rk=rk, virial=virial, tion=tion,

@@ -59,8 +59,8 @@ def lj_fluid(out_dir, *, n=4096, density=0.0208, T=120.0,
     r, rng = _lattice(n, L, 0.05 * L / n ** (1 / 3), seed)
     kB_ev = 8.617333e-5
     # write_atoms emits velocities in Angstrom/fs: 1 amu*(Ang/fs)^2 =
-    # 1.0364e4 eV, so v = sqrt(kB T / (m * 1.0364e4)) gives T exactly
-    v = rng.standard_normal((n, 3)) * np.sqrt(kB_ev * T / (mass * 1.0364e4))
+    # 103.64 eV, so v = sqrt(kB T / (m * 103.64)) gives T exactly
+    v = rng.standard_normal((n, 3)) * np.sqrt(kB_ev * T / (mass * 103.64))
     v *= 1e-2  # start cool; the thermostat warms it
     write_atoms(os.path.join(out_dir, "atoms#000000"), r, v,
                 ["Ar"] * n, ["free"] * n, np.diag([L] * 3))

@@ -87,10 +87,30 @@ class CellGrid:
                    max_neighbors=max_neighbors, rlist=rlist)
 
 
-def _cell_index(r, box_lengths, ncells):
-    """Cell coordinates for origin-centered positions."""
+def min_image_geom(dr, geom):
+    """Minimum-image reduction against (3,) orthorhombic lengths or a
+    (3,3) triclinic h (columns = lattice vectors).  The fractional-round
+    form is exact for reduced cells (tilt <= half the diagonal), the
+    same restriction the cell-block engine's static image shifts carry
+    (reference nearestImage, src/box.c)."""
+    if geom.ndim == 1:
+        return dr - geom * jnp.round(dr / geom)
+    from ..core.box import inv3x3
+
+    sfrac = dr @ inv3x3(geom).T
+    return dr - jnp.round(sfrac) @ geom.T
+
+
+def _cell_index(r, geom, ncells):
+    """Cell coordinates for origin-centered positions; triclinic bins in
+    fractional coordinates (GEOM non-orthorhombic binning, src/geom.c)."""
     n = jnp.asarray(ncells)
-    s = r / box_lengths + 0.5                      # [0,1)
+    if geom.ndim == 1:
+        s = r / geom + 0.5                         # [0,1)
+    else:
+        from ..core.box import inv3x3
+
+        s = r @ inv3x3(geom).T + 0.5
     c = jnp.floor(s * n).astype(jnp.int32)
     c = jnp.clip(c, 0, n - 1)
     return c
@@ -164,10 +184,10 @@ def build_neighbor_list(r, fmask, box_lengths, grid: CellGrid, row_mask=None):
     ncid = _flat_cell(nc3, grid.ncells)            # (N, S)
     cand = table[ncid].reshape(n_pad, n_stencil * grid.cell_capacity)  # (N, C)
 
-    # distances (min image, orthorhombic)
+    # distances (min image; orthorhombic lengths or triclinic h)
     r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=r.dtype)], axis=0)
     dr = r[:, None, :] - r_ext[cand]
-    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    dr = min_image_geom(dr, box_lengths)
     d2 = jnp.sum(dr * dr, axis=-1)
 
     i_idx = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
@@ -191,7 +211,7 @@ def neighbor_displacements(r, nbr_idx, box_lengths):
     sentinel = n_pad
     r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=r.dtype)], axis=0)
     dr = r[:, None, :] - r_ext[nbr_idx]
-    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    dr = min_image_geom(dr, box_lengths)
     mask = (nbr_idx != sentinel)
     return dr, mask
 
@@ -200,6 +220,6 @@ def max_displacement2(r, r0, fmask, box_lengths):
     """max_i |r_i - r_i0|^2 for the verlet-skin rebuild trigger
     (neighborCheck, /root/reference/src/neighbor.c:117-199)."""
     dr = r - r0
-    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    dr = min_image_geom(dr, box_lengths)
     d2 = jnp.sum(dr * dr, axis=-1) * fmask
     return jnp.max(d2)

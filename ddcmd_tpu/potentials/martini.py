@@ -32,6 +32,7 @@ import numpy as np
 
 from ..objects import ObjectDB
 from ..objects import units as U
+from ..nbr.celllist import min_image_geom
 
 
 @dataclass
@@ -146,7 +147,7 @@ def martini_nonbond(r, q, tidx, fmask, nbr_idx, box_lengths, tables):
     t_ext = jnp.concatenate([tidx, jnp.zeros((1,), dtype=tidx.dtype)], axis=0)
 
     dr = r[:, None, :] - r_ext[nbr_idx]                       # (N,K,3)
-    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    dr = min_image_geom(dr, box_lengths)
     r2 = jnp.sum(dr * dr, axis=-1)                            # (N,K)
 
     tj = t_ext[nbr_idx]

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..objects import ObjectDB
+from ..nbr.celllist import min_image_geom
 
 
 def _legendre_qlm(L: int):
@@ -86,7 +87,7 @@ def make_ordersh_eval(parms: OrderSHParms, n_global: int, dtype=jnp.float32):
         sentinel = n_pad
         r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=dtype)], axis=0)
         dr = r[:, None, :] - r_ext[nbr_idx]
-        dr = dr - box_lengths * jnp.round(dr / box_lengths)
+        dr = min_image_geom(dr, box_lengths)
         d2 = jnp.sum(dr * dr, axis=-1)
         valid = (nbr_idx != sentinel) & (d2 > 0) & (d2 < r2 * r2) \
             & (fmask[:, None] > 0)

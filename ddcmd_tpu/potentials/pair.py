@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..objects import DeckError, ObjectDB
+from ..nbr.celllist import min_image_geom
 
 
 @dataclass
@@ -125,7 +126,7 @@ def pair_lj(r, sidx, fmask, nbr_idx, box_lengths, tables):
     s_ext = jnp.concatenate([sidx, jnp.zeros((1,), dtype=sidx.dtype)], axis=0)
 
     dr = r[:, None, :] - r_ext[nbr_idx]
-    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    dr = min_image_geom(dr, box_lengths)
     r2 = jnp.sum(dr * dr, axis=-1)
 
     valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0) & (fmask[:, None] > 0)

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..objects import DeckError, ObjectDB
 from ..objects import units as U
+from ..nbr.celllist import min_image_geom
 
 
 @dataclass
@@ -83,7 +84,7 @@ def pairenergy_eval(r, sidx, fmask, nbr_idx, box_lengths, tables):
     r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=dt)], axis=0)
     s_ext = jnp.concatenate([sidx, jnp.zeros((1,), dtype=sidx.dtype)], axis=0)
     dr = r[:, None, :] - r_ext[nbr_idx]
-    dr = dr - box_lengths * jnp.round(dr / box_lengths)
+    dr = min_image_geom(dr, box_lengths)
     r2 = jnp.sum(dr * dr, axis=-1)
     valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0) \
         & (fmask[:, None] > 0)

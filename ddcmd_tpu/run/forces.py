@@ -115,7 +115,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                     tidx = tmap[state.species]
                     f, e, virial, pe, _ = martini_nonbond(
                         state.r, state.q, tidx, state.fmask, handle,
-                        box.lengths, tables)
+                        _geom(box), tables)
                     return f, e, virial, pe
 
             terms.append(martini_term)
@@ -151,7 +151,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             else:
                 def pair_term(state, box, handle, tables=tables):
                     return pair_lj(state.r, state.species, state.fmask, handle,
-                                   box.lengths, tables)
+                                   _geom(box), tables)
 
             terms.append(pair_term)
         elif ptype == "EAM":
@@ -192,7 +192,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             else:
                 def eam_term(state, box, nbr_idx, etables=etables):
                     return eam_eval(state.r, state.species, state.fmask,
-                                    nbr_idx, box.lengths, etables)
+                                    nbr_idx, _geom(box), etables)
 
             terms.append(eam_term)
         elif ptype == "ORDERSH":
@@ -205,7 +205,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
             def ordersh_term(state, box, nbr_idx, osh_eval=osh_eval):
                 f, e, virial, pe, phi = osh_eval(
-                    state.r, state.fmask, nbr_idx, box.lengths)
+                    state.r, state.fmask, nbr_idx, _geom(box))
                 return f, e, virial, pe
 
             terms.append(ordersh_term)
@@ -221,7 +221,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
             def pe_term(state, box, nbr_idx, ptables=ptables):
                 return pairenergy_eval(state.r, state.species, state.fmask,
-                                       nbr_idx, box.lengths, ptables)
+                                       nbr_idx, _geom(box), ptables)
 
             terms.append(pe_term)
         elif ptype == "RESTRAINT":

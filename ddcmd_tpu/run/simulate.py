@@ -69,20 +69,22 @@ class Simulation:
             # (reference GEOM non-orthorhombic binning, src/geom.c); the
             # pallas/nlist paths stay diagonal-only (constraints are
             # h-aware via the fractional-space min-image)
-            if engine in ("pallas", "nlist"):
+            if engine == "pallas":
                 engine = "cellblock"
-            if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
+            # the nlist engine is h-aware (fractional binning + h
+            # min-image, nbr/celllist.py:min_image_geom) -- PAIRENERGY/
+            # ORDERSH and nlist-routed decks run triclinic natively
+            hm = np.asarray(sd.box.h)
+            z_decoupled = (hm[2, 0] == 0 and hm[2, 1] == 0
+                           and hm[0, 2] == 0 and hm[1, 2] == 0)
+            if any(g.type in ("SHEAR", "SHWALL") for g in sd.groups) \
+                    and not z_decoupled:
+                # the shear slabs live in Cartesian z; an xy-tilted box
+                # keeps z exact, a z-coupled tilt does not (shear.c
+                # assumes slab normals along z)
                 raise NotImplementedError(
-                    "PAIRENERGY/ORDERSH need the nlist engine, which is "
-                    "orthorhombic-only; triclinic boxes unsupported here")
-            if any(g.type in ("SHEAR", "SHWALL") for g in sd.groups):
-                raise NotImplementedError(
-                    "SHEAR/SHWALL groups assume an orthorhombic box")
-            if sd.integrator_type == "NGLFNK":
-                # its scaled-coordinate dynamics use diagonal box lengths
-                # and would silently drop the tilt on the first step
-                raise NotImplementedError(
-                    "NGLFNK assumes an orthorhombic box")
+                    "SHEAR/SHWALL need the c lattice vector along z "
+                    "(xy tilt is fine; z-coupled tilt is not)")
         self.engine = engine
         # dynamic boxes (barostats / prescribed box(t)) plan the cell grid
         # with shrink headroom so compression doesn't trip the cell-edge
@@ -239,9 +241,17 @@ class Simulation:
             from ..integrators.nglfnk import make_nglfnk_step
 
             ip = sd.integrator_parms
+            h_frac = None
+            if not sd.box.ortho:
+                # fixed-shape triclinic piston: factor h0 = h_frac diag(L0)
+                # with unit-length lattice vectors so L are the per-axis
+                # lattice lengths (nglfNK.c per-axis dynamics, de-tilted)
+                h0 = np.asarray(sd.box.h, dtype=np.float64)
+                h_frac = h0 / np.linalg.norm(h0, axis=0)[None, :]
             self.step_fn = make_nglfnk_step(
                 self.force_fn, sd.cfg.dt, T=ip["T"], tau=ip["tau"],
-                Peq=ip["P"], W=ip["W"], kB=U.kB, wrap_positions=wrap)
+                Peq=ip["P"], W=ip["W"], kB=U.kB, wrap_positions=wrap,
+                h_frac=h_frac)
             return
         if itype in ("NVEGLF", "NVEGLF_SIMPLE"):
             # NVE variants ignore thermostats: plain leapfrog kicks
@@ -298,8 +308,9 @@ class Simulation:
                 return ss, perm, overflow | cell_edge_bad(ss.box)
         else:
             def build_nbr(ss):
+                geom = ss.box.lengths if ss.box.ortho else ss.box.h
                 nbr_idx, _, overflow = build_neighbor_list(
-                    ss.state.r, ss.state.fmask, ss.box.lengths, grid)
+                    ss.state.r, ss.state.fmask, geom, grid)
                 return ss, nbr_idx, overflow | cell_edge_bad(ss.box)
 
         deltaR2 = float(self.sysdef.neighbor_deltaR) ** 2
@@ -483,8 +494,9 @@ class Simulation:
                 return build_cell_slots(r, ss.state.fmask, geom, grid)[0]
         else:
             def rebuild(ss):
+                geom = ss.box.lengths if ss.box.ortho else ss.box.h
                 return build_neighbor_list(ss.state.r, ss.state.fmask,
-                                           ss.box.lengths, grid)[0]
+                                           geom, grid)[0]
 
         rebuild_j = jax.jit(rebuild)
         force_j = jax.jit(lambda ss, nbr: self.force_fn(ss.state, ss.box,
@@ -748,26 +760,40 @@ class Simulation:
         return self.ss
 
     def _box_lam(self, n_steps: int):
-        """Per-step diagonal box scale for the prescribed box(t) modes
-        (boxPrescriptiveTime, /root/reference/src/boxPrescriptiveTime.c:96-145).
-        Constant across the dispatch; schedules refresh at dispatch
-        granularity (exact at dispatch boundaries)."""
+        """Per-step box update (E, M) with h' = (E * h) @ M for the
+        prescribed box(t) modes (boxPrescriptiveTime,
+        /root/reference/src/boxPrescriptiveTime.c:96-145): STRAIN fills
+        E elementwise (full 9-component dudt supported), DEFORMATION_RATE
+        fills M = expm(D dt), VOLUME fills a diagonal E.  Constant across
+        the dispatch; schedules refresh at dispatch granularity (exact at
+        dispatch boundaries)."""
         bt = self.sysdef.box_time
+        eye = np.eye(3)
         if bt is None:
-            return jnp.ones(3, self.dtype)
+            return (jnp.ones((3, 3), self.dtype),
+                    jnp.asarray(eye, self.dtype))
         t = float(self.ss.time)
         dt = self.sysdef.cfg.dt
         S = max(1, n_steps)
+        E = np.ones((3, 3))
+        M = eye
         if bt["mode"] == "strain":
-            lam = [math.exp(eq.integral(t, t + S * dt) / S)
-                   for eq in bt["eqs"]]
+            E = np.array([[math.exp(eq.integral(t, t + S * dt) / S)
+                           for eq in row] for row in bt["eqs"]])
         elif bt["mode"] == "deformation":
-            lam = [math.exp(d * dt) for d in bt["diag"]]
+            D = np.asarray(bt["D"], dtype=np.float64) * dt
+            M = eye.copy()
+            term = eye.copy()
+            for k in range(1, 24):                # expm series (exact to
+                term = term @ D / k               # machine eps for D dt<<1)
+                M = M + term
+                if np.abs(term).max() < 1e-18:
+                    break
         else:  # volume: hit n*Veq(t + S dt) exactly at the dispatch end
             v_now = float(self.ss.box.volume)
             v_tgt = self.sysdef.state.n_local * float(bt["eq"](t + S * dt))
-            lam = [(v_tgt / v_now) ** (1.0 / (3.0 * S))] * 3
-        return jnp.asarray(lam, self.dtype)
+            E = E * (v_tgt / v_now) ** (1.0 / (3.0 * S))
+        return (jnp.asarray(E, self.dtype), jnp.asarray(M, self.dtype))
 
     def _emit_graphs(self, k):
         """Load-diagnostics file (graphWrite analog,

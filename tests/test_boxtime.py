@@ -90,3 +90,52 @@ def test_box_volume_mode(tmp_path):
     sim.run(30, print_fn=lambda s: None)
     vol = float(sim.ss.box.volume)        # nm^3
     assert vol == pytest.approx(n * 13.0e-3, rel=1e-9)
+
+
+def test_box_deformation_offdiagonal(tmp_path):
+    """Off-diagonal deformationRate: h <- h expm(D dt) grows a tilt from
+    an orthorhombic start (boxPrescriptiveTime.c:120-139); the run is
+    demoted to the triclinic cell-block paths from step one and h tracks
+    the closed-form expm(D t) @ h0."""
+    # D: shear xy + slight xx growth, in 1/fs deck units
+    n, L = make_fixture(
+        tmp_path,
+        box_extra="deformationRate=5e-6 2e-5 0 0 0 0 0 0 0;")
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                     dtype=jnp.float64)
+    bt = sim.sysdef.box_time
+    assert bt["mode"] == "deformation"
+    assert not sim.sysdef.box.ortho          # demoted: D has off-diag
+    assert sim.engine == "cellblock"
+    h0 = np.asarray(sim.ss.box.h, dtype=np.float64)
+    n_steps = 40
+    sim.run(n_steps, print_fn=lambda s: None)
+    h1 = np.asarray(sim.ss.box.h, dtype=np.float64)
+    # closed form: h(t) = h0 expm(D t) (per-step expm compounds exactly)
+    Dt = np.asarray(bt["D"]) * sim.sysdef.cfg.dt * n_steps
+    expm = np.eye(3)
+    term = np.eye(3)
+    for k in range(1, 30):
+        term = term @ Dt / k
+        expm += term
+    np.testing.assert_allclose(h1, h0 @ expm, rtol=1e-9, atol=1e-12)
+    assert h1[0, 1] != 0.0                   # tilt actually grew
+    assert np.isfinite(float(sim.ss.energy.eion))
+
+
+def test_box_rotation_constant(tmp_path):
+    """rotationMatrix: constant h = R h0 folded at build (the reference
+    never integrates ROTATION in time, boxPrescriptiveTime.c:141-143)."""
+    th = 0.1
+    c, s = math.cos(th), math.sin(th)
+    n, L = make_fixture(
+        tmp_path,
+        box_extra=f"rotationMatrix={c} {-s} 0 {s} {c} 0 0 0 1;")
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                     dtype=jnp.float64)
+    assert sim.sysdef.box_time is None       # folded, not integrated
+    h = np.asarray(sim.ss.box.h)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    np.testing.assert_allclose(h, R @ np.diag([L / 10] * 3), rtol=1e-6)

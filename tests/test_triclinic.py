@@ -158,7 +158,7 @@ def test_simulation_triclinic_nve(tmp_path):
     rows = [f"{i} ATOM Ar free "
             + " ".join("%.8f" % x for x in r[i])
             + " " + " ".join("%.8f" % x for x in v[i]) for i in range(n)]
-    hflat = " ".join("%.6f" % x for x in h.T.reshape(-1))
+    hflat = " ".join("%.6f" % x for x in h.reshape(-1))
     hdr = (f"particle FILEHEADER {{type=MULTILINE; datatype=VARRECORDASCII;"
            f" checksum=NONE;\nloop=0; time=0.0;\nnfiles=1; nrecord={n};"
            f" nfields=10;\n"
@@ -241,3 +241,101 @@ def test_triclinic_constraint_projection():
     db_ = r_bad[0] - r_bad[1]
     db_ = db_ - np.round(hinv @ db_) @ h.T
     assert abs(np.linalg.norm(db_) - d0) > 1e-4
+
+
+@pytest.mark.parametrize("tilt", [0.15, -0.25])
+def test_nlist_triclinic_vs_brute(tilt):
+    """The (N,K)-list engine is h-aware: fractional binning + h
+    min-image (min_image_geom) against the 27-image brute force."""
+    from ddcmd_tpu.nbr.celllist import CellGrid, build_neighbor_list
+    from ddcmd_tpu.potentials.martini import martini_nonbond
+
+    rcut = 1.1
+    L = 4.6
+    h = _monoclinic_h(L, tilt)
+    n = 300
+    r, q, tidx = _random_system(n, h, seed=3)
+    tables = _tables(rcut)
+    f_ref, e_ref = _brute_force(r, q, tidx, h, tables, rcut)
+
+    hj = jnp.asarray(h, jnp.float64)
+    rj = jnp.asarray(r, jnp.float64)
+    fmask = jnp.ones(n, jnp.float64)
+    import numpy.linalg as la
+    # plan against perpendicular plane spacings, not lattice lengths
+    spans = np.abs(la.det(h)) / np.array([
+        la.norm(np.cross(h[:, 1], h[:, 2])),
+        la.norm(np.cross(h[:, 2], h[:, 0])),
+        la.norm(np.cross(h[:, 0], h[:, 1]))])
+    grid = CellGrid.plan(spans, rcut, 0.1, n, n)
+    nbr, _, ov = build_neighbor_list(rj, fmask, hj, grid)
+    assert not bool(ov)
+    f, e, virial, pe, _ = martini_nonbond(rj, jnp.asarray(q),
+                                          jnp.asarray(tidx), fmask, nbr,
+                                          hj, tables)
+    assert float(e) == pytest.approx(e_ref, rel=1e-9)
+    scale = np.abs(f_ref).max()
+    assert np.abs(np.asarray(f) - f_ref).max() / scale < 1e-9
+
+
+def test_simulation_triclinic_nlist_engine(tmp_path):
+    """engine='nlist' on a GENERAL-box deck: matches the cellblock
+    engine's first energy and conserves NVE energy (the former
+    orthorhombic-only guard is gone)."""
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.simulate import Simulation
+
+    # reuse the monoclinic LJ fixture from test_simulation_triclinic_nve
+    L, tilt, m = 24.0, 0.2, 6
+    h = _monoclinic_h(L, tilt)
+    rng = np.random.default_rng(5)
+    g = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)
+    s = (g + 0.5) / m - 0.5 + (rng.random((m ** 3, 3)) - 0.5) * 0.02
+    r = s @ h.T
+    n = len(r)
+    v = rng.standard_normal((n, 3)) * 0.002
+    rows = [f"{i} ATOM Ar free "
+            + " ".join("%.8f" % x for x in r[i])
+            + " " + " ".join("%.8f" % x for x in v[i]) for i in range(n)]
+    hflat = " ".join("%.6f" % x for x in h.reshape(-1))
+    hdr = (f"particle FILEHEADER {{type=MULTILINE; datatype=VARRECORDASCII;"
+           f" checksum=NONE;\nloop=0; time=0.0;\nnfiles=1; nrecord={n};"
+           f" nfields=10;\n"
+           f"field_names=id class type group rx ry rz vx vy vz;\n"
+           f"field_types=u s s s f f f f f f;\n"
+           f"h= {hflat} ;\n}}\n\n")
+    (tmp_path / "atoms#000000").write_text(hdr + "\n".join(rows) + "\n")
+    deck = f"""
+simulate SIMULATE {{ type=MD; system=system; integrator=nve; dt=4;
+  maxloop=1000; printrate=50; ddc=ddc; }}
+ddc DDC {{ updateRate=10; }}
+pot POTENTIAL {{ type=PAIR; cutoff=7.0 Angstrom; eps=0.01 eV;
+  sigma=3.4 Angstrom; }}
+nve INTEGRATOR {{ type=NVEGLF; }}
+system SYSTEM {{ type=NORMAL; potential=pot; neighbor=nbr; groups=free;
+  box=box; collection=collection; species=Ar; }}
+Ar SPECIES {{ type=ATOM; mass=39.948; charge=0; }}
+box BOX {{ type=GENERAL; pbc=7; h= {hflat} ; }}
+nbr NEIGHBOR {{ type=NORMAL; deltaR=1.2; }}
+free GROUP {{ type=FREE; }}
+collection COLLECTION {{ mode=VARRECORDASCII; size={n}; files=atoms#; }}
+"""
+    (tmp_path / "object.data").write_text(deck)
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                     dtype=jnp.float64, engine="nlist")
+    assert sim.engine == "nlist"
+    sim.first_energy()
+    e_n = float(sim.ss.energy.eion)
+
+    db2 = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim2 = Simulation(db2, str(tmp_path), run_dir=str(tmp_path),
+                      dtype=jnp.float64, engine="cellblock")
+    sim2.first_energy()
+    assert e_n == pytest.approx(float(sim2.ss.energy.eion), rel=1e-10)
+
+    e0 = e_n + float(sim.ss.energy.rk)
+    sim.run(200, print_fn=lambda s: None)
+    e1 = float(sim.ss.energy.eion) + float(sim.ss.energy.rk)
+    assert abs(e1 - e0) < 3e-4 * n
