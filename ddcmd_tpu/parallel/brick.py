@@ -42,6 +42,13 @@ class BrickPlan:
     #     x->y->z exchange stays valid because each phase's sender and
     #     receiver live in the same slab/column and share the wall set
     walls: tuple | None = None
+    # Voronoi-center domains (parallel/voronoi.py): dict with
+    #   centers (nx,ny,nz,3), margins (3,), L0 (3,)
+    # Ownership is nearest-center; halo windows widen by the bisector
+    # margin; centers scale affinely with a live NPT box
+    # (ddcAffineUpdateCenters, /root/reference/src/ddcAssignment.c:42).
+    # Mutually exclusive with walls.
+    voronoi: dict | None = None
 
     @property
     def n_dev(self) -> int:
@@ -102,9 +109,16 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
                               None if plan.walls is None else plan.walls[ax_i],
                               prefix)
+        win = plan.rlist
+        if plan.voronoi is not None:
+            # widen by the bisector-plane excursion beyond the nominal
+            # face (voronoi.face_margins), scaled with the live box
+            vor = plan.voronoi
+            win = win + (vor["margins"][ax_i] / vor["L0"][ax_i]
+                         * box_lengths[ax_i])
         x = pool["r"][:, ax_i]
-        sel_lo = pool_mask & (x < lo + plan.rlist)
-        sel_hi = pool_mask & (x >= hi - plan.rlist)
+        sel_lo = pool_mask & (x < lo + win)
+        sel_hi = pool_mask & (x >= hi - win)
         if n == 2:
             # both windows land on the SAME neighbor: an atom within
             # rlist of both faces (brick width < 2 rlist, dense short-
@@ -164,26 +178,51 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
     Molecule coherence: when fields carry 'hgid' (head-bead gid per
     particle), migration destinations use the HEAD bead's position so a
     molecule always moves as one unit -- the ddcRule MOLECULE analog
-    (/root/reference/src/ddcRuleMolecule.c:43)."""
+    (/root/reference/src/ddcRuleMolecule.c:43).
+
+    Voronoi domains (plan.voronoi): the destination is the nearest of
+    the 27 neighborhood centers, computed ONCE up front and carried as a
+    per-particle hop vector through the staged hops
+    (voronoiCalcParticleDestinations,
+    /root/reference/src/ddcAssignment.c:105-147)."""
     overflow = jnp.zeros((), bool)
     cur = fields
     mask = valid_mask
+    vor = plan.voronoi
+    if vor is not None:
+        from .voronoi import dest_offsets, neighborhood_centers
+
+        dtype = fields["r"].dtype
+        scale = (jnp.asarray(box_lengths, dtype)
+                 / jnp.asarray(vor["L0"], dtype))
+        centers_dev = jnp.asarray(vor["centers"], dtype) * scale
+        c27 = neighborhood_centers(centers_dev, box_lengths, plan.shape)
+        rr = _head_positions(fields, mask) if "hgid" in fields \
+            else fields["r"]
+        mig = dest_offsets(rr, c27, box_lengths)
+        mig = mig * jnp.asarray([int(n > 1) for n in plan.shape],
+                                mig.dtype)[None, :]
+        cur = dict(fields, mig=mig)
     for ax_i, axis in enumerate(AXES):
         n = plan.shape[ax_i]
         if n == 1:
             continue
         me = jax.lax.axis_index(axis)
         dtype = cur["r"].dtype
-        prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
-        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
-                              None if plan.walls is None else plan.walls[ax_i],
-                              prefix)
-        if "hgid" in cur:
-            x = _head_positions(cur, mask)[:, ax_i]
+        if vor is not None:
+            go_lo = mask & (cur["mig"][:, ax_i] < 0)
+            go_hi = mask & (cur["mig"][:, ax_i] > 0)
         else:
-            x = cur["r"][:, ax_i]
-        go_lo = mask & (x < lo)
-        go_hi = mask & (x >= hi)
+            prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
+            lo, hi = _axis_bounds(
+                box_lengths[ax_i], n, me, dtype,
+                None if plan.walls is None else plan.walls[ax_i], prefix)
+            if "hgid" in cur:
+                x = _head_positions(cur, mask)[:, ax_i]
+            else:
+                x = cur["r"][:, ax_i]
+            go_lo = mask & (x < lo)
+            go_hi = mask & (x >= hi)
         stay = mask & ~(go_lo | go_hi)
         buf_lo, n_lo, ov1 = compact_rows(cur, go_lo, plan.migrate_cap)
         buf_hi, n_hi, ov2 = compact_rows(cur, go_hi, plan.migrate_cap)
@@ -197,6 +236,19 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         cur, count, ov3 = compact_rows(pool, pool_mask, plan.local_cap)
         mask = jnp.arange(plan.local_cap) < count
         overflow = overflow | ov1 | ov2 | ov3
+
+    if vor is not None:
+        # containment: after the hops the nearest neighborhood center
+        # must be SELF; a particle that moved >1 brick since the last
+        # migration (or a center that drifted under it) flags overflow
+        # so the host redistributes exactly (as for ORCB walls below)
+        del cur["mig"]
+        rr = _head_positions(cur, mask) if "hgid" in cur else cur["r"]
+        mig2 = dest_offsets(rr, c27, box_lengths) \
+            * jnp.asarray([int(n > 1) for n in plan.shape],
+                          jnp.int32)[None, :]
+        overflow = overflow | jnp.any(mask & jnp.any(mig2 != 0, axis=1))
+        return cur, mask, overflow
 
     # hierarchical (ORCB) walls: crossing an x wall swaps the y/z wall
     # set, so one staged hop can leave a particle >1 brick from its owner
@@ -234,7 +286,14 @@ def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
         r = r[[row_of[int(h)] for h in h64]]
     nx, ny, nz = plan.shape
     L = np.asarray(box_lengths, dtype=np.float64)
-    if plan.walls is not None:
+    if plan.voronoi is not None:
+        from .voronoi import assign_host
+
+        vor = plan.voronoi
+        centers = vor["centers"] * (L / np.asarray(vor["L0"]))[None, None,
+                                                               None, :]
+        dest = assign_host(r, centers, L, plan.shape)
+    elif plan.walls is not None:
         from .loadbalance import walls_assign
 
         fr = r / L[None, :] + 0.5

@@ -99,6 +99,7 @@ class ParallelSimulation:
         # loadBalance.c:32-85): per-axis equal-work walls = the
         # tensor-product ORCB a fixed brick topology admits
         walls = None
+        voronoi = None
         self.lb_rate = 0
         self._lb_kind = None
         lbobj = (db.find(ddc.get_str("loadBalance", ""), "LOADBALANCE")
@@ -125,20 +126,38 @@ class ParallelSimulation:
                               for a, w in enumerate(raw))
                 self._lb_kind = "tensor"
                 self.lb_rate = lbobj.get_int("rate", 0)
+            elif kind == "VORONOI":
+                # nearest-center domains; centers start at the brick
+                # centers and drift under the diffusive balancer
+                # (voronoiLoadBalance registry, loadBalance.c:65-68)
+                from ..parallel.voronoi import nominal_centers
+
+                voronoi = dict(centers=nominal_centers(L, self.shape),
+                               margins=np.zeros(3), L0=L.copy())
+                self._lb_kind = "voronoi"
+                self._lb_eta = lbobj.get_float("eta", 0.5)
+                self.lb_rate = lbobj.get_int("rate", 0)
 
         # halo windows scale with rlist / brick width: dense short-cutoff
         # systems (EAM metals) can need windows holding most of a brick's
         # pool, so size per-phase ghost buffers from the geometry
         per_dev = max(1, n // n_dev)
         width = min(L[a] / self.shape[a] for a in range(3))
-        frac = min(1.0, rlist / width)
+        win = rlist
+        if voronoi is not None:
+            # Voronoi halo windows widen by the bisector margin as the
+            # balancer moves centers; reserve for the displacement bound
+            from ..parallel.voronoi import beta_max
+
+            win = rlist + 0.75 * beta_max(L, self.shape) * width
+        frac = min(1.0, win / width)
         halo_est = int(per_dev * (1 + 2 * frac) ** 2 * frac * 1.8) + 64
         self.plan = BrickPlan(
             shape=self.shape,
             local_cap=_cap(4 * n // n_dev),
             halo_cap=_cap(max(3 * n // n_dev // 2, halo_est)),
             migrate_cap=_cap(max(256, n // (4 * n_dev))),
-            rlist=rlist, walls=walls)
+            rlist=rlist, walls=walls, voronoi=voronoi)
         # measured-occupancy planning: the mean-density heuristic
         # underestimates clustered decks, and when a brick's halo window
         # wraps a small box the same atom appears as multiple ghost
@@ -443,6 +462,36 @@ def parallel_rebalance(psim):
     L = psim._box_L
     if psim.barostat is not None:
         L = np.asarray(psim.Lv, dtype=np.float64)
+    if getattr(psim, "_lb_kind", None) == "voronoi":
+        # diffusive center update from the owned counts, then host-exact
+        # nearest-center redistribution (ddcAssignment + the
+        # voronoiLoadBalance balanceFunction, loadBalance.c:65-68)
+        from ..parallel.voronoi import balance_step
+
+        vor = psim.plan.voronoi
+        scale = L / np.asarray(vor["L0"])
+        centers, margins = balance_step(
+            vor["centers"] * scale[None, None, None, :],
+            np.asarray(R, dtype=np.float64), L,
+            psim.shape, psim.plan.rlist,
+            eta=getattr(psim, "_lb_eta", 0.5))
+        psim.plan = dataclasses.replace(
+            psim.plan, voronoi=dict(centers=centers, margins=margins,
+                                    L0=L.copy()))
+        kw = dict(psim._step_kwargs, box_lengths=L)
+        out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
+                              psim.coeffs, **kw)
+        psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
+        arrays = dict(psim._host_arrays,
+                      r=R.astype(np.float32), v=V.astype(np.float32))
+        buf, mask, counts = distribute_bricks(arrays, L, psim.plan)
+        shard = lambda a: jax.device_put(
+            jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
+        psim.fields = {k: shard(v) for k, v in buf.items()}
+        psim.mask = shard(mask)
+        psim.f = None
+        psim.first_energy()
+        return counts
     if getattr(psim, "_lb_kind", None) == "bisection":
         from ..parallel.loadbalance import orcb_walls
 
