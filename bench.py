@@ -24,6 +24,15 @@ REFERENCE_WATERBOX = "/root/reference/examples/waterbox"
 BASELINE_STEPS_PER_SEC = 100.0  # estimated CPU-ddcMD (see docstring)
 
 
+def _log(msg, _t0=[None]):
+    # stage timestamps on stderr (stdout stays the single JSON line); a
+    # wedged tunnel or slow compile is attributable from the last stamp
+    if _t0[0] is None:
+        _t0[0] = time.perf_counter()
+    print(f"[bench +{time.perf_counter() - _t0[0]:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
@@ -62,14 +71,18 @@ def main():
         base = REFERENCE_WATERBOX
         metric = "waterbox_steps_per_sec"
     engine = os.environ.get("BENCH_ENGINE", "auto")
+    _log(f"workload={workload} loaded; building Simulation")
     sim = Simulation(db, base, run_dir="/tmp", engine=engine)
+    _log(f"Simulation built (engine={sim.engine}); first_energy")
     try:
         sim.first_energy()
     except Exception:
         # robust fallback: the XLA cell-block engine
         engine = "cellblock"
+        _log("first_energy failed; falling back to cellblock engine")
         sim = Simulation(db, base, run_dir="/tmp", engine=engine)
     engine = sim.engine
+    _log("first_energy done")
     rep = int(os.environ.get("BENCH_REPLICATE", "1"))
     if rep > 1:
         from ddcmd_tpu.objects.parser import DeckObject
@@ -84,13 +97,16 @@ def main():
     dispatch = int(os.environ.get("BENCH_DISPATCH", "1600"))
 
     # warmup: compile the dispatch-sized program + run one of them
+    _log(f"warmup: {dispatch} steps (includes superchunk compile)")
     sim.run(dispatch, print_fn=lambda s: None, max_steps_per_dispatch=dispatch)
     jax.block_until_ready(sim.ss.state.r)
+    _log(f"warmup done; measuring {n_steps} steps")
 
     t0 = time.perf_counter()
     sim.run(n_steps, print_fn=lambda s: None, max_steps_per_dispatch=dispatch)
     jax.block_until_ready(sim.ss.state.r)
     elapsed = time.perf_counter() - t0
+    _log(f"measure done ({n_steps} steps in {elapsed:.1f}s)")
 
     steps_per_sec = n_steps / elapsed
     ns_per_day = steps_per_sec * dt_fs * 86400.0 / 1e6

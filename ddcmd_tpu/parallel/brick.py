@@ -11,6 +11,14 @@ All positions are GLOBAL origin-centered coordinates; neighbor math
 downstream does global min-image, so ghosts never need coordinate
 rewrites.  Axis sizes of 1 need no exchange (periodicity is handled by
 min-image); axis size 2 sends both windows to the single neighbor.
+
+Boxes may be orthorhombic ((3,) lengths) or triclinic ((3,3) h with
+lattice vectors as columns): ownership and halo windows live in
+FRACTIONAL coordinates s = h^-1 r (the reference GEOM/ddc domains do the
+same for general boxes, src/box.c nearestImage + ddc.c domain lattice).
+A Cartesian halo depth `rlist` converts to the fractional window
+rlist * ||row_a(h^-1)|| -- the exact slab that covers every point within
+rlist of a fractional-plane face.
 """
 
 from __future__ import annotations
@@ -61,19 +69,35 @@ class BrickPlan:
         return 6 * self.halo_cap
 
 
-def _axis_bounds(box_l, n, idx, dtype, walls=None, prefix=()):
-    """[lo, hi) of this device's brick along one axis.  walls may be a
-    shared (n+1,) set or a hierarchical set with one leading dim per
-    EARLIER mesh axis (ORCB); prefix holds those axes' device indices."""
+def geom_frac(box_geom, dtype):
+    """(frac_fn, per_cart): origin-centered fractional coordinates
+    s = h^-1 r in [-0.5, 0.5) plus the per-axis fractional width of ONE
+    Cartesian length unit measured perpendicular to the brick faces
+    (= 1/L orthorhombic, ||row_a(h^-1)|| triclinic); a Cartesian halo
+    depth w becomes the fractional window w * per_cart."""
+    g = jnp.asarray(box_geom, dtype)
+    if g.ndim == 1:
+        return (lambda rr: rr / g), 1.0 / g
+    from ..core.box import inv3x3
+
+    hin = inv3x3(g)
+    return (lambda rr: rr @ hin.T), jnp.sqrt(jnp.sum(hin * hin, axis=1))
+
+
+def _axis_bounds(n, idx, dtype, walls=None, prefix=()):
+    """FRACTIONAL [lo, hi) in [-0.5, 0.5) of this device's brick along
+    one axis.  walls may be a shared (n+1,) set or a hierarchical set
+    with one leading dim per EARLIER mesh axis (ORCB); prefix holds those
+    axes' device indices."""
     if walls is not None:
         w = jnp.asarray(walls, dtype=dtype)
         if w.ndim > 1:
             for p in prefix:
                 w = w[p.astype(jnp.int32)]
         i = idx.astype(jnp.int32)
-        return (w[i] - 0.5) * box_l, (w[i + 1] - 0.5) * box_l
-    w = box_l / n
-    lo = -0.5 * box_l + w * idx.astype(dtype)
+        return w[i] - 0.5, w[i + 1] - 0.5
+    w = 1.0 / n
+    lo = -0.5 + w * idx.astype(dtype)
     return lo, lo + w
 
 
@@ -98,6 +122,7 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
     ghosts = {k: jnp.zeros((0,) + v.shape[1:], v.dtype) for k, v in fields.items()}
     gmask = jnp.zeros((0,), bool)
 
+    frac, per_cart = geom_frac(box_lengths, dtype)
     pool = fields
     pool_mask = valid_mask
     for ax_i, axis in enumerate(AXES):
@@ -106,19 +131,22 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
             continue
         me = jax.lax.axis_index(axis)
         prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
-        lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
+        lo, hi = _axis_bounds(n, me, dtype,
                               None if plan.walls is None else plan.walls[ax_i],
                               prefix)
         win = plan.rlist
         if plan.voronoi is not None:
             # widen by the bisector-plane excursion beyond the nominal
             # face (voronoi.face_margins), scaled with the live box
+            # (Voronoi domains are orthorhombic-only: margins/L0 are
+            # Cartesian lengths)
             vor = plan.voronoi
             win = win + (vor["margins"][ax_i] / vor["L0"][ax_i]
                          * box_lengths[ax_i])
-        x = pool["r"][:, ax_i]
-        sel_lo = pool_mask & (x < lo + win)
-        sel_hi = pool_mask & (x >= hi - win)
+        win_f = win * per_cart[ax_i]
+        x = frac(pool["r"])[:, ax_i]
+        sel_lo = pool_mask & (x < lo + win_f)
+        sel_hi = pool_mask & (x >= hi - win_f)
         if n == 2:
             # both windows land on the SAME neighbor: an atom within
             # rlist of both faces (brick width < 2 rlist, dense short-
@@ -188,6 +216,7 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
     overflow = jnp.zeros((), bool)
     cur = fields
     mask = valid_mask
+    frac, _ = geom_frac(box_lengths, fields["r"].dtype)
     vor = plan.voronoi
     if vor is not None:
         from .voronoi import dest_offsets, neighborhood_centers
@@ -215,12 +244,12 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         else:
             prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
             lo, hi = _axis_bounds(
-                box_lengths[ax_i], n, me, dtype,
+                n, me, dtype,
                 None if plan.walls is None else plan.walls[ax_i], prefix)
             if "hgid" in cur:
-                x = _head_positions(cur, mask)[:, ax_i]
+                x = frac(_head_positions(cur, mask))[:, ax_i]
             else:
-                x = cur["r"][:, ax_i]
+                x = frac(cur["r"])[:, ax_i]
             go_lo = mask & (x < lo)
             go_hi = mask & (x >= hi)
         stay = mask & ~(go_lo | go_hi)
@@ -259,15 +288,15 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
             np.asarray(w).ndim > 1 for w in plan.walls):
         rr = _head_positions(cur, mask) if "hgid" in cur else cur["r"]
         dtype = rr.dtype
+        ss = frac(rr)
         for ax_i, axis in enumerate(AXES):
             n = plan.shape[ax_i]
             if n == 1:
                 continue
             me = jax.lax.axis_index(axis)
             prefix = tuple(jax.lax.axis_index(a) for a in AXES[:ax_i])
-            lo, hi = _axis_bounds(box_lengths[ax_i], n, me, dtype,
-                                  plan.walls[ax_i], prefix)
-            x = rr[:, ax_i]
+            lo, hi = _axis_bounds(n, me, dtype, plan.walls[ax_i], prefix)
+            x = ss[:, ax_i]
             overflow = overflow | jnp.any(mask & ((x < lo) | (x >= hi)))
     return cur, mask, overflow
 
@@ -286,6 +315,11 @@ def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
         r = r[[row_of[int(h)] for h in h64]]
     nx, ny, nz = plan.shape
     L = np.asarray(box_lengths, dtype=np.float64)
+    if L.ndim == 2:
+        fr = r @ np.linalg.inv(L).T + 0.5       # fractional, triclinic h
+    else:
+        fr = r / L[None, :] + 0.5
+    fr = fr - np.floor(fr)
     if plan.voronoi is not None:
         from .voronoi import assign_host
 
@@ -296,13 +330,10 @@ def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
     elif plan.walls is not None:
         from .loadbalance import walls_assign
 
-        fr = r / L[None, :] + 0.5
-        fr = fr - np.floor(fr)
         cx, cy, cz = walls_assign(fr, plan.walls, plan.shape)
         dest = (cx * ny + cy) * nz + cz
     else:
-        cj = [np.clip(np.floor((r[:, a] / L[a] + 0.5)
-                               * plan.shape[a]).astype(int),
+        cj = [np.clip(np.floor(fr[:, a] * plan.shape[a]).astype(int),
                       0, plan.shape[a] - 1) for a in range(3)]
         dest = (cj[0] * ny + cj[1]) * nz + cj[2]
     out = {}

@@ -8,7 +8,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.groups import velocity_update
-from ..nbr.celllist import CellGrid, build_neighbor_list
+from ..nbr.celllist import CellGrid, build_neighbor_list, min_image_geom
 from ..objects import units as U
 from ..potentials.bonded import bonded_eval
 from ..potentials.martini import martini_nonbond
@@ -21,6 +21,31 @@ FIELD_KEYS = ("r", "v", "q", "mass", "species", "group", "gid")
 def make_brick_mesh(shape, devices=None) -> Mesh:
     devs = np.array(jax.devices() if devices is None else devices)
     return Mesh(devs[: int(np.prod(shape))].reshape(shape), AXES)
+
+
+def _wrap(r, g):
+    """Wrap origin-centered positions back into the (3,) orthorhombic or
+    (3,3) triclinic box (back_in_box analog, src/box.c)."""
+    if g.ndim == 1:
+        return r - g * jnp.round(r / g)
+    from ..core.box import inv3x3
+
+    return r - jnp.round(r @ inv3x3(g).T) @ g.T
+
+
+def _perp_widths(g):
+    """Per-axis perpendicular spans (= lengths when orthorhombic): the
+    cell/brick width that a one-shell stencil measures against rlist."""
+    if g.ndim == 1:
+        return g
+    from ..core.box import inv3x3
+
+    hin = inv3x3(g)
+    return 1.0 / jnp.sqrt(jnp.sum(hin * hin, axis=1))
+
+
+def _volume(g):
+    return jnp.prod(g) if g.ndim == 1 else jnp.abs(jnp.linalg.det(g))
 
 
 def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
@@ -43,6 +68,10 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
     moment is computed locally per owned molecule and psum'd; without it
     the atomic virial is used (identical for single-bead molecules)."""
     Lv_host = np.asarray(box_lengths, dtype=np.float64)
+    if Lv_host.ndim == 2 and barostat is not None:
+        raise NotImplementedError(
+            "sharded barostat requires an orthorhombic box (the Berendsen "
+            "scale acts on the h diagonal)")
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
     full_axes = tuple(AXES)
@@ -75,7 +104,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         r_pad = jnp.concatenate([r_ext, jnp.zeros((1, 3), dt_)])
         s_pad = jnp.concatenate([s_ext_, jnp.zeros((1,), s_ext_.dtype)])
         dr = r_ext[:, None, :] - r_pad[nbr_idx]
-        dr = dr - Lv * jnp.round(dr / Lv)
+        dr = min_image_geom(dr, Lv)
         r2 = jnp.sum(dr * dr, axis=-1)
         valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0)             & (row_mask[:, None] > 0)
         w = valid.astype(dt_)
@@ -116,7 +145,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)
         pe = pe_pair + F_i
         e_pot = jnp.sum(pe)
-        cell_ok = jnp.all(Lv / jnp.asarray(ncells_v, Lv.dtype)
+        cell_ok = jnp.all(_perp_widths(Lv) / jnp.asarray(ncells_v, Lv.dtype)
                           >= jnp.asarray(grid.rlist, Lv.dtype))
         return (f[:n_loc], e_pot, virial, pe[:n_loc],
                 ov | nbr_ov | ov2 | ~cell_ok)
@@ -149,7 +178,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
             pe = pe + peb
         # a shrinking NPT box can drop the cell edge below rlist, which
         # silently breaks the one-shell stencil: flag it as an overflow
-        cell_ok = jnp.all(Lv / jnp.asarray(ncells_v, Lv.dtype)
+        cell_ok = jnp.all(_perp_widths(Lv) / jnp.asarray(ncells_v, Lv.dtype)
                           >= jnp.asarray(grid.rlist, Lv.dtype))
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov | ~cell_ok
 
@@ -173,7 +202,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         f, e_pot, virial, pe = pair_lj(r_ext, s_ext, row_mask, nbr_idx,
                                        Lv, tables)
         n_loc = fields["r"].shape[0]
-        cell_ok = jnp.all(Lv / jnp.asarray(ncells_v, Lv.dtype)
+        cell_ok = jnp.all(_perp_widths(Lv) / jnp.asarray(ncells_v, Lv.dtype)
                           >= jnp.asarray(grid.rlist, Lv.dtype))
         return f[:n_loc], e_pot, virial, pe[:n_loc], ov | nbr_ov | ~cell_ok
 
@@ -231,7 +260,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         mm = mm * am
         M = jnp.maximum(mm.sum(1, keepdims=True), 1e-30)
         d = rm - rm[:, :1]
-        d = d - Lv * jnp.round(d / Lv)                   # nearestImage
+        d = min_image_geom(d, Lv)                        # nearestImage
         com = (mm[:, :, None] * d).sum(1, keepdims=True) / M[:, :, None]
         d = (d - com) * am[:, :, None]
         return jnp.einsum("m,mia,mia->a", gw.astype(dt_), d, fm)
@@ -247,7 +276,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         if constraint_tables is not None:
             v = apply_constraints(fields, mask, v, True, Lv)
         r = fields["r"] + dt * v
-        r = r - Lv * jnp.round(r / Lv)
+        r = _wrap(r, Lv)
         fields = dict(fields, r=r, v=v)
 
         f, e_pot, virial, pe, overflow = local_forces(fields, mask, Lv)
@@ -271,7 +300,7 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
             vd = vd - jax.lax.psum(_mol_corr(fields, mask, f, Lv),
                                    full_axes)
         scalars = jnp.stack([e_pot, rk, jnp.trace(virial),
-                             vd[0], vd[1], vd[2], jnp.prod(Lv)])
+                             vd[0], vd[1], vd[2], _volume(Lv)])
         return fields, f, scalars, overflow
 
     def step(fields, mask, f_prev, key):

@@ -6,7 +6,13 @@ brick mesh.  Sharded coverage: Martini/PAIR/EAM nonbond, gid-keyed
 bonded terms (bonds/angles/torsions/impropers/bpairs/exclusions/CMAP),
 constraints, the Berendsen-style barostat, molecule-coherent migration
 (ddcRuleMolecule analog), and the Langevin/FREE group kicks.
-Orthorhombic boxes only (halos/walls/min-image use the h diagonal).
+
+Boxes may be orthorhombic or triclinic (BOX type=GENERAL): brick
+ownership, halos and migration run in fractional coordinates with
+perpendicular-span windows (parallel/brick.geom_frac) and forces
+min-image against the full h.  Triclinic limits: fixed cell only (no
+sharded barostat -- the Berendsen scale acts on the h diagonal) and no
+VORONOI load balance (centers/margins are Cartesian).
 """
 
 from __future__ import annotations
@@ -32,12 +38,7 @@ class ParallelSimulation:
         self.dtype = dtype
         sd = build_system(db, base_dir, dtype=dtype)
         self.sysdef = sd
-        if not sd.box.ortho:
-            # halos, brick walls and wraps below all use the h diagonal;
-            # a tilted box would silently drop the off-diagonal terms
-            raise NotImplementedError(
-                "ParallelSimulation requires an orthorhombic box; run "
-                "triclinic (BOX type=GENERAL) decks single-chip")
+        tri = not sd.box.ortho
 
         # decomposition shape: deck ddc lx/ly/lz override
         sim = db.by_class("SIMULATE")[0]
@@ -88,8 +89,20 @@ class ParallelSimulation:
                 "decks")
 
         n = sd.state.n_local
-        L = np.asarray(sd.box.lengths, dtype=np.float64)
+        # geom feeds the step/halo math ((3,) lengths or (3,3) h); L is
+        # the per-axis Cartesian brick width (perpendicular spans for a
+        # tilted box) that all planning heuristics measure rlist against
+        geom = np.asarray(sd.box.h if tri else sd.box.lengths,
+                          dtype=np.float64)
+        L = np.asarray(sd.box.perp_spans if tri else sd.box.lengths,
+                       dtype=np.float64)
         rlist = sd.rcut_max + sd.neighbor_deltaR
+        r_host = np.asarray(sd.state.r[:n])
+        # load-balance/occupancy coordinates: fractional position scaled
+        # by the perpendicular span, so per-axis binning matches the
+        # fractional brick walls and cell grid
+        r_lb = (r_host @ np.linalg.inv(geom).T * L[None, :]) if tri \
+            else r_host
 
         from ..parallel.brick import BrickPlan, distribute_bricks
         from ..parallel.brickstep import make_brick_mesh, make_brick_step
@@ -113,14 +126,14 @@ class ParallelSimulation:
                 from ..parallel.loadbalance import orcb_walls
 
                 walls = orcb_walls(
-                    np.asarray(sd.state.r[:n]), L, self.shape,
+                    r_lb, L, self.shape,
                     min_frac=tuple(1.05 * rlist / L[a] for a in range(3)))
                 self._lb_kind = "bisection"
                 self.lb_rate = lbobj.get_int("rate", 0)
             elif kind in ("ZRAMP", "TENSOR"):
                 from ..parallel.loadbalance import clamp_walls, tensor_walls
 
-                raw = tensor_walls(np.asarray(sd.state.r[:n]), L, self.shape,
+                raw = tensor_walls(r_lb, L, self.shape,
                                    work_power=self._lb_work_power)
                 walls = tuple(tuple(clamp_walls(w, 1.05 * rlist / L[a]))
                               for a, w in enumerate(raw))
@@ -130,6 +143,10 @@ class ParallelSimulation:
                 # nearest-center domains; centers start at the brick
                 # centers and drift under the diffusive balancer
                 # (voronoiLoadBalance registry, loadBalance.c:65-68)
+                if tri:
+                    raise NotImplementedError(
+                        "VORONOI load balance requires an orthorhombic "
+                        "box (centers/margins are Cartesian)")
                 from ..parallel.voronoi import nominal_centers
 
                 voronoi = dict(centers=nominal_centers(L, self.shape),
@@ -166,10 +183,18 @@ class ParallelSimulation:
         dup = float(np.prod([
             max(1.0, (L[a] / self.shape[a]) * (1 + 2 * spans[a]) / L[a])
             for a in range(3)]))
+        # NPT decks plan cells with shrink headroom (same plan_margin the
+        # single-chip superchunk uses) so a compressing box replans less
+        _ipp = sd.integrator_parms or {}
+        self._npt_deck = (sd.integrator_type in (
+            "NGLFCONSTRAINT", "NGLFCONSTRAINTGPU",
+            "NGLFCONSTRAINTGPULANGEVIN", "NGLFGPU", "NGLFGPULANGEVIN",
+            "NGLFNEW", "NPTGLF", "NGLFNK") and _ipp.get("beta", 0) > 0)
         self.grid = CellGrid.plan(L, sd.rcut_max, sd.neighbor_deltaR, n,
                                   self.plan.local_cap + self.plan.ghost_cap,
-                                  positions=np.asarray(sd.state.r[:n]),
-                                  occupancy_factor=dup)
+                                  positions=r_lb,
+                                  occupancy_factor=dup,
+                                  plan_margin=1.1 if self._npt_deck else 1.0)
         self.mesh = make_brick_mesh(self.shape)
         self.coeffs = sd.group_table.coefficients(sd.cfg.time, 0.5 * sd.cfg.dt,
                                                   dtype=dtype)
@@ -215,6 +240,11 @@ class ParallelSimulation:
                                    "NGLFCONSTRAINTGPULANGEVIN", "NGLFGPU",
                                    "NGLFGPULANGEVIN", "NGLFNEW")
                 and ip["beta"] > 0):
+            if tri:
+                raise NotImplementedError(
+                    "sharded NPT requires an orthorhombic box (the "
+                    "Berendsen scale acts on the h diagonal); run "
+                    "triclinic NPT decks single-chip")
             from ..core.molecule import build_molecule_class
 
             sysobj = db.get(sd.cfg.system_name, "SYSTEM")
@@ -236,7 +266,7 @@ class ParallelSimulation:
         (self.step_fn, self.first_fn, self.migrate_fn,
          self.chunk_fn) = make_brick_step(
             self.mesh, self.plan, self.grid, self.tables, self.coeffs,
-            dt=sd.cfg.dt, box_lengths=L, species_lj_type=tmap, n_global=n,
+            dt=sd.cfg.dt, box_lengths=geom, species_lj_type=tmap, n_global=n,
             bonded_tables=bonded_gid_tab,
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
                                       "group", "gid"),
@@ -259,16 +289,17 @@ class ParallelSimulation:
                 [(hgid64 & 0xFFFFFFFF).astype(np.uint32),
                  (hgid64 >> 32).astype(np.uint32)], axis=1)
         self._host_arrays = arrays          # gid-ordered template (r/v refreshed on gather)
-        self._box_L = L
+        self._box_L = geom
+        self._lb_L = L                      # per-axis perpendicular spans
         self._step_kwargs = dict(
-            dt=sd.cfg.dt, box_lengths=L, species_lj_type=tmap, n_global=n,
+            dt=sd.cfg.dt, box_lengths=geom, species_lj_type=tmap, n_global=n,
             bonded_tables=bonded_gid_tab,
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
                                       "group", "gid"),
             chunk_steps=self.chunk_steps,
             constraint_tables=cons_tab, barostat=barostat,
             mol_tables=mol_tab, force_kind=self.force_kind)
-        buf, mask, counts = distribute_bricks(arrays, L, self.plan)
+        buf, mask, counts = distribute_bricks(arrays, geom, self.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, P(("bx", "by", "bz"))))
         self.fields = {k: shard(v) for k, v in buf.items()}
@@ -276,7 +307,7 @@ class ParallelSimulation:
         self.key = jax.random.PRNGKey(sd.random_seed)
         self.f = None
         self.loop = sd.cfg.loop
-        self.Lv = jnp.asarray(L, dtype=dtype)
+        self.Lv = jnp.asarray(geom, dtype=dtype)
         self.vird = jnp.zeros(3, dtype=dtype)
 
     def first_energy(self):
@@ -358,17 +389,22 @@ class ParallelSimulation:
                 (self.fields, self.mask, self.f, scalars,
                  ov) = self.chunk_fn(self.fields, self.mask, self.f, sub)
             if int(ov):
-                # roll back to the pre-chunk state and redistribute on
-                # the host (exact ownership); retry the chunk ONCE --
-                # covers ORCB misplacement flags and transient spikes
+                # roll back to the pre-chunk state, then escalate:
+                # (1) host redistribute (exact ownership -- covers ORCB
+                # misplacement flags and transient spikes), (2) live
+                # replan (NPT shrink dropped a cell edge below rlist),
+                # (3) give up
                 redis_tries += 1
-                if redis_tries > 1:
+                if redis_tries > 2:
                     raise RuntimeError(
                         f"overflow in chunk at loop {self.loop}")
                 self.fields, self.mask, self.f = prev[:3]
                 if self.barostat is not None:
                     self.vird, self.Lv = prev[3], prev[4]
-                self.redistribute()
+                if redis_tries == 1:
+                    self.redistribute()
+                else:
+                    self.replan()
                 continue
             redis_tries = 0
             self._print_scalars(scalars, print_fn, self.loop)
@@ -433,8 +469,9 @@ def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
     state = sd.state.replace(
         r=sd.state.r.at[:n].set(jnp.asarray(R, sd.state.r.dtype)),
         v=sd.state.v.at[:n].set(jnp.asarray(V, sd.state.v.dtype)))
-    box = Box.orthorhombic(np.asarray(psim.Lv, dtype=np.float64),
-                           dtype=jnp.float64)
+    g = np.asarray(psim.Lv, dtype=np.float64)
+    box = (Box.orthorhombic(g, dtype=jnp.float64) if g.ndim == 1
+           else Box.from_h(g, dtype=jnp.float64))
     ss = StepState(state=state, box=box, energy=EnergyInfo.zero(),
                    loop=jnp.asarray(psim.loop, jnp.int32),
                    time=jnp.asarray((psim.loop - sd.cfg.loop) * sd.cfg.dt
@@ -443,6 +480,20 @@ def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
 
 
 ParallelSimulation.write_checkpoint = parallel_write_checkpoint
+
+
+def _lb_frame(psim, R):
+    """(r_lb, L, geom): load-balance coordinates, per-axis spans and the
+    step geometry for the LIVE box (triclinic: fractional positions
+    scaled by perpendicular spans, matching __init__)."""
+    g = psim._box_L
+    if psim.barostat is not None:
+        g = np.asarray(psim.Lv, dtype=np.float64)
+    if g.ndim == 2:
+        hin = np.linalg.inv(g)
+        L = 1.0 / np.linalg.norm(hin, axis=1)
+        return R @ hin.T * L[None, :], L, g
+    return R, g, g
 
 
 def parallel_rebalance(psim):
@@ -459,9 +510,7 @@ def parallel_rebalance(psim):
     from ..parallel.loadbalance import clamp_walls, tensor_walls
 
     R, V = _gather_by_gid(psim)
-    L = psim._box_L
-    if psim.barostat is not None:
-        L = np.asarray(psim.Lv, dtype=np.float64)
+    r_lb, L, geom = _lb_frame(psim, R)
     if getattr(psim, "_lb_kind", None) == "voronoi":
         # diffusive center update from the owned counts, then host-exact
         # nearest-center redistribution (ddcAssignment + the
@@ -478,13 +527,13 @@ def parallel_rebalance(psim):
         psim.plan = dataclasses.replace(
             psim.plan, voronoi=dict(centers=centers, margins=margins,
                                     L0=L.copy()))
-        kw = dict(psim._step_kwargs, box_lengths=L)
+        kw = dict(psim._step_kwargs, box_lengths=geom)
         out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
                               psim.coeffs, **kw)
         psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
         arrays = dict(psim._host_arrays,
                       r=R.astype(np.float32), v=V.astype(np.float32))
-        buf, mask, counts = distribute_bricks(arrays, L, psim.plan)
+        buf, mask, counts = distribute_bricks(arrays, geom, psim.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
         psim.fields = {k: shard(v) for k, v in buf.items()}
@@ -496,22 +545,22 @@ def parallel_rebalance(psim):
         from ..parallel.loadbalance import orcb_walls
 
         walls = orcb_walls(
-            R, L, psim.shape,
+            r_lb, L, psim.shape,
             min_frac=tuple(1.05 * psim.plan.rlist / L[a] for a in range(3)))
     else:
-        raw = tensor_walls(R, L, psim.shape,
+        raw = tensor_walls(r_lb, L, psim.shape,
                            work_power=getattr(psim, "_lb_work_power", 2))
         walls = tuple(tuple(clamp_walls(w, 1.05 * psim.plan.rlist / L[a]))
                       for a, w in enumerate(raw))
     psim.plan = dataclasses.replace(psim.plan, walls=walls)
-    kw = dict(psim._step_kwargs, box_lengths=L)
+    kw = dict(psim._step_kwargs, box_lengths=geom)
     out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
                           psim.coeffs, **kw)
     psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
 
     arrays = dict(psim._host_arrays,
                   r=R.astype(np.float32), v=V.astype(np.float32))
-    buf, mask, counts = distribute_bricks(arrays, L, psim.plan)
+    buf, mask, counts = distribute_bricks(arrays, geom, psim.plan)
     shard = lambda a: jax.device_put(
         jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
     psim.fields = {k: shard(v) for k, v in buf.items()}
@@ -534,12 +583,10 @@ def parallel_redistribute(psim):
     from ..parallel.brick import distribute_bricks
 
     R, V = _gather_by_gid(psim)
-    L = psim._box_L
-    if psim.barostat is not None:
-        L = np.asarray(psim.Lv, dtype=np.float64)
+    _, _, geom = _lb_frame(psim, R)
     arrays = dict(psim._host_arrays,
                   r=R.astype(np.float32), v=V.astype(np.float32))
-    buf, mask, counts = distribute_bricks(arrays, L, psim.plan)
+    buf, mask, counts = distribute_bricks(arrays, geom, psim.plan)
     shard = lambda a: jax.device_put(
         jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
     psim.fields = {k: shard(v) for k, v in buf.items()}
@@ -550,6 +597,50 @@ def parallel_redistribute(psim):
 
 
 ParallelSimulation.redistribute = parallel_redistribute
+
+
+def parallel_replan(psim):
+    """Replan the local cell grid against the LIVE box and rebuild the
+    step programs (multi-chip analog of the single-chip superchunk's
+    replan-on-shrink): a barostat-compressed box can drop a cell edge
+    below rlist (cell_ok overflow) without invalidating the bricks --
+    fewer, larger cells restore the one-shell stencil.  If a BRICK is
+    narrower than rlist at the live box the decomposition itself is
+    infeasible (1-hop halos cannot span the cutoff): raise the actionable
+    error instead of retrying forever."""
+    from ..nbr.celllist import CellGrid
+    from ..parallel.brickstep import make_brick_step
+
+    sd = psim.sysdef
+    R, _V = _gather_by_gid(psim)
+    r_lb, L, geom = _lb_frame(psim, R)
+    rlist = psim.plan.rlist
+    widths = [(float(np.min(np.diff(np.asarray(psim.plan.walls[a]))))
+               if psim.plan.walls is not None else 1.0 / psim.shape[a])
+              * L[a] for a in range(3)]
+    if min(widths) < rlist:
+        raise RuntimeError(
+            f"brick decomposition infeasible at the live box: narrowest "
+            f"brick {min(widths):.4f} < rlist {rlist:.4f} (box {L}); use "
+            f"fewer bricks along the compressed axis")
+    n = sd.state.n_local
+    spans = [min(1.0, rlist / (L[a] / psim.shape[a])) for a in range(3)]
+    dup = float(np.prod([
+        max(1.0, (L[a] / psim.shape[a]) * (1 + 2 * spans[a]) / L[a])
+        for a in range(3)]))
+    psim.grid = CellGrid.plan(
+        L, sd.rcut_max, sd.neighbor_deltaR, n,
+        psim.plan.local_cap + psim.plan.ghost_cap,
+        positions=r_lb, occupancy_factor=dup,
+        plan_margin=1.1 if getattr(psim, "_npt_deck", False) else 1.0)
+    kw = dict(psim._step_kwargs, box_lengths=geom)
+    out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
+                          psim.coeffs, **kw)
+    psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
+    psim.redistribute()
+
+
+ParallelSimulation.replan = parallel_replan
 
 
 def parallel_view(psim):
@@ -580,8 +671,9 @@ def parallel_view(psim):
         Fh[idx] = np.asarray(psim.f)[m]
         state = state.replace(
             f=state.f.at[:n].set(jnp.asarray(Fh, state.f.dtype)))
-    box = Box.orthorhombic(np.asarray(psim.Lv, dtype=np.float64),
-                           dtype=sd.state.r.dtype)
+    g = np.asarray(psim.Lv, dtype=np.float64)
+    box = (Box.orthorhombic(g, dtype=sd.state.r.dtype) if g.ndim == 1
+           else Box.from_h(g, dtype=sd.state.r.dtype))
     ss = StepState(state=state, box=box, energy=EnergyInfo.zero(),
                    loop=jnp.asarray(psim.loop, jnp.int32),
                    time=jnp.asarray((psim.loop - sd.cfg.loop) * sd.cfg.dt

@@ -516,6 +516,13 @@ def test_sharded_molecular_pressure_bilayer(tmp_path):
                                atol=2e-2 * np.abs(np.diag(mvir)).max())
 
     # --- (b) 100+ step NPT box-trajectory parity -----------------------
+    # the unequilibrated bilayer compresses laterally ~6%: a (2,2,1)
+    # split turns infeasible mid-run (brick 2.97/2 drops below
+    # rlist=1.4 -- the brick_ok guard correctly refuses), so the
+    # trajectory leg splits the 9 nm z axis instead
+    db4, _ = load(d)
+    psim = ParallelSimulation(db4, base, shape=(1, 1, 2))
+    psim.first_energy()
     sim = Simulation(db2, base, run_dir=d, engine="nlist")
     n_steps = 9 * psim.chunk_steps             # 108 steps
     psim.run(n_steps, print_fn=lambda s: None)
@@ -529,3 +536,10 @@ def test_sharded_molecular_pressure_bilayer(tmp_path):
     dv_single = v_single / float(sd.box.volume) - 1.0
     assert dv_single != 0.0
     assert dv_par == pytest.approx(dv_single, rel=0.15, abs=2e-4)
+
+    # --- (c) live replan (overflow-ladder step 2) continues the run ----
+    n_before = int(np.asarray(psim.mask).sum())
+    psim.replan()
+    assert int(np.asarray(psim.mask).sum()) == n_before
+    psim.run(psim.chunk_steps, print_fn=lambda s: None)
+    assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
