@@ -440,6 +440,332 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
 
 
+def _half_dirs():
+    """The 14 half-stencil directions in _build_stencil_half's order
+    (self first, then the 13 lexicographically positive offsets).  The
+    order is identical for every cell, so column-kernel tile layouts can
+    be fully static."""
+    return [(0, 0, 0)] + [
+        (i, j, k)
+        for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+        if (i, j, k) > (0, 0, 0)]
+
+
+def col_plan(G: int):
+    """(union_dirs, member_u) for a column of G z-contiguous cells:
+    union_dirs lists the distinct (dx, dy, dzu) block offsets relative to
+    the column BASE cell (|union| = 5G+9 vs 14G per-cell blocks -- the
+    shared-DMA win); member_u[g][s] is the union index of member g's s-th
+    per-cell stencil block (dzu = dz + g)."""
+    dirs = _half_dirs()
+    union = sorted({(dx, dy, dz + g) for (dx, dy, dz) in dirs
+                    for g in range(G)})
+    uidx = {d: i for i, d in enumerate(union)}
+    member = tuple(tuple(uidx[(dx, dy, dz + g)] for (dx, dy, dz) in dirs)
+                   for g in range(G))
+    return union, member
+
+
+def choose_col_group(grid: CellBlockGrid) -> int:
+    """Column-group size for the multi-cell kernel: G z-contiguous cells
+    per program share one union-DMA set (processPairShared's shared-tile
+    idea, /root/reference/src/pairProcessGPU.cu:574, re-done as fewer,
+    wider pallas programs).  Env DDCMD_PALLAS_COLS forces a value
+    (0/1 disables); 'auto' picks 4 then 2 when nz divides."""
+    import os as _os
+
+    env = _os.environ.get("DDCMD_PALLAS_COLS", "auto")
+    nz = grid.ncells[2]
+    if env not in ("auto", ""):
+        G = int(env)
+        return G if G > 1 and nz % G == 0 else 1
+    for G in (4, 2):
+        if nz % G == 0 and grid.ncell > G:
+            return G
+    return 1
+
+
+def pack_stencil_col(grid: CellBlockGrid, G: int) -> np.ndarray:
+    """(ncol, U) int32 union-block cell ids per column program (the image
+    shifts are static per direction and live in the kernel, not here)."""
+    nx, ny, nz = grid.ncells
+    assert nz % G == 0
+    union, _ = col_plan(G)
+    ncol = grid.ncell // G
+    base = np.arange(ncol) * G
+    cx, rem = np.divmod(base, ny * nz)
+    cy, cz = np.divmod(rem, nz)
+    out = np.zeros((ncol, len(union)), np.int32)
+    for u, (dx, dy, dzu) in enumerate(union):
+        out[:, u] = ((((cx + dx) % nx) * ny + ((cy + dy) % ny)) * nz
+                     + ((cz + dzu) % nz))
+    return out
+
+
+def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
+                     L_ref,         # (1, 8) f32 SMEM: L/ncells (3), rcut2
+                     slots_ref,     # (ncell, 8, cap) f32 HBM
+                     p_ref,         # (G, 8, cap) f32 VMEM (column's cells)
+                     sigma_ref, eps_ref, shift_ref,
+                     out_f_ref,     # (G*cap, 3) f32 VMEM p-side forces
+                     out_pe_ref,    # (G*cap, 1) f32 VMEM p-side energy
+                     out_q_ref,     # (ncell, 8, cap) f32 VMEM accumulated
+                                    # q-side reaction [fx fy fz pe 0 0 0 0]
+                     out_cell_ref,  # (ncol, 8) f32 SMEM: e + virial6
+                     q_scratch,     # (8, U*cap) f32 VMEM union blocks
+                     sem,           # DMA semaphores (U,)
+                     *, cap: int, G: int, n_union: int,
+                     member_u, dirs, T: int,
+                     krf: float, crf: float, keR: float, coulomb: bool):
+    """Multi-cell (column) variant of _kernel_half: one program owns G
+    z-contiguous cells and DMAs the UNION of their stencil blocks once
+    (5G+9 blocks instead of 14G -- ~half the HBM traffic at G=4).  Each
+    member cell then runs the standard (cap, 14*cap) N3L tile from static
+    lane slices of the shared scratch, so per-pair math, masks, and f32
+    cell-centered precision are identical to the per-cell kernel."""
+    c = pl.program_id(0)
+    S = len(dirs)
+    U = n_union
+    W = S * cap
+
+    Lnx = L_ref[0, 0]
+    Lny = L_ref[0, 1]
+    Lnz = L_ref[0, 2]
+    rcut2 = L_ref[0, 3]
+
+    for u in range(U):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, u]],
+            q_scratch.at[:, pl.ds(u * cap, cap)],
+            sem.at[u],
+        ).start()
+
+    @pl.when(c == 0)
+    def _zero_acc():
+        out_q_ref[...] = jnp.zeros_like(out_q_ref)
+
+    ones31 = jnp.ones((3, 1), jnp.float32)
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    I3 = jnp.eye(3, dtype=jnp.float32)
+
+    def col(row):  # (1, cap) -> (cap, 1) via a k=1 MXU dot
+        return jax.lax.dot_general(row, ones11, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # per-block image shifts: STATIC directions x traced cell widths,
+    # expanded to lanes with a block-indicator matmul; the per-member
+    # tile always uses dz = dzu - g = the standard (-1..1) offsets, so
+    # one Shift3 serves every member
+    row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
+    col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
+    shift_mat = jnp.zeros((3, S), jnp.float32)
+    for s, (dx, dy, dz) in enumerate(dirs):
+        v = jnp.where(row3s == 0, dx * Lnx,
+                      jnp.where(row3s == 1, dy * Lny, dz * Lnz))
+        shift_mat = jnp.where(col3s == s, v, shift_mat)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
+    indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
+                 == lane_blk).astype(jnp.float32)
+    Shift3 = jnp.dot(shift_mat, indicator,
+                     preferred_element_type=jnp.float32)     # (3, W)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 0)
+    dup_pair = jnp.logical_and(lanes < cap, lanes <= rows)
+
+    for u in range(U):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, u]],
+            q_scratch.at[:, pl.ds(u * cap, cap)],
+            sem.at[u],
+        ).wait()
+
+    Qall = q_scratch[:]                                     # (8, U*cap)
+
+    qacc = [None] * U        # per-union-block [Fq(3,cap); peq(1,cap)]
+    e_tot = jnp.zeros((), jnp.float32)
+    vir_tot = jnp.zeros((3, 3), jnp.float32)
+
+    for g in range(G):
+        P = p_ref[g]                                        # (8, cap)
+        Pxyz = P[0:3, :]
+        pq_row = P[3:4, :]
+        pt_row = P[4:5, :]
+        pv_row = P[5:6, :]
+
+        pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pqc = col(pq_row)
+        pvc = col(pv_row)
+        ptc = col(pt_row)
+        if T == 1:
+            sigOP = epsOP = shfOP = None
+        else:
+            tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
+            OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
+            sigOP = jnp.dot(OP, sigma_ref[:],
+                            preferred_element_type=jnp.float32)
+            epsOP = jnp.dot(OP, eps_ref[:],
+                            preferred_element_type=jnp.float32)
+            shfOP = jnp.dot(OP, shift_ref[:],
+                            preferred_element_type=jnp.float32)
+
+        Q = jnp.concatenate(
+            [Qall[:, member_u[g][s] * cap:(member_u[g][s] + 1) * cap]
+             for s in range(S)], axis=1)                    # (8, W)
+        Qxyz = Q[0:3, :] + Shift3
+        qq_row = Q[3:4, :]
+        qt_row = Q[4:5, :]
+        qv_row = Q[5:6, :]
+
+        q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
+        M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        d2 = p2c + q2r - 2.0 * M
+
+        valid = (pvc * qv_row > 0.0)
+        valid = jnp.logical_and(valid, d2 < rcut2)
+        valid = jnp.logical_and(valid, jnp.logical_not(dup_pair))
+        w = valid.astype(jnp.float32)
+
+        d2s = jnp.where(valid, d2, 1.0)
+        ir2 = 1.0 / d2s
+        ir = jax.lax.rsqrt(d2s)
+
+        if T == 1:
+            sig = sigma_ref[0, 0]
+            eps = eps_ref[0, 0]
+            shf = shift_ref[0, 0]
+        else:
+            tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+            OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
+            sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
+            eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
+            shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
+
+        s2 = sig * sig * ir2
+        s6 = s2 * s2 * s2
+        s12 = s6 * s6
+        e_pair = (4.0 * eps * (s12 - s6) + shf) * w
+        dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
+        if coulomb:
+            kqq = keR * pqc * qq_row
+            e_pair = e_pair + kqq * (ir + krf * d2s - crf) * w
+            dvdr = dvdr + kqq * (2.0 * krf - ir2 * ir)
+        coef = dvdr * w                                     # (cap, W)
+
+        csum = jnp.sum(coef, axis=1, keepdims=True)
+        cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_f_ref[g * cap:(g + 1) * cap, :] = -pxT * csum + cqT
+        out_pe_ref[g * cap:(g + 1) * cap, :] = \
+            0.5 * jnp.sum(e_pair, axis=1, keepdims=True)
+
+        qsum_r = jnp.sum(coef, axis=0, keepdims=True)       # (1, W)
+        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)
+        Fq = Pcoef - Qxyz * qsum_r                          # (3, W)
+        peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)  # (1, W)
+        out4 = jnp.concatenate([Fq, peq], axis=0)           # (4, W)
+        for s in range(S):
+            u = member_u[g][s]
+            piece = out4[:, s * cap:(s + 1) * cap]
+            qacc[u] = piece if qacc[u] is None else qacc[u] + piece
+
+        A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        e_tot = e_tot + jnp.sum(e_pair)
+        vir_tot = vir_tot - (A - B - B.T + C)
+
+    zero4 = jnp.zeros((4, cap), jnp.float32)
+    for u in range(U):
+        tgt = stencil_ref[c, u]
+        out8 = jnp.concatenate([qacc[u], zero4], axis=0)    # (8, cap)
+        out_q_ref[tgt] = out_q_ref[tgt] + out8
+
+    out_cell_ref[c, 0] = e_tot
+    out_cell_ref[c, 1] = vir_tot[0, 0]
+    out_cell_ref[c, 2] = vir_tot[1, 1]
+    out_cell_ref[c, 3] = vir_tot[2, 2]
+    out_cell_ref[c, 4] = vir_tot[0, 1]
+    out_cell_ref[c, 5] = vir_tot[0, 2]
+    out_cell_ref[c, 6] = vir_tot[1, 2]
+    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+
+
+def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
+                                  coulomb: bool = True,
+                                  interpret: bool = False):
+    """Column (multi-cell-per-program) N3L kernel; same eval signature as
+    make_pallas_cellpair_half but stencil_packed must come from
+    pack_stencil_col(grid, G).  Returns eval(slots, stencil_col, L8) ->
+    (per-slot (ncell*cap, 8) p-side [f, pe], q-side (ncell, 8, cap),
+    per-column (ncol, 8) [e, virial6])."""
+    cap = grid.cap
+    assert cap % 128 == 0, "pallas engine needs lane-multiple cell capacity"
+    ncell = grid.ncell
+    assert grid.ncells[2] % G == 0 and ncell % G == 0
+    ncol = ncell // G
+    union, member_u = col_plan(G)
+    U = len(union)
+    T = int(tables["sigma"].shape[0])
+    kernel = functools.partial(
+        _kernel_half_col, cap=cap, G=G, n_union=U, member_u=member_u,
+        dirs=tuple(_half_dirs()), T=T,
+        krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
+        keR=float(tables.get("keR", 0.0)), coulomb=coulomb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ncol,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((G, 8, cap), lambda c, stencil: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G * cap, 3), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((G * cap, 1), lambda c, stencil: (c, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q accumulator resident
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, U * cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((U,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
+            jax.ShapeDtypeStruct((ncell * cap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def eval_fn(slots, stencil_packed, L8):
+        out_f, out_pe, out_q, out_cells = call(
+            stencil_packed, L8, slots,
+            slots, tables["sigma"], tables["eps"], tables["shift"])
+        return (jnp.concatenate([out_f, out_pe], axis=1), out_q, out_cells)
+
+    return eval_fn
+
+
 def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
                               coulomb: bool = True, interpret: bool = False):
     """Half-stencil (N3L) kernel; `grid` must come from half_grid().

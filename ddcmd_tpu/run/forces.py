@@ -45,8 +45,11 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             coul = bool(np.any(np.asarray(sysdef.state.q[:n_loc0]) != 0.0))
 
             if engine == "pallas":
-                from ..ops.pallas_cellpair import (make_pallas_cellpair_half,
+                from ..ops.pallas_cellpair import (choose_col_group,
+                                                   make_pallas_cellpair_half,
+                                                   make_pallas_cellpair_half_col,
                                                    pack_stencil,
+                                                   pack_stencil_col,
                                                    pallas_cellpair_eval_half)
 
                 # uniform-type fast path (same collapse as the cellblock
@@ -64,10 +67,16 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                     tmap = jnp.zeros_like(tmap)
 
                 hg = half_grid(grid)
-                eval_fn = make_pallas_cellpair_half(
-                    hg, tables, coulomb=coul,
-                    interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
-                stencil = jnp.asarray(pack_stencil(hg))
+                interp = bool(os.environ.get("DDCMD_PALLAS_INTERPRET"))
+                G = choose_col_group(hg)
+                if G > 1:
+                    eval_fn = make_pallas_cellpair_half_col(
+                        hg, tables, G, coulomb=coul, interpret=interp)
+                    stencil = jnp.asarray(pack_stencil_col(hg, G))
+                else:
+                    eval_fn = make_pallas_cellpair_half(
+                        hg, tables, coulomb=coul, interpret=interp)
+                    stencil = jnp.asarray(pack_stencil(hg))
 
                 def martini_term(state, box, handle, tables=tables, tmap=tmap,
                                  eval_fn=eval_fn, stencil=stencil, hg=hg,
@@ -123,15 +132,24 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             tables = pair_device_tables(parms, dtype=dtype)
 
             if engine == "pallas":
-                from ..ops.pallas_cellpair import (make_pallas_cellpair_half,
+                from ..ops.pallas_cellpair import (choose_col_group,
+                                                   make_pallas_cellpair_half,
+                                                   make_pallas_cellpair_half_col,
                                                    pack_stencil,
+                                                   pack_stencil_col,
                                                    pallas_cellpair_eval_half)
 
                 hg = half_grid(grid)
-                eval_fn = make_pallas_cellpair_half(
-                    hg, tables, coulomb=False,
-                    interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
-                stencil = jnp.asarray(pack_stencil(hg))
+                interp = bool(os.environ.get("DDCMD_PALLAS_INTERPRET"))
+                G = choose_col_group(hg)
+                if G > 1:
+                    eval_fn = make_pallas_cellpair_half_col(
+                        hg, tables, G, coulomb=False, interpret=interp)
+                    stencil = jnp.asarray(pack_stencil_col(hg, G))
+                else:
+                    eval_fn = make_pallas_cellpair_half(
+                        hg, tables, coulomb=False, interpret=interp)
+                    stencil = jnp.asarray(pack_stencil(hg))
 
                 def pair_term(state, box, handle, tables=tables,
                               eval_fn=eval_fn, stencil=stencil, hg=hg):

@@ -98,6 +98,56 @@ def test_pallas_half_matches_xla_cellblock(n, L):
                                             abs=2e-3)
 
 
+@pytest.mark.parametrize("G,n,L", [(2, 220, 4.2), (4, 2600, 6.0),
+                                   (3, 800, 6.6)])
+def test_pallas_half_col_matches_xla_cellblock(G, n, L):
+    """Multi-cell column kernel (G z-cells share one union-DMA set) ==
+    full engine, across geometries incl. nz == G (whole-axis columns
+    where union entries alias the same cell through different images)."""
+    from ddcmd_tpu.ops.pallas_cellpair import (half_grid,
+                                               make_pallas_cellpair_half_col,
+                                               pack_stencil_col,
+                                               pallas_cellpair_eval_half)
+
+    r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
+        n=n, L=L, seed=11, charged=True)
+    skin = 0.3
+    tables = dict(
+        sigma=jnp.asarray(sigma, jnp.float32),
+        eps=jnp.asarray(eps, jnp.float32),
+        shift=jnp.asarray(shift, jnp.float32),
+        rcut2=jnp.asarray(rcut ** 2, jnp.float32),
+        krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
+        keR=jnp.asarray(keR, jnp.float32))
+    grid = plan_lanes([L] * 3, rcut, skin, n)
+    if grid.ncells[2] % G != 0:
+        pytest.skip(f"nz={grid.ncells[2]} not divisible by G={G}")
+    rj = jnp.asarray(r, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    tj = jnp.asarray(tidx, jnp.int32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    fmask = jnp.ones(n, jnp.float32)
+    perm, ov = build_cell_slots(rj, fmask, Lv, grid)
+    assert not bool(ov)
+
+    f1, e1, v1, pe1 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
+                                    coulomb=True)
+
+    hgrid = half_grid(grid)
+    eval_fn = make_pallas_cellpair_half_col(hgrid, tables, G, coulomb=True,
+                                            interpret=True)
+    stencil = jnp.asarray(pack_stencil_col(hgrid, G))
+    f2, e2, v2, pe2 = pallas_cellpair_eval_half(
+        rj, qj, tj, perm, Lv, hgrid, tables, stencil, eval_fn)
+
+    scale = max(1.0, float(jnp.abs(f1).max()))
+    assert float(jnp.abs(f2 - f1).max()) / scale < 2e-5
+    assert float(e2) == pytest.approx(float(e1), rel=1e-4, abs=1e-2)
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=2e-3, abs=0.5)
+    assert np.asarray(pe2) == pytest.approx(np.asarray(pe1), rel=1e-3,
+                                            abs=2e-3)
+
+
 def test_pallas_engine_end_to_end(tmp_path, monkeypatch):
     """Simulation(engine='pallas') in interpret mode matches the cellblock
     engine through real MD steps (exercises the forces.py wiring incl.
