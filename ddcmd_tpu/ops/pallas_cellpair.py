@@ -479,7 +479,10 @@ def choose_col_group(grid: CellBlockGrid) -> int:
     if env not in ("auto", ""):
         G = int(env)
         return G if G > 1 and nz % G == 0 else 1
-    for G in (4, 2):
+    # DMA traffic per cell is (5G+9)/G -- monotone decreasing in G -- so
+    # take the LARGEST divisor of nz up to 8 (the cap bounds per-program
+    # unroll / Mosaic compile time; G=8 already saves 56%)
+    for G in range(min(8, nz), 1, -1):
         if nz % G == 0 and grid.ncell > G:
             return G
     return 1

@@ -99,7 +99,7 @@ def test_pallas_half_matches_xla_cellblock(n, L):
 
 
 @pytest.mark.parametrize("G,n,L", [(2, 220, 4.2), (4, 2600, 6.0),
-                                   (3, 800, 6.6)])
+                                   (3, 800, 6.6), (5, 6173, 9.4)])
 def test_pallas_half_col_matches_xla_cellblock(G, n, L):
     """Multi-cell column kernel (G z-cells share one union-DMA set) ==
     full engine, across geometries incl. nz == G (whole-axis columns
@@ -140,12 +140,26 @@ def test_pallas_half_col_matches_xla_cellblock(G, n, L):
     f2, e2, v2, pe2 = pallas_cellpair_eval_half(
         rj, qj, tj, perm, Lv, hgrid, tables, stencil, eval_fn)
 
+    # vs the XLA engine the bound is f32 reduction-order noise (the dense
+    # charged n=6173 case measures 2.25e-5 for the per-cell pallas kernel
+    # too); the TIGHT bound is col vs the per-cell pallas kernel below
     scale = max(1.0, float(jnp.abs(f1).max()))
-    assert float(jnp.abs(f2 - f1).max()) / scale < 2e-5
+    assert float(jnp.abs(f2 - f1).max()) / scale < 3e-5
     assert float(e2) == pytest.approx(float(e1), rel=1e-4, abs=1e-2)
     assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=2e-3, abs=0.5)
     assert np.asarray(pe2) == pytest.approx(np.asarray(pe1), rel=1e-3,
                                             abs=2e-3)
+
+    from ddcmd_tpu.ops.pallas_cellpair import (make_pallas_cellpair_half,
+                                               pack_stencil)
+
+    ev_h = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
+                                     interpret=True)
+    f3, e3, _, _ = pallas_cellpair_eval_half(
+        rj, qj, tj, perm, Lv, hgrid, tables,
+        jnp.asarray(pack_stencil(hgrid)), ev_h)
+    assert float(jnp.abs(f2 - f3).max()) / scale < 1e-6
+    assert float(e2) == pytest.approx(float(e3), rel=1e-6)
 
 
 def test_pallas_engine_end_to_end(tmp_path, monkeypatch):
