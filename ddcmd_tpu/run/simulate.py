@@ -362,8 +362,8 @@ class Simulation:
             return ss, scal, overflow, jnp.zeros(())
 
         def first(ss):
-            ss, handle, _ = build_nbr(ss)
-            return first_energy_call(ss, force_fn, handle)
+            ss, handle, ov = build_nbr(ss)
+            return first_energy_call(ss, force_fn, handle), ov
 
         self._chunk_jit = jax.jit(superchunk, static_argnums=(4, 5))
         self._first_jit = jax.jit(first)
@@ -460,8 +460,23 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def first_energy(self):
-        self.ss = self._first_jit(self.ss)
-        return self.ss
+        # the initial plan's occupancy heuristic can undersize cells for
+        # clustered configurations (a solvated molecule in a mostly-empty
+        # box): a silent overflow here would return energies from a
+        # dropped-pair list, so check the flag and recapacity/replan like
+        # the run loop does
+        for _ in range(4):
+            ss, ov = self._first_jit(self.ss)
+            if not bool(ov):
+                self.ss = ss
+                return ss
+            if self._grid_stale():
+                self.replan_grid()
+            else:
+                self.recapacity()
+        raise RuntimeError(
+            "neighbor overflow persists in first_energy after repeated "
+            "recapacity/replan")
 
     def profile_phases(self, n_iter: int = 10) -> dict:
         """Per-phase time attribution (the ptiming.h per-phase timers,
@@ -587,7 +602,7 @@ class Simulation:
                 v1 = ss.state.v + 0.5 * dtk * ss.state.f / m
                 r1 = ss.state.r + dtk * v1
                 ss = ss.replace(state=ss.state.replace(r=r1, v=v1))
-                ss = self._first_jit(ss)       # rebuild + forces at r1
+                ss, _ = self._first_jit(ss)    # rebuild + forces at r1
                 v2 = ss.state.v + 0.5 * dtk * ss.state.f / m
                 ss = ss.replace(state=ss.state.replace(v=v2))
             return ss

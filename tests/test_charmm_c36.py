@@ -298,11 +298,9 @@ def test_c36_nve_100_steps(tmp_path):
 @pytest.mark.slow
 def test_c36_multichip(tmp_path):
     """The c36 tripeptide deck sharded over a 2x2x1 CPU mesh: first
-    energy matches single-chip (RF self-energy constant excepted), and
-    NVE chunks with cross-brick bonded terms + CMAP stay finite.  The
-    peptide is centered at the origin, so its covalent topology straddles
-    all four bricks."""
-    from ddcmd_tpu.objects import units as U
+    energy matches single-chip, and NVE chunks with cross-brick bonded
+    terms + CMAP stay finite.  The peptide is centered at the origin, so
+    its covalent topology straddles all four bricks."""
     from ddcmd_tpu.run.parallel_sim import ParallelSimulation
 
     # L=30 so brick width (15 A) > rlist (cutoff 9 + deltaR 2)
@@ -315,11 +313,14 @@ def test_c36_multichip(tmp_path):
     sim = Simulation(db2, str(tmp_path), run_dir=str(tmp_path),
                      engine="nlist")
     sim.first_energy()
-    mp = next(p[2] for p in sim.sysdef.potentials if p[0] == "MARTINI")
-    q = np.asarray(sim.sysdef.state.q[: sim.sysdef.state.n_local])
-    e_self = -0.5 * float((q ** 2).sum()) * U.ke / mp.epsilon_r * mp.crf
-    assert e_par + e_self == pytest.approx(float(sim.ss.energy.eion),
-                                           rel=2e-4, abs=0.5)
+    # both paths run martini_nonbond, which includes the RF self-energy
+    # internally -- e_par and eion are directly comparable (they once
+    # diverged because first_energy silently dropped pairs on a neighbor
+    # overflow for this clustered fixture; first_energy now recapacitates).
+    # eion (~4e2) is the cancellation of +-2.8e6 raw-nonbond vs exclusion
+    # corrections, so the f32 noise floor is ~1e-6 of THAT scale, not of
+    # the total (measured sharded-vs-single spread: 2.9)
+    assert e_par == pytest.approx(float(sim.ss.energy.eion), abs=8.0)
     psim.run(2 * psim.chunk_steps, print_fn=lambda s: None)
     assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
     assert int(np.asarray(psim.mask).sum()) == sim.sysdef.state.n_local
