@@ -251,6 +251,257 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
     out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
 
 
+def _geometry_col(stencil_ref, L_ref, q_scratch, sem, slots_ref, c,
+                  dirs, U, cap):
+    """Column variant of _geometry: DMA the UNION of the G member cells'
+    stencil blocks once (see pallas_cellpair.col_plan) and return
+    (Qall (8, U*cap), Shift3 (3, S*cap)) -- per-member tiles are built by
+    the caller from static lane slices + the shared per-direction shifts
+    (dz = dzu - g is always the standard (-1..1) offset set)."""
+    S = len(dirs)
+    W = S * cap
+    Lnx = L_ref[0, 0]
+    Lny = L_ref[0, 1]
+    Lnz = L_ref[0, 2]
+    for u in range(U):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, u]],
+            q_scratch.at[:, pl.ds(u * cap, cap)],
+            sem.at[u],
+        ).start()
+    row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
+    col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
+    shift_mat = jnp.zeros((3, S), jnp.float32)
+    for s, (dx, dy, dz) in enumerate(dirs):
+        v = jnp.where(row3s == 0, dx * Lnx,
+                      jnp.where(row3s == 1, dy * Lny, dz * Lnz))
+        shift_mat = jnp.where(col3s == s, v, shift_mat)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
+    indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
+                 == lane_blk).astype(jnp.float32)
+    Shift3 = jnp.dot(shift_mat, indicator,
+                     preferred_element_type=jnp.float32)
+    for u in range(U):
+        pltpu.make_async_copy(
+            slots_ref.at[stencil_ref[c, u]],
+            q_scratch.at[:, pl.ds(u * cap, cap)],
+            sem.at[u],
+        ).wait()
+    return q_scratch[:], Shift3
+
+
+def _member_tile(Qall, member_u, g, S, cap):
+    """(8, S*cap) per-member tile from static lane slices of the union."""
+    return jnp.concatenate(
+        [Qall[:, member_u[g][s] * cap:(member_u[g][s] + 1) * cap]
+         for s in range(S)], axis=1)
+
+
+def _rho_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
+                    out_p_ref,     # (G*cap, 2) [rho_p, pe_p]
+                    out_acc_ref,   # (ncell, 8, cap) rows [rho_q, pe_q, ..]
+                    q_scratch, sem,
+                    *, cap, G, n_union, member_u, dirs, form, pt, T):
+    c = pl.program_id(0)
+    S = len(dirs)
+    U = n_union
+    W = S * cap
+    rcut2 = L_ref[0, 3]
+
+    @pl.when(c == 0)
+    def _zero():
+        out_acc_ref[...] = jnp.zeros_like(out_acc_ref)
+
+    Qall, Shift3 = _geometry_col(stencil_ref, L_ref, q_scratch, sem,
+                                 slots_ref, c, dirs, U, cap)
+    qacc = [None] * U
+    for g in range(G):
+        P = p_ref[g]
+        Q = _member_tile(Qall, member_u, g, S, cap)
+        Qxyz = Q[0:3, :] + Shift3
+        d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+        e1, p1, p1T = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T,
+                                       False)
+        e1 = e1 * w
+        p1 = p1 * w
+        p1T = p1T * w
+        out_p_ref[g * cap:(g + 1) * cap, :] = jnp.concatenate(
+            [jnp.sum(p1, axis=1, keepdims=True),
+             0.5 * jnp.sum(e1, axis=1, keepdims=True)], axis=1)
+        rho_q = jnp.sum(p1T, axis=0, keepdims=True)          # (1, W)
+        pe_q = 0.5 * jnp.sum(e1, axis=0, keepdims=True)
+        out2 = jnp.concatenate([rho_q, pe_q], axis=0)        # (2, W)
+        for s in range(S):
+            u = member_u[g][s]
+            piece = out2[:, s * cap:(s + 1) * cap]
+            qacc[u] = piece if qacc[u] is None else qacc[u] + piece
+
+    zero6 = jnp.zeros((6, cap), jnp.float32)
+    for u in range(U):
+        tgt = stencil_ref[c, u]
+        out8 = jnp.concatenate([qacc[u], zero6], axis=0)
+        out_acc_ref[tgt] = out_acc_ref[tgt] + out8
+
+
+def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
+                      out_f_ref,     # (G*cap, 3)
+                      out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ..]
+                      out_cell_ref,  # (ncol, 8) virial6
+                      q_scratch, sem,
+                      *, cap, G, n_union, member_u, dirs, form, pt, T):
+    c = pl.program_id(0)
+    S = len(dirs)
+    U = n_union
+    W = S * cap
+    rcut2 = L_ref[0, 3]
+
+    @pl.when(c == 0)
+    def _zero():
+        out_acc_ref[...] = jnp.zeros_like(out_acc_ref)
+
+    Qall, Shift3 = _geometry_col(stencil_ref, L_ref, q_scratch, sem,
+                                 slots_ref, c, dirs, U, cap)
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    qacc = [None] * U
+    vir_tot = jnp.zeros((3, 3), jnp.float32)
+    for g in range(G):
+        P = p_ref[g]
+        Q = _member_tile(Qall, member_u, g, S, cap)
+        Qxyz = Q[0:3, :] + Shift3
+        d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+        de, dp, dpT = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T,
+                                       True)
+        dF_pc = jax.lax.dot_general(P[6:7, :], ones11,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dF_qr = Q[6:7, :]
+        coef = (de + dF_pc * dp + dF_qr * dpT) * w
+
+        Pxyz = P[0:3, :]
+        pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        csum = jnp.sum(coef, axis=1, keepdims=True)
+        cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_f_ref[g * cap:(g + 1) * cap, :] = -pxT * csum + cqT
+
+        qsum_r = jnp.sum(coef, axis=0, keepdims=True)
+        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)
+        Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
+        for s in range(S):
+            u = member_u[g][s]
+            piece = Fq[:, s * cap:(s + 1) * cap]
+            qacc[u] = piece if qacc[u] is None else qacc[u] + piece
+
+        A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        vir_tot = vir_tot - (A - B - B.T + C)
+
+    zero5 = jnp.zeros((5, cap), jnp.float32)
+    for u in range(U):
+        tgt = stencil_ref[c, u]
+        out8 = jnp.concatenate([qacc[u], zero5], axis=0)
+        out_acc_ref[tgt] = out_acc_ref[tgt] + out8
+
+    out_cell_ref[c, 0] = vir_tot[0, 0]
+    out_cell_ref[c, 1] = vir_tot[1, 1]
+    out_cell_ref[c, 2] = vir_tot[2, 2]
+    out_cell_ref[c, 3] = vir_tot[0, 1]
+    out_cell_ref[c, 4] = vir_tot[0, 2]
+    out_cell_ref[c, 5] = vir_tot[1, 2]
+    out_cell_ref[c, 6] = jnp.zeros((), jnp.float32)
+    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+
+
+def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
+                        interpret: bool = False):
+    """Column (multi-cell-per-program) two-pass EAM kernels; same eval
+    contract as make_pallas_eam but stencil_packed must come from
+    pallas_cellpair.pack_stencil_col(grid, G).  The union-DMA saving is
+    identical to the pair column kernel (5G+9 blocks vs 14G) and applies
+    to BOTH passes."""
+    from .pallas_cellpair import _half_dirs, col_plan
+
+    assert pallas_eam_supported(tables), "pallas EAM: analytic forms only"
+    cap = grid.cap
+    assert cap % 128 == 0
+    ncell = grid.ncell
+    assert grid.ncells[2] % G == 0 and ncell % G == 0
+    ncol = ncell // G
+    union, member_u = col_plan(G)
+    U = len(union)
+    dirs = tuple(_half_dirs())
+    form = tables["form"]
+    T = int(tables["n_species"])
+    pt = _np_tables(tables["pair"])
+
+    common_in = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((G, 8, cap), lambda c, stencil: (c, 0, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((8, U * cap), jnp.float32),
+        pltpu.SemaphoreType.DMA((U,)),
+    ]
+
+    rho_call = pl.pallas_call(
+        functools.partial(_rho_kernel_col, cap=cap, G=G, n_union=U,
+                          member_u=member_u, dirs=dirs, form=form,
+                          pt=pt, T=T),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(ncol,),
+            in_specs=common_in,
+            out_specs=[
+                pl.BlockSpec((G * cap, 2), lambda c, stencil: (c, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((ncell * cap, 2), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    force_call = pl.pallas_call(
+        functools.partial(_force_kernel_col, cap=cap, G=G, n_union=U,
+                          member_u=member_u, dirs=dirs, form=form,
+                          pt=pt, T=T),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(ncol,),
+            in_specs=common_in,
+            out_specs=[
+                pl.BlockSpec((G * cap, 3), lambda c, stencil: (c, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def rho_fn(slots, stencil_packed, L8):
+        return rho_call(stencil_packed, L8, slots, slots)
+
+    def force_fn(slots, stencil_packed, L8):
+        return force_call(stencil_packed, L8, slots, slots)
+
+    return rho_fn, force_fn
+
+
 def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
     """grid from half_grid(); tables from eam_device_tables (T==1
     analytic form).  Returns (rho_fn, force_fn)."""

@@ -177,17 +177,26 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
             etables = eam_device_tables(parms, dtype=dtype)
             if engine == "pallas":
-                from ..ops.pallas_cellpair import pack_stencil
+                from ..ops.pallas_cellpair import (choose_col_group,
+                                                   pack_stencil,
+                                                   pack_stencil_col)
                 from ..ops.pallas_eam import (make_pallas_eam,
+                                              make_pallas_eam_col,
                                               pallas_eam_eval,
                                               pallas_eam_supported)
 
                 assert pallas_eam_supported(etables),                     "Simulation routes unsupported EAM to cellblock"
                 hg = half_grid(grid)
-                rho_fn, fforce_fn = make_pallas_eam(
-                    hg, etables,
-                    interpret=bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
-                stencil = jnp.asarray(pack_stencil(hg))
+                interp = bool(os.environ.get("DDCMD_PALLAS_INTERPRET"))
+                G = choose_col_group(hg)
+                if G > 1:
+                    rho_fn, fforce_fn = make_pallas_eam_col(
+                        hg, etables, G, interpret=interp)
+                    stencil = jnp.asarray(pack_stencil_col(hg, G))
+                else:
+                    rho_fn, fforce_fn = make_pallas_eam(
+                        hg, etables, interpret=interp)
+                    stencil = jnp.asarray(pack_stencil(hg))
 
                 def eam_term(state, box, perm, etables=etables, hg=hg,
                              stencil=stencil, rho_fn=rho_fn,

@@ -327,6 +327,51 @@ def test_pallas_eam_matches_xla(tmp_path, monkeypatch):
     assert np.isfinite(float(sim_p.ss.energy.eion))
 
 
+@pytest.mark.parametrize("G", [2, 5])
+def test_pallas_eam_col_matches_percell(G):
+    """Column EAM kernels == per-cell EAM kernels (both passes share the
+    union-DMA geometry with the pair column kernel)."""
+    from ddcmd_tpu.ops.cellpair import build_cell_slots, half_grid
+    from ddcmd_tpu.ops.pallas_cellpair import pack_stencil, pack_stencil_col
+    from ddcmd_tpu.ops.pallas_eam import (make_pallas_eam,
+                                          make_pallas_eam_col,
+                                          pallas_eam_eval)
+    from ddcmd_tpu.potentials.eam import eam_device_tables
+    from tests.test_eam import fcc, make_fs_parms
+
+    a_lat = 0.3615
+    r, L = fcc(a_lat, 5)
+    n = len(r)
+    rng = np.random.default_rng(17)
+    r = r + rng.standard_normal(r.shape) * 0.006
+    rcut = 0.55
+    tables = eam_device_tables(make_fs_parms(rcut), dtype=jnp.float32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    rj = jnp.asarray(r, jnp.float32)
+    sidx = jnp.zeros(n, jnp.int32)
+    fmask = jnp.ones(n, jnp.float32)
+    grid = plan_lanes([L] * 3, rcut, 0.1, n)
+    if grid.ncells[2] % G != 0:
+        pytest.skip(f"nz={grid.ncells[2]} not divisible by G={G}")
+    perm, ov = build_cell_slots(rj, fmask, Lv, grid)
+    assert not bool(ov)
+    hg = half_grid(grid)
+
+    rho1, force1 = make_pallas_eam(hg, tables, interpret=True)
+    f1, e1, v1, pe1 = pallas_eam_eval(
+        rj, sidx, fmask, perm, Lv, hg, tables,
+        jnp.asarray(pack_stencil(hg)), rho1, force1)
+    rho2, force2 = make_pallas_eam_col(hg, tables, G, interpret=True)
+    f2, e2, v2, pe2 = pallas_eam_eval(
+        rj, sidx, fmask, perm, Lv, hg, tables,
+        jnp.asarray(pack_stencil_col(hg, G)), rho2, force2)
+    assert float(e2) == pytest.approx(float(e1), rel=1e-6)
+    scale = max(1.0, float(jnp.abs(f1).max()))
+    assert float(jnp.abs(f2 - f1).max()) / scale < 1e-6
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=1e-5,
+                                           abs=1e-3)
+
+
 def test_pallas_eam_alloy_matches_xla():
     """Multi-species (T=2, asymmetric FS density) pallas EAM == XLA half
     engine: the typed-combo lane-mask sweep must reproduce the
