@@ -465,7 +465,7 @@ class Simulation:
         # box): a silent overflow here would return energies from a
         # dropped-pair list, so check the flag and recapacity/replan like
         # the run loop does
-        for _ in range(4):
+        for _ in range(10):     # 1.5^9 ~ 38x growth headroom
             ss, ov = self._first_jit(self.ss)
             if not bool(ov):
                 self.ss = ss
