@@ -33,7 +33,42 @@ def _log(msg, _t0=[None]):
           file=sys.stderr, flush=True)
 
 
+def _probe_backend():
+    """Fail fast (and loudly) if the accelerator backend cannot init.
+
+    The axon tunnel can be transiently unavailable; a failed backend
+    init is STICKY inside a process (xla_bridge caches it), so recovery
+    has to re-exec a fresh interpreter.  Bounded by a wall-clock
+    deadline so the driver never waits forever."""
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # validation escape hatch (e.g. BENCH_PLATFORM=cpu smoke-runs the
+        # whole script without the tunnel)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    import jax.numpy as jnp
+
+    try:
+        x = jnp.ones((8, 8))
+        (x @ x).block_until_ready()
+        _log(f"backend ok: {jax.devices()[0]}")
+        return
+    except Exception as e:  # noqa: BLE001 -- any init failure retries
+        t0 = float(os.environ.get("BENCH_T0", "0")) or time.time()
+        deadline = float(os.environ.get("BENCH_INIT_DEADLINE", "5400"))
+        _log(f"backend init failed: {type(e).__name__}: {e}")
+        if time.time() - t0 > deadline:
+            _log("backend init deadline exceeded; giving up")
+            raise
+        _log("retrying in 180s with a fresh process (sticky init failure)")
+        time.sleep(180)
+        env = dict(os.environ, BENCH_T0=str(t0))
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                  env)
+
+
 def main():
+    _probe_backend()
     import jax
 
     from ddcmd_tpu.run.cli import load_db
