@@ -171,8 +171,12 @@ def main():
             "roofline_note": "6 MXU flops/slot (dist matmul) vs bf16peak/6 "
                              "f32-HIGHEST ceiling; VPU work excluded",
         }
-    # the single-core CPU estimate scales ~1/N: compare per-particle work
-    baseline = BASELINE_STEPS_PER_SEC / rep ** 3
+    # the single-core CPU estimate scales ~1/N: the documented ~100
+    # steps/s is for the 6,173-bead waterbox, so scale it per-particle
+    # for every workload (this subsumes the REPLICATE factor, and is
+    # conservative for EAM/bilayer whose per-pair CPU cost exceeds LJ)
+    n_particles = int(sim.sysdef.state.n_local)
+    baseline = BASELINE_STEPS_PER_SEC * 6173.0 / max(n_particles, 1)
     out = {
         "metric": metric,
         "value": round(steps_per_sec, 2),
@@ -180,7 +184,7 @@ def main():
         "vs_baseline": round(steps_per_sec / baseline, 2),
         "ns_per_day": round(ns_per_day, 1),
         "n_steps": n_steps,
-        "n_particles": sim.sysdef.state.n_local,
+        "n_particles": n_particles,
         "device": str(jax.devices()[0]),
         "engine": engine,
         "baseline_note": "estimated CPU-ddcMD ~100 steps/s; reference binary unbuildable from mount (missing util/ and recbis/ sources, no MPI)",
