@@ -479,6 +479,13 @@ def choose_col_group(grid: CellBlockGrid) -> int:
     if env not in ("auto", ""):
         G = int(env)
         return G if G > 1 and nz % G == 0 else 1
+    # Auto engages only on LARGE grids: the union-DMA saving pays where
+    # stencil HBM traffic dominates (many cells); on small grids the
+    # per-cell kernel is measured-good (waterbox 610 steps/s) and the
+    # wider program only adds unroll/compile risk, so don't gamble the
+    # known number (force via DDCMD_PALLAS_COLS=N to A/B small grids).
+    if grid.ncell < 1000:
+        return 1
     # DMA traffic per cell is (5G+9)/G -- monotone decreasing in G -- so
     # take the LARGEST divisor of nz up to 8 (the cap bounds per-program
     # unroll / Mosaic compile time; G=8 already saves 56%)

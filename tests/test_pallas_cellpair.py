@@ -425,3 +425,23 @@ def test_pallas_eam_alloy_matches_xla():
     assert float(jnp.abs(f2 - f1).max()) / scale < 5e-5
     assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=5e-3,
                                            abs=1.0)
+
+
+def test_choose_col_group_gate(monkeypatch):
+    """Auto column grouping engages only on large grids (>=1000 cells);
+    the env override forces any divisor regardless of size."""
+    from ddcmd_tpu.ops.pallas_cellpair import choose_col_group
+
+    class FakeGrid:
+        def __init__(self, ncells):
+            self.ncells = ncells
+            self.ncell = ncells[0] * ncells[1] * ncells[2]
+
+    monkeypatch.delenv("DDCMD_PALLAS_COLS", raising=False)
+    assert choose_col_group(FakeGrid((8, 8, 8))) == 1      # small: gated
+    assert choose_col_group(FakeGrid((16, 16, 16))) == 8   # large: max div
+    assert choose_col_group(FakeGrid((15, 15, 15))) == 5
+    monkeypatch.setenv("DDCMD_PALLAS_COLS", "4")
+    assert choose_col_group(FakeGrid((8, 8, 8))) == 4      # forced
+    monkeypatch.setenv("DDCMD_PALLAS_COLS", "0")
+    assert choose_col_group(FakeGrid((16, 16, 16))) == 1   # disabled
