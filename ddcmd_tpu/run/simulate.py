@@ -314,6 +314,7 @@ class Simulation:
                 return ss, nbr_idx, overflow | cell_edge_bad(ss.box)
 
         deltaR2 = float(self.sysdef.neighbor_deltaR) ** 2
+        deltaR = float(self.sysdef.neighbor_deltaR)
 
         def superchunk(ss, key, coeffs, box_lam, n_rebuilds,
                        steps_per_rebuild):
@@ -327,24 +328,37 @@ class Simulation:
             n_steps = n_rebuilds * steps_per_rebuild
             ss, nbr_idx, overflow = build_nbr(ss)
             r0 = ss.state.r
+            h0 = ss.box.h
 
             def body(carry, i):
-                ss, nbr_idx, r0, ov = carry
+                ss, nbr_idx, r0, h0, ov = carry
                 ss = step_fn(ss, nbr_idx, jax.random.fold_in(key, i), coeffs,
                              box_lam)
                 dr = ss.box.min_image(ss.state.r - r0)
                 md2 = jnp.max(jnp.sum(dr * dr, axis=-1) * ss.state.fmask)
-                stale = 4.0 * md2 >= deltaR2
+                # Staleness budget: per-particle drift PLUS box motion.
+                # Positions are wrapped for the box AT REBUILD TIME; a
+                # barostat (or prescribed h(t)) changing h between
+                # rebuilds puts boundary-wrapped particles outside the
+                # live box, so the static cell-image geometry degrades by
+                # ~|dh| per axis even while every |dr| stays tiny.  Left
+                # unchecked this is a runaway: missing boundary pairs ->
+                # more negative virial -> Berendsen compresses harder
+                # (observed collapsing an NPT bilayer 218->180 nm^3 inside
+                # one 492-step chunk).  For static boxes dh == 0 and this
+                # reduces exactly to the original 4*md2 >= deltaR2 test.
+                dh = jnp.max(jnp.abs(ss.box.h - h0))
+                stale = 2.0 * jnp.sqrt(md2) + 4.0 * dh >= deltaR
 
                 def do_rebuild(s):
                     s2, nb2, ov2 = build_nbr(s)
-                    return s2, nb2, s2.state.r, ov2
+                    return s2, nb2, s2.state.r, s2.box.h, ov2
 
                 def keep(s):
-                    return s, nbr_idx, r0, jnp.asarray(False)
+                    return s, nbr_idx, r0, h0, jnp.asarray(False)
 
-                ss, nbr_idx, r0, ov_i = jax.lax.cond(stale, do_rebuild,
-                                                     keep, ss)
+                ss, nbr_idx, r0, h0, ov_i = jax.lax.cond(stale, do_rebuild,
+                                                         keep, ss)
                 e = ss.energy
                 scal = jnp.stack([
                     e.eion, e.rk,
@@ -353,10 +367,10 @@ class Simulation:
                     e.virial[0, 0], e.virial[1, 1], e.virial[2, 2],
                     jnp.trace(e.tion),
                 ])
-                return (ss, nbr_idx, r0, ov | ov_i), scal
+                return (ss, nbr_idx, r0, h0, ov | ov_i), scal
 
-            (ss, _, _, overflow), scal = jax.lax.scan(
-                body, (ss, nbr_idx, r0, overflow), jnp.arange(n_steps))
+            (ss, _, _, _, overflow), scal = jax.lax.scan(
+                body, (ss, nbr_idx, r0, h0, overflow), jnp.arange(n_steps))
             # adaptive mode satisfies the skin criterion by construction:
             # report zero so the host cadence guard stays quiet
             return ss, scal, overflow, jnp.zeros(())
@@ -386,6 +400,7 @@ class Simulation:
         sd = self.sysdef
         box = self.ss.box
         margin = getattr(self, "_plan_margin", 1.0)
+        prev_cap = getattr(self.grid, "cap", None)
         if self.engine == "pallas":
             from ..ops.pallas_cellpair import plan_lanes
 
@@ -409,6 +424,13 @@ class Simulation:
                 np.asarray(box.lengths, dtype=np.float64), sd.rcut_max,
                 sd.neighbor_deltaR, sd.state.n_local, sd.state.n_pad,
                 max_neighbors=g.max_neighbors, plan_margin=margin)
+        # never shrink capacity on a replan: the retry loop alternates
+        # replan_grid/recapacity, and a fresh density-based plan that
+        # resets a previously-grown cap would make the two undo each
+        # other forever (overflow persisting through all retry rounds)
+        if prev_cap is not None and getattr(self.grid, "cap", 0) < prev_cap \
+                and hasattr(self.grid, "with_cap"):
+            self.grid = self.grid.with_cap(prev_cap)
         self.force_fn = build_force_fn(sd, dtype=self.dtype,
                                        engine=self.engine, grid=self.grid)
         self._rebuild_step_fn()
