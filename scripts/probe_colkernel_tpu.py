@@ -1,0 +1,118 @@
+"""Real-TPU force parity probe: per-cell + column pallas kernels vs the
+XLA cell-block engine vs an O(N^2) numpy f64 brute force, on (a) a CUBIC
+box (the only geometry every TPU-proven workload uses) and (b) an
+ANISOTROPIC box shaped like the bilayer grid (unequal cell widths,
+nz == G whole-axis columns with aliased union entries).
+
+Motivation: the 100k bilayer NaNs in its first chunk on TPU while the
+same deck runs on CPU (XLA engine); all pallas parity tests are
+interpret-mode and cubic."""
+import os
+import sys
+
+sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ddcmd_tpu.ops.cellpair import build_cell_slots, cellpair_eval, half_grid  # noqa: E402
+from ddcmd_tpu.ops.pallas_cellpair import (  # noqa: E402
+    make_pallas_cellpair_half, make_pallas_cellpair_half_col,
+    pack_stencil, pack_stencil_col, pallas_cellpair_eval_half, plan_lanes)
+
+INTERPRET = bool(os.environ.get("PROBE_INTERPRET"))
+rcut, skin = 1.1, 0.3
+sigma = np.array([[0.47, 0.57], [0.57, 0.47]])
+eps = np.array([[5.0, 5.6], [5.6, 5.0]])
+sr6 = (sigma / rcut) ** 6
+shift = -4 * eps * (sr6 ** 2 - sr6)
+krf, crf, keR = 0.5 / rcut ** 3, 1.5 / rcut, 138.935 / 15.0
+tables = dict(
+    sigma=jnp.asarray(sigma, jnp.float32), eps=jnp.asarray(eps, jnp.float32),
+    shift=jnp.asarray(shift, jnp.float32),
+    rcut2=jnp.asarray(rcut ** 2, jnp.float32),
+    krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
+    keR=jnp.asarray(keR, jnp.float32))
+
+
+def brute(r, q, tidx, L):
+    """f64 min-image brute force: returns (e, f)."""
+    d = r[:, None, :] - r[None, :, :]
+    d -= np.round(d / L) * L
+    d2 = np.einsum("ijk,ijk->ij", d, d)
+    np.fill_diagonal(d2, np.inf)
+    m = d2 < rcut ** 2
+    sg = sigma[tidx][:, tidx]
+    ep = eps[tidx][:, tidx]
+    sh = shift[tidx][:, tidx]
+    with np.errstate(over="ignore", invalid="ignore"):
+        s2 = sg * sg / d2
+        s6 = s2 ** 3
+        e_lj = np.where(m, 4 * ep * (s6 * s6 - s6) + sh, 0.0)
+        kqq = keR * np.outer(q, q)
+        ir = 1.0 / np.sqrt(d2)
+        e_c = np.where(m, kqq * (ir + krf * d2 - crf), 0.0)
+        dvdr = np.where(m, 24 * ep * (s6 - 2 * s6 * s6) / d2
+                        + kqq * (2 * krf - ir / d2), 0.0)
+    f = np.einsum("ij,ijk->ik", dvdr, -d)
+    return 0.5 * (e_lj + e_c).sum(), f
+
+
+def run_case(name, L3, density, seed):
+    rng = np.random.default_rng(seed)
+    L = np.array(L3, float)
+    n = int(np.prod(L) * density)
+    m = np.ceil((density ** (1 / 3)) * L).astype(int)
+    g = np.stack(np.meshgrid(*[np.arange(k) for k in m], indexing="ij"),
+                 -1).reshape(-1, 3)
+    g = g[rng.permutation(len(g))[:n]]
+    r = (g + 0.5) / m * L - 0.5 * L + (rng.random((n, 3)) - 0.5) * 0.1
+    q = rng.choice([-1.0, 0.0, 1.0], size=n) * 0.3
+    tidx = rng.integers(0, 2, size=n)
+
+    e_ref, f_ref = brute(r, q, tidx, L)
+    grid = plan_lanes(L, rcut, skin, n)
+    nz = grid.ncells[2]
+    print(f"[{name}] n={n} ncells={grid.ncells} cap={grid.cap} "
+          f"e_brute={e_ref:.3f}", flush=True)
+
+    rj = jnp.asarray(r, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    tj = jnp.asarray(tidx, jnp.int32)
+    Lv = jnp.asarray(L, jnp.float32)
+    fmask = jnp.ones(n, jnp.float32)
+    perm, ov = build_cell_slots(rj, fmask, Lv, grid)
+    assert not bool(ov)
+    scale = max(1.0, float(np.abs(f_ref).max()))
+
+    def report(tag, f, e):
+        df = float(jnp.abs(jnp.asarray(f) - f_ref).max()) / scale
+        de = abs(float(e) - e_ref) / max(1.0, abs(e_ref))
+        print(f"[{name}] {tag:14s} e={float(e):14.3f} "
+              f"max|df|/scale={df:.3e} |de|/e={de:.3e} "
+              f"{'OK' if df < 1e-4 and de < 1e-5 else '** MISMATCH **'}",
+              flush=True)
+
+    f0, e0, v0, pe0 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
+                                    coulomb=True)
+    report("xla-cellblock", f0, e0)
+
+    hgrid = half_grid(grid)
+    ev1 = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
+                                    interpret=INTERPRET)
+    f1, e1, _, _ = pallas_cellpair_eval_half(
+        rj, qj, tj, perm, Lv, hgrid, tables,
+        jnp.asarray(pack_stencil(hgrid)), ev1)
+    report("pallas-percell", f1, e1)
+
+    G = nz
+    evc = make_pallas_cellpair_half_col(hgrid, tables, G, coulomb=True,
+                                        interpret=INTERPRET)
+    fc, ec, _, _ = pallas_cellpair_eval_half(
+        rj, qj, tj, perm, Lv, hgrid, tables,
+        jnp.asarray(pack_stencil_col(hgrid, G)), evc)
+    report(f"pallas-col G={G}", fc, ec)
+
+
+run_case("cubic", (6.0, 6.0, 6.0), 7.0, 3)
+run_case("aniso", (6.0, 6.0, 9.9), 7.0, 3)
