@@ -12,6 +12,22 @@ import sys
 
 sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+import jax  # noqa: E402
+
+# Default to interpret-mode on CPU: a real-TPU run compiles several
+# pallas programs and must be an explicit opt-in (PROBE_TPU=1) gated to
+# ONE case and ONE kernel per process (tunnel compile budget, CLAUDE.md).
+INTERPRET = not bool(os.environ.get("PROBE_TPU"))
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
+# PROBE_CASE=cubic|aniso and PROBE_KERNEL=xla|percell|col narrow the run
+# (required on TPU: pick exactly one of each)
+CASE = os.environ.get("PROBE_CASE", "" if INTERPRET else "aniso")
+KERNEL = os.environ.get("PROBE_KERNEL", "" if INTERPRET else "col")
+if not INTERPRET and (not CASE or not KERNEL):
+    sys.exit("real-TPU probe: set PROBE_CASE=cubic|aniso and "
+             "PROBE_KERNEL=xla|percell|col (one compile per process)")
+
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -20,7 +36,6 @@ from ddcmd_tpu.ops.pallas_cellpair import (  # noqa: E402
     make_pallas_cellpair_half, make_pallas_cellpair_half_col,
     pack_stencil, pack_stencil_col, pallas_cellpair_eval_half, plan_lanes)
 
-INTERPRET = bool(os.environ.get("PROBE_INTERPRET"))
 rcut, skin = 1.1, 0.3
 sigma = np.array([[0.47, 0.57], [0.57, 0.47]])
 eps = np.array([[5.0, 5.6], [5.6, 5.0]])
@@ -86,33 +101,40 @@ def run_case(name, L3, density, seed):
     scale = max(1.0, float(np.abs(f_ref).max()))
 
     def report(tag, f, e):
+        # f32 pair-energy accumulation over ~50k terms vs an f64 oracle:
+        # ~1e-4 relative energy noise is benign (ADVICE r2)
         df = float(jnp.abs(jnp.asarray(f) - f_ref).max()) / scale
         de = abs(float(e) - e_ref) / max(1.0, abs(e_ref))
         print(f"[{name}] {tag:14s} e={float(e):14.3f} "
               f"max|df|/scale={df:.3e} |de|/e={de:.3e} "
-              f"{'OK' if df < 1e-4 and de < 1e-5 else '** MISMATCH **'}",
+              f"{'OK' if df < 1e-4 and de < 1e-4 else '** MISMATCH **'}",
               flush=True)
 
-    f0, e0, v0, pe0 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
-                                    coulomb=True)
-    report("xla-cellblock", f0, e0)
+    if not KERNEL or KERNEL == "xla":
+        f0, e0, v0, pe0 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
+                                        coulomb=True)
+        report("xla-cellblock", f0, e0)
 
     hgrid = half_grid(grid)
-    ev1 = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
-                                    interpret=INTERPRET)
-    f1, e1, _, _ = pallas_cellpair_eval_half(
-        rj, qj, tj, perm, Lv, hgrid, tables,
-        jnp.asarray(pack_stencil(hgrid)), ev1)
-    report("pallas-percell", f1, e1)
-
-    G = nz
-    evc = make_pallas_cellpair_half_col(hgrid, tables, G, coulomb=True,
+    if not KERNEL or KERNEL == "percell":
+        ev1 = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
                                         interpret=INTERPRET)
-    fc, ec, _, _ = pallas_cellpair_eval_half(
-        rj, qj, tj, perm, Lv, hgrid, tables,
-        jnp.asarray(pack_stencil_col(hgrid, G)), evc)
-    report(f"pallas-col G={G}", fc, ec)
+        f1, e1, _, _ = pallas_cellpair_eval_half(
+            rj, qj, tj, perm, Lv, hgrid, tables,
+            jnp.asarray(pack_stencil(hgrid)), ev1)
+        report("pallas-percell", f1, e1)
+
+    if not KERNEL or KERNEL == "col":
+        G = nz
+        evc = make_pallas_cellpair_half_col(hgrid, tables, G, coulomb=True,
+                                            interpret=INTERPRET)
+        fc, ec, _, _ = pallas_cellpair_eval_half(
+            rj, qj, tj, perm, Lv, hgrid, tables,
+            jnp.asarray(pack_stencil_col(hgrid, G)), evc)
+        report(f"pallas-col G={G}", fc, ec)
 
 
-run_case("cubic", (6.0, 6.0, 6.0), 7.0, 3)
-run_case("aniso", (6.0, 6.0, 9.9), 7.0, 3)
+if not CASE or CASE == "cubic":
+    run_case("cubic", (6.0, 6.0, 6.0), 7.0, 3)
+if not CASE or CASE == "aniso":
+    run_case("aniso", (6.0, 6.0, 9.9), 7.0, 3)
