@@ -181,12 +181,20 @@ def _single_potential_forces(sim, pot_name, state, box, nbr, dtype):
     return np.asarray(f)
 
 
-def unit_test_master(db=None, base_dir=".", run_dir=".", dtype=None):
+def unit_test_master(db=None, base_dir=".", run_dir=".", dtype=None,
+                     tier="fast"):
     """unitTestMaster: the reference's CuTest tier is stubbed in the open
-    release (nullRoutines.c:7); ours is the pytest suite."""
+    release (nullRoutines.c:7); ours is the pytest suite.
+
+    Defaults to the fast tier (``-m "not slow"``) so the master is usable
+    as a deck-invocable check (~minutes, not the ~55-min full suite on a
+    1-core box).  tier="full" (or DDCMD_UNITTEST_TIER=full) runs all."""
     import subprocess
     import sys
 
-    return subprocess.call([sys.executable, "-m", "pytest",
-                            os.path.join(os.path.dirname(__file__), "..", "..", "tests"),
-                            "-q"])
+    tier = os.environ.get("DDCMD_UNITTEST_TIER", tier)
+    cmd = [sys.executable, "-m", "pytest",
+           os.path.join(os.path.dirname(__file__), "..", "..", "tests"), "-q"]
+    if tier != "full":
+        cmd += ["-m", "not slow"]
+    return subprocess.call(cmd)

@@ -555,17 +555,26 @@ class Simulation:
             "phase.step_fused": lambda: step_j(ss, nbr, key),
         }
         out = {}
+        errors = {}
         for name, fn in phases.items():
             try:
                 jax.block_until_ready(fn())       # warmup/compile
-            except Exception:
-                continue                          # e.g. step signature
+            except Exception as err:              # e.g. step signature
+                # a broken profiler must report failure, not silence
+                errors[name] = f"{type(err).__name__}: {err}"
+                import warnings
+
+                warnings.warn(f"profile_phases: {name} failed ({err!r}); "
+                              "phase skipped")
+                continue
             t = PROFILE.timer(name)
             for _ in range(n_iter):
                 t.start()
                 jax.block_until_ready(fn())
                 t.stop()
             out[name] = t.total / max(t.calls, 1)
+        if errors:
+            out["errors"] = errors
         return out
 
     def run_nextfile(self, print_fn=None):
@@ -994,8 +1003,8 @@ class Simulation:
 
             try:
                 self.profile_phases()
-            except Exception:
-                pass
+            except Exception as err:
+                print(f"profile: FAILED ({type(err).__name__}: {err})")
 
             print(PROFILE.table())
         if "analysis" in text:
