@@ -352,12 +352,13 @@ def cellpair_eval(r, q, tidx, perm, box_geom, grid: CellBlockGrid, tables,
 
     # virial = 0.5 sum f_ij (x) dr_ij, f_ij = -coef dr_ij, dr = p - q
     # = -0.5 [ A - B - B^T + C ]
-    A = jnp.einsum("nc,ncd,nce->de", csum, P, P)
+    hi = jax.lax.Precision.HIGHEST
+    A = jnp.einsum("nc,ncd,nce->de", csum, P, P, precision=hi)
     CQ = jnp.einsum("ncs,nsd->ncd", coef, Q, preferred_element_type=dt,
-                    precision=jax.lax.Precision.HIGHEST)
-    B = jnp.einsum("ncd,nce->de", P, CQ)
+                    precision=hi)
+    B = jnp.einsum("ncd,nce->de", P, CQ, precision=hi)
     qsum = jnp.sum(coef, axis=1)                       # (C,Sc)
-    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q)
+    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q, precision=hi)
     virial = -0.5 * (A - B - B.T + Cm)
 
     # unsort: each particle owns exactly one slot -> permutation scatter
@@ -469,9 +470,9 @@ def cellpair_eval_half(r, q, tidx, perm, box_geom, grid: CellBlockGrid,
         pe_back = pe_back + pq_blk[bm[s], s]
 
     # each pair counted once: no 0.5
-    A = jnp.einsum("nc,ncd,nce->de", csum, P, P)
-    B = jnp.einsum("ncd,nce->de", P, CQ)
-    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q)
+    A = jnp.einsum("nc,ncd,nce->de", csum, P, P, precision=hi)
+    B = jnp.einsum("ncd,nce->de", P, CQ, precision=hi)
+    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q, precision=hi)
     virial = -(A - B - B.T + Cm)
 
     F = F_p + F_back

@@ -106,12 +106,12 @@ def eam_cellblock_eval(r, sidx, fmask, perm, box_geom,
         "ncs,nsd->ncd", coef, Q, preferred_element_type=dt, precision=hi)
 
     # virial = 0.5 sum_ordered f_ij (x) dr_ij = -0.5 [A - B - B^T + C]
-    A = jnp.einsum("nc,ncd,nce->de", csum, Pc, Pc)
+    A = jnp.einsum("nc,ncd,nce->de", csum, Pc, Pc, precision=hi)
     CQ = jnp.einsum("ncs,nsd->ncd", coef, Q, preferred_element_type=dt,
                     precision=hi)
-    B = jnp.einsum("ncd,nce->de", Pc, CQ)
+    B = jnp.einsum("ncd,nce->de", Pc, CQ, precision=hi)
     qsum = jnp.sum(coef, axis=1)
-    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q)
+    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q, precision=hi)
     virial = -0.5 * (A - B - B.T + Cm)
 
     pe_slot = pe_pair + F_slot
@@ -234,9 +234,9 @@ def eam_cellblock_eval_half(r, sidx, fmask, perm, box_geom,
     F_q = PC - Q * qsum[:, :, None]
     F_back = fold(F_q.reshape(ncell, S, cap, 3))
 
-    A = jnp.einsum("nc,ncd,nce->de", csum, Pc, Pc)
-    B = jnp.einsum("ncd,nce->de", Pc, CQ)
-    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q)
+    A = jnp.einsum("nc,ncd,nce->de", csum, Pc, Pc, precision=hi)
+    B = jnp.einsum("ncd,nce->de", Pc, CQ, precision=hi)
+    Cm = jnp.einsum("ns,nsd,nse->de", qsum, Q, Q, precision=hi)
     virial = -(A - B - B.T + Cm)
 
     pe_slot = pe_pair_p + pe_pair_q + F_slot

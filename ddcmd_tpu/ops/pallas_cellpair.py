@@ -44,6 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .cellpair import (CellBlockGrid, _build_stencil,     # noqa: F401
                        half_back_map, half_grid)
 
+# EVERY in-kernel dot must force full-f32 MXU passes: Mosaic's DEFAULT
+# precision lowers f32 dot_general to ONE bf16 pass, which silently
+# bf16-rounds positions/shifts/parameters.  Interpret-mode (CPU) parity
+# can NOT catch this -- it was confirmed on hardware by scripts/
+# probe_colkernel_tpu.py (energy +4.7%, max force error 0.74 of scale,
+# reproduced bit-close by a numpy bf16-channel emulation).
+_HI = jax.lax.Precision.HIGHEST
+
 
 def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
                lane_cap: int | None = None, density_safety: float = 1.3,
@@ -90,7 +98,7 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
                          stencil_cells=stencil_cells, wrap=wrap)
 
 
-def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
+def _kernel(stencil_ref,      # (ncell*S*4,) int32 scalar-prefetch (SMEM)
             L_ref,            # (1, 8) f32 SMEM: L/ncells (3), rcut2
             slots_ref,        # (ncell, 8, cap) f32 HBM (transposed records)
             p_ref,            # (1, 8, cap) f32 VMEM (this cell's block)
@@ -105,6 +113,10 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
+    # stencil table is FLAT 1-D: a 2-D (ncell, S*4) SMEM operand is
+    # lane-padded to (ncell, 128) and double-buffered -- ncell >= ~970
+    # exceeds the 1MB SMEM budget (observed on the 1050-cell bilayer grid)
+    base = c * (S * 4)
 
     Lnx = L_ref[0, 0]
     Lny = L_ref[0, 1]
@@ -113,7 +125,7 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     # issue every stencil-block DMA into its lane window up front
     for s in range(S):
-        cell_id = stencil_ref[c, s * 4 + 0]
+        cell_id = stencil_ref[base + s * 4 + 0]
         pltpu.make_async_copy(
             slots_ref.at[cell_id],
             q_scratch.at[:, pl.ds(s * cap, cap)],
@@ -132,12 +144,12 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     def col(row):  # (1, cap) -> (cap, 1) via a k=1 MXU dot (no transpose op)
         return jax.lax.dot_general(row, ones11, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_HI)
 
     pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (cap,3)
+                              preferred_element_type=jnp.float32, precision=_HI)  # (cap,3)
     p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (cap,1)
+                              preferred_element_type=jnp.float32, precision=_HI)  # (cap,1)
     pqc = col(pq_row)                                   # (cap,1)
     pvc = col(pv_row)
     ptc = col(pt_row)
@@ -149,9 +161,9 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     else:
         tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
         OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
-        sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
-        epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
-        shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
+        sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+        epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+        shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32, precision=_HI)
 
     # per-block image shifts as a (3, S) matrix from the SMEM scalars,
     # expanded to lanes with a block-indicator matmul
@@ -159,16 +171,16 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
     shift_mat = jnp.zeros((3, S), jnp.float32)
     for s in range(S):
-        sx = stencil_ref[c, s * 4 + 1].astype(jnp.float32) * Lnx
-        sy = stencil_ref[c, s * 4 + 2].astype(jnp.float32) * Lny
-        sz = stencil_ref[c, s * 4 + 3].astype(jnp.float32) * Lnz
+        sx = stencil_ref[base + s * 4 + 1].astype(jnp.float32) * Lnx
+        sy = stencil_ref[base + s * 4 + 2].astype(jnp.float32) * Lny
+        sz = stencil_ref[base + s * 4 + 3].astype(jnp.float32) * Lnz
         v = jnp.where(row3s == 0, sx, jnp.where(row3s == 1, sy, sz))
         shift_mat = jnp.where(col3s == s, v, shift_mat)
     lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
     indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
                  == lane_blk).astype(jnp.float32)       # (S, W)
     Shift3 = jnp.dot(shift_mat, indicator,
-                     preferred_element_type=jnp.float32)  # (3, W)
+                     preferred_element_type=jnp.float32, precision=_HI)  # (3, W)
 
     # self-pair mask: the (0,0,0) stencil entry sits at the STATIC index
     # s_self (aliased wrapped-image blocks of the same cell must NOT be
@@ -179,7 +191,7 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     for s in range(S):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            slots_ref.at[stencil_ref[base + s * 4 + 0]],
             q_scratch.at[:, pl.ds(s * cap, cap)],
             sem.at[s],
         ).wait()
@@ -192,7 +204,7 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)   # (1, W)
     M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (cap, W)
+                            preferred_element_type=jnp.float32, precision=_HI)  # (cap, W)
     d2 = p2c + q2r - 2.0 * M
 
     valid = (pvc * qv_row > 0.0)
@@ -211,9 +223,9 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     else:
         tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
         OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
-        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
-        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
-        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
+        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
 
     s2 = sig * sig * ir2
     s6 = s2 * s2 * s2
@@ -228,18 +240,18 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     csum = jnp.sum(coef, axis=1, keepdims=True)          # (cap,1)
     cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (cap,3)
+                              preferred_element_type=jnp.float32, precision=_HI)  # (cap,3)
     facc = -pxT * csum + cqT
     peacc = 0.5 * jnp.sum(e_pair, axis=1, keepdims=True)  # (cap,1)
 
     # virial = -0.5 (A - B - B^T + C)
     qsum_r = jnp.sum(coef, axis=0, keepdims=True)        # (1, W)
     A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)    # (3,3)
+                            preferred_element_type=jnp.float32, precision=_HI)    # (3,3)
     B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     vir = -0.5 * (A - B - B.T + C)
 
     out_f_ref[:] = facc
@@ -254,7 +266,7 @@ def _kernel(stencil_ref,      # (ncell, S*4) int32 scalar-prefetch (SMEM)
     out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
 
 
-def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
+def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
                  L_ref,         # (1, 8) f32 SMEM: L/ncells (3), rcut2
                  slots_ref,     # (ncell, 8, cap) f32 HBM
                  p_ref,         # (1, 8, cap) f32 VMEM
@@ -265,7 +277,7 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
                                 # q-side reaction [fx fy fz pe 0 0 0 0]
                  out_cell_ref,  # (ncell, 8) f32 SMEM: e + virial6
                  q_scratch, sem,
-                 *, cap: int, n_stencil: int, T: int,
+                 *, cap: int, n_stencil: int, T: int, alias_groups,
                  krf: float, crf: float, keR: float, coulomb: bool):
     """Newton's-3rd-law variant of _kernel: the self block (index 0) is
     deduplicated with a triangular mask, only the 13 positive stencil
@@ -282,6 +294,7 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
+    base = c * (S * 4)            # flat 1-D SMEM table (see _kernel)
 
     Lnx = L_ref[0, 0]
     Lny = L_ref[0, 1]
@@ -290,7 +303,7 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     for s in range(S):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            slots_ref.at[stencil_ref[base + s * 4 + 0]],
             q_scratch.at[:, pl.ds(s * cap, cap)],
             sem.at[s],
         ).start()
@@ -311,12 +324,12 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     def col(row):
         return jax.lax.dot_general(row, ones11, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_HI)
 
     pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (cap,3)
+                              preferred_element_type=jnp.float32, precision=_HI)  # (cap,3)
     p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32, precision=_HI)
     pqc = col(pq_row)
     pvc = col(pv_row)
     ptc = col(pt_row)
@@ -328,24 +341,24 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     else:
         tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
         OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
-        sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32)
-        epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32)
-        shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32)
+        sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+        epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+        shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32, precision=_HI)
 
     row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
     col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
     shift_mat = jnp.zeros((3, S), jnp.float32)
     for s in range(S):
-        sx = stencil_ref[c, s * 4 + 1].astype(jnp.float32) * Lnx
-        sy = stencil_ref[c, s * 4 + 2].astype(jnp.float32) * Lny
-        sz = stencil_ref[c, s * 4 + 3].astype(jnp.float32) * Lnz
+        sx = stencil_ref[base + s * 4 + 1].astype(jnp.float32) * Lnx
+        sy = stencil_ref[base + s * 4 + 2].astype(jnp.float32) * Lny
+        sz = stencil_ref[base + s * 4 + 3].astype(jnp.float32) * Lnz
         v = jnp.where(row3s == 0, sx, jnp.where(row3s == 1, sy, sz))
         shift_mat = jnp.where(col3s == s, v, shift_mat)
     lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
     indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
                  == lane_blk).astype(jnp.float32)
     Shift3 = jnp.dot(shift_mat, indicator,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=_HI)
 
     # self block sits at STATIC index 0: keep each unordered intra-cell
     # pair once (lane > row); image blocks of the same cell (wrap != 0)
@@ -356,7 +369,7 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     for s in range(S):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            slots_ref.at[stencil_ref[base + s * 4 + 0]],
             q_scratch.at[:, pl.ds(s * cap, cap)],
             sem.at[s],
         ).wait()
@@ -369,7 +382,7 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
 
     q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
     M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     d2 = p2c + q2r - 2.0 * M
 
     valid = (pvc * qv_row > 0.0)
@@ -388,9 +401,9 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     else:
         tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
         OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
-        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
-        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
-        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
+        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
 
     s2 = sig * sig * ir2
     s6 = s2 * s2 * s2
@@ -406,28 +419,35 @@ def _kernel_half(stencil_ref,   # (ncell, S*4) int32 scalar-prefetch (SMEM)
     # p side: f_i = -sum_j coef_ij (p_i - q_j)
     csum = jnp.sum(coef, axis=1, keepdims=True)          # (cap,1)
     cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (cap,3)
+                              preferred_element_type=jnp.float32, precision=_HI)  # (cap,3)
     out_f_ref[:] = -pxT * csum + cqT
     out_pe_ref[:] = 0.5 * jnp.sum(e_pair, axis=1, keepdims=True)
 
     # q side (reaction): f_j = +sum_i coef_ij (p_i - q_j)
     qsum_r = jnp.sum(coef, axis=0, keepdims=True)        # (1, W)
-    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)  # (3, W)
+    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)  # (3, W)
     Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
     peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)   # (1, W)
     zero4 = jnp.zeros((4, W), jnp.float32)
     out8 = jnp.concatenate([Fq, peq, zero4], axis=0)     # (8, W)
-    for s in range(S):
-        tgt = stencil_ref[c, s * 4 + 0]
-        out_q_ref[tgt] = out_q_ref[tgt] + out8[:, s * cap:(s + 1) * cap]
+    # one read-modify-write per DISTINCT target cell: stencil directions
+    # that alias the same neighbor through different periodic images
+    # (axes with <= 2 cells) are merged in-register first -- unrolled
+    # same-address RMWs are not ordered by Mosaic's scheduler
+    for group in alias_groups:
+        acc = out8[:, group[0] * cap:(group[0] + 1) * cap]
+        for s in group[1:]:
+            acc = acc + out8[:, s * cap:(s + 1) * cap]
+        tgt = stencil_ref[base + group[0] * 4 + 0]
+        out_q_ref[tgt] = out_q_ref[tgt] + acc
 
     # each pair counted ONCE: no 0.5 on e/virial
     A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     vir = -(A - B - B.T + C)
 
     out_cell_ref[c, 0] = jnp.sum(e_pair)
@@ -495,12 +515,40 @@ def choose_col_group(grid: CellBlockGrid) -> int:
     return 1
 
 
+def col_plan_grid(grid: CellBlockGrid, G: int):
+    """col_plan deduped by PERIODIC ALIASING: on small-nz grids several
+    union directions reach the same physical cell through different
+    images (e.g. dzu = -1 and dzu = G-1 when nz == G).  Aliased entries
+    would (a) DMA the same block twice and (b) issue same-address
+    read-modify-writes in the q-side scatter, which Mosaic's scheduler
+    does not order.  Collapsing them keeps one window per DISTINCT cell;
+    the per-member image shifts stay static (dz = dzu - g), so only the
+    window INDEX changes, never the data or the shift."""
+    nx, ny, nz = grid.ncells
+    dirs = _half_dirs()
+    raw = sorted({(dx, dy, dz + g) for (dx, dy, dz) in dirs
+                  for g in range(G)})
+    reps: dict = {}
+    for d in raw:
+        reps.setdefault((d[0] % nx, d[1] % ny, d[2] % nz), d)
+    union = sorted(reps.values())
+    uidx = {k: i for i, (k, _) in
+            enumerate(sorted(reps.items(), key=lambda kv: kv[1]))}
+    member = tuple(
+        tuple(uidx[(dx % nx, dy % ny, (dz + g) % nz)]
+              for (dx, dy, dz) in dirs)
+        for g in range(G))
+    return union, member
+
+
 def pack_stencil_col(grid: CellBlockGrid, G: int) -> np.ndarray:
     """(ncol, U) int32 union-block cell ids per column program (the image
-    shifts are static per direction and live in the kernel, not here)."""
+    shifts are static per direction and live in the kernel, not here).
+    The union is deduped by periodic alias class (col_plan_grid), so the
+    U target cells of one column are pairwise DISTINCT."""
     nx, ny, nz = grid.ncells
     assert nz % G == 0
-    union, _ = col_plan(G)
+    union, _ = col_plan_grid(grid, G)
     ncol = grid.ncell // G
     base = np.arange(ncol) * G
     cx, rem = np.divmod(base, ny * nz)
@@ -512,7 +560,20 @@ def pack_stencil_col(grid: CellBlockGrid, G: int) -> np.ndarray:
     return out
 
 
-def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
+def _alias_groups_half(ncells):
+    """Half-stencil indices grouped by the neighbor cell they actually
+    reach (offset mod ncells): on axes with <= 2 cells two directions
+    can hit the same cell through different periodic images.  Groups are
+    merged in-register before the q-side scatter (one RMW per distinct
+    target -- see _kernel_half)."""
+    groups: dict = {}
+    for s, (dx, dy, dz) in enumerate(_half_dirs()):
+        groups.setdefault(
+            (dx % ncells[0], dy % ncells[1], dz % ncells[2]), []).append(s)
+    return tuple(tuple(v) for v in groups.values())
+
+
+def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
                      L_ref,         # (1, 8) f32 SMEM: L/ncells (3), rcut2
                      slots_ref,     # (ncell, 8, cap) f32 HBM
                      p_ref,         # (G, 8, cap) f32 VMEM (column's cells)
@@ -537,6 +598,7 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
     S = len(dirs)
     U = n_union
     W = S * cap
+    base = c * U                  # flat 1-D SMEM table (see _kernel)
 
     Lnx = L_ref[0, 0]
     Lny = L_ref[0, 1]
@@ -545,7 +607,7 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
 
     for u in range(U):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, u]],
+            slots_ref.at[stencil_ref[base + u]],
             q_scratch.at[:, pl.ds(u * cap, cap)],
             sem.at[u],
         ).start()
@@ -560,7 +622,7 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
 
     def col(row):  # (1, cap) -> (cap, 1) via a k=1 MXU dot
         return jax.lax.dot_general(row, ones11, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_HI)
 
     # per-block image shifts: STATIC directions x traced cell widths,
     # expanded to lanes with a block-indicator matmul; the per-member
@@ -577,7 +639,7 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
     indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
                  == lane_blk).astype(jnp.float32)
     Shift3 = jnp.dot(shift_mat, indicator,
-                     preferred_element_type=jnp.float32)     # (3, W)
+                     preferred_element_type=jnp.float32, precision=_HI)     # (3, W)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 0)
@@ -585,7 +647,7 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
 
     for u in range(U):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, u]],
+            slots_ref.at[stencil_ref[base + u]],
             q_scratch.at[:, pl.ds(u * cap, cap)],
             sem.at[u],
         ).wait()
@@ -604,10 +666,10 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
         pv_row = P[5:6, :]
 
         pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32, precision=_HI)
         p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31,
                                   (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32, precision=_HI)
         pqc = col(pq_row)
         pvc = col(pv_row)
         ptc = col(pt_row)
@@ -617,11 +679,11 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
             tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
             OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
             sigOP = jnp.dot(OP, sigma_ref[:],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
             epsOP = jnp.dot(OP, eps_ref[:],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
             shfOP = jnp.dot(OP, shift_ref[:],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
 
         Q = jnp.concatenate(
             [Qall[:, member_u[g][s] * cap:(member_u[g][s] + 1) * cap]
@@ -633,7 +695,7 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
 
         q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
         M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=_HI)
         d2 = p2c + q2r - 2.0 * M
 
         valid = (pvc * qv_row > 0.0)
@@ -652,9 +714,9 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
         else:
             tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
             OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
-            sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32)
-            eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32)
-            shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32)
+            sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+            eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+            shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
 
         s2 = sig * sig * ir2
         s6 = s2 * s2 * s2
@@ -669,13 +731,13 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
 
         csum = jnp.sum(coef, axis=1, keepdims=True)
         cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32, precision=_HI)
         out_f_ref[g * cap:(g + 1) * cap, :] = -pxT * csum + cqT
         out_pe_ref[g * cap:(g + 1) * cap, :] = \
             0.5 * jnp.sum(e_pair, axis=1, keepdims=True)
 
         qsum_r = jnp.sum(coef, axis=0, keepdims=True)       # (1, W)
-        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)
+        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)
         Fq = Pcoef - Qxyz * qsum_r                          # (3, W)
         peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)  # (1, W)
         out4 = jnp.concatenate([Fq, peq], axis=0)           # (4, W)
@@ -685,18 +747,21 @@ def _kernel_half_col(stencil_ref,   # (ncol, U) int32 scalar-prefetch (SMEM)
             qacc[u] = piece if qacc[u] is None else qacc[u] + piece
 
         A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=_HI)
         B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=_HI)
         C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz,
                                 (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=_HI)
         e_tot = e_tot + jnp.sum(e_pair)
         vir_tot = vir_tot - (A - B - B.T + C)
 
+    # the deduped union (col_plan_grid) guarantees the U targets of one
+    # column are DISTINCT cells, so each RMW below touches a different
+    # address (same-address RMWs in an unrolled loop are not ordered)
     zero4 = jnp.zeros((4, cap), jnp.float32)
     for u in range(U):
-        tgt = stencil_ref[c, u]
+        tgt = stencil_ref[base + u]
         out8 = jnp.concatenate([qacc[u], zero4], axis=0)    # (8, cap)
         out_q_ref[tgt] = out_q_ref[tgt] + out8
 
@@ -723,7 +788,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
     ncell = grid.ncell
     assert grid.ncells[2] % G == 0 and ncell % G == 0
     ncol = ncell // G
-    union, member_u = col_plan(G)
+    union, member_u = col_plan_grid(grid, G)
     U = len(union)
     T = int(tables["sigma"].shape[0])
     kernel = functools.partial(
@@ -769,7 +834,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
 
     def eval_fn(slots, stencil_packed, L8):
         out_f, out_pe, out_q, out_cells = call(
-            stencil_packed, L8, slots,
+            stencil_packed.reshape(-1), L8, slots,
             slots, tables["sigma"], tables["eps"], tables["shift"])
         return (jnp.concatenate([out_f, out_pe], axis=1), out_q, out_cells)
 
@@ -789,6 +854,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
     T = int(tables["sigma"].shape[0])
     kernel = functools.partial(
         _kernel_half, cap=cap, n_stencil=S, T=T,
+        alias_groups=_alias_groups_half(grid.ncells),
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
         keR=float(tables.get("keR", 0.0)), coulomb=coulomb)
 
@@ -829,7 +895,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
 
     def eval_fn(slots, stencil_packed, L8):
         out_f, out_pe, out_q, out_cells = call(
-            stencil_packed, L8, slots,
+            stencil_packed.reshape(-1), L8, slots,
             slots, tables["sigma"], tables["eps"], tables["shift"])
         return (jnp.concatenate([out_f, out_pe], axis=1), out_q, out_cells)
 
@@ -922,7 +988,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
 
     def eval_fn(slots, stencil_packed, L8):
         out_f, out_pe, out_cells = call(
-            stencil_packed, L8, slots,
+            stencil_packed.reshape(-1), L8, slots,
             slots, tables["sigma"], tables["eps"], tables["shift"])
         return jnp.concatenate([out_f, out_pe], axis=1), out_cells
 
@@ -949,7 +1015,9 @@ def pack_stencil(grid: CellBlockGrid) -> np.ndarray:
     packed = np.concatenate(
         [grid.stencil_cells[:, :, None].astype(np.int32),
          delta.astype(np.int32)], axis=2)
-    # SMEM pads the trailing dim to 128 lanes: keep it 2D (ncell, S*4)
+    # callers keep the 2-D (ncell, S*4) view; the kernel wrappers flatten
+    # it to 1-D before prefetch (2-D SMEM operands are lane-padded to 128
+    # and double-buffered: >= ~970 cells would blow the 1MB SMEM budget)
     return packed.reshape(grid.ncell, -1)
 
 

@@ -38,6 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..potentials.eam import _embedding, _pair_eval
 from .cellpair import CellBlockGrid
 
+# force full-f32 MXU passes on every in-kernel dot (Mosaic's DEFAULT
+# precision is one bf16 pass -- see ops/pallas_cellpair.py:_HI)
+_HI = jax.lax.Precision.HIGHEST
+
 
 def pallas_eam_supported(tables) -> bool:
     """Analytic forms, any (small) species count: multi-species runs the
@@ -60,14 +64,16 @@ def _np_tables(pair_tables):
 def _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem, slots_ref,
               c, S, cap):
     """Shared tile setup: issue/wait DMAs, shift q blocks into p's frame,
-    return (Pxyz (3,cap), Q (8,W), Qxyz (3,W))."""
+    return (Pxyz (3,cap), Q (8,W), Qxyz (3,W)).  stencil_ref is the FLAT
+    1-D prefetch table (see pallas_cellpair._kernel)."""
     W = S * cap
+    base = c * (S * 4)
     Lnx = L_ref[0, 0]
     Lny = L_ref[0, 1]
     Lnz = L_ref[0, 2]
     for s in range(S):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            slots_ref.at[stencil_ref[base + s * 4 + 0]],
             q_scratch.at[:, pl.ds(s * cap, cap)],
             sem.at[s],
         ).start()
@@ -75,19 +81,19 @@ def _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem, slots_ref,
     col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
     shift_mat = jnp.zeros((3, S), jnp.float32)
     for s in range(S):
-        sx = stencil_ref[c, s * 4 + 1].astype(jnp.float32) * Lnx
-        sy = stencil_ref[c, s * 4 + 2].astype(jnp.float32) * Lny
-        sz = stencil_ref[c, s * 4 + 3].astype(jnp.float32) * Lnz
+        sx = stencil_ref[base + s * 4 + 1].astype(jnp.float32) * Lnx
+        sy = stencil_ref[base + s * 4 + 2].astype(jnp.float32) * Lny
+        sz = stencil_ref[base + s * 4 + 3].astype(jnp.float32) * Lnz
         v = jnp.where(row3s == 0, sx, jnp.where(row3s == 1, sy, sz))
         shift_mat = jnp.where(col3s == s, v, shift_mat)
     lane_blk = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1) // cap
     indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
                  == lane_blk).astype(jnp.float32)
     Shift3 = jnp.dot(shift_mat, indicator,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=_HI)
     for s in range(S):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, s * 4 + 0]],
+            slots_ref.at[stencil_ref[base + s * 4 + 0]],
             q_scratch.at[:, pl.ds(s * cap, cap)],
             sem.at[s],
         ).wait()
@@ -103,13 +109,13 @@ def _pair_tile(P, Qxyz, Q, rcut2, cap, W):
     qv_row = Q[5:6, :]
     ones11 = jnp.ones((1, 1), jnp.float32)
     pvc = jax.lax.dot_general(pv_row, ones11, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32, precision=_HI)
     p2c = jax.lax.dot_general(Pxyz * Pxyz, jnp.ones((3, 1), jnp.float32),
                               (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32, precision=_HI)
     q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
     M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     d2 = p2c + q2r - 2.0 * M
     lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 0)
@@ -138,7 +144,7 @@ def _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T, derivative):
         return e, p, p
     ones11 = jnp.ones((1, 1), jnp.float32)
     Pt_c = jax.lax.dot_general(P[4:5, :], ones11, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32, precision=_HI)
     Qt_r = Q[4:5, :]
     e_t = jnp.zeros_like(d2s)
     p_ab = jnp.zeros_like(d2s)
@@ -161,10 +167,11 @@ def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                 out_p_ref,      # (cap, 2) [rho_p, pe_p]
                 out_acc_ref,    # (ncell, 8, cap) rows [rho_q, pe_q, ...]
                 q_scratch, sem,
-                *, cap, n_stencil, form, pt, T):
+                *, cap, n_stencil, alias_groups, form, pt, T):
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
+    base = c * (S * 4)
     rcut2 = L_ref[0, 3]
 
     @pl.when(c == 0)
@@ -185,9 +192,13 @@ def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
     pe_q = 0.5 * jnp.sum(e1, axis=0, keepdims=True)
     zero6 = jnp.zeros((6, W), jnp.float32)
     out8 = jnp.concatenate([rho_q, pe_q, zero6], axis=0)
-    for s in range(S):
-        tgt = stencil_ref[c, s * 4 + 0]
-        out_acc_ref[tgt] = out_acc_ref[tgt] + out8[:, s * cap:(s + 1) * cap]
+    # one RMW per DISTINCT target cell (see pallas_cellpair._kernel_half)
+    for group in alias_groups:
+        acc = out8[:, group[0] * cap:(group[0] + 1) * cap]
+        for s in group[1:]:
+            acc = acc + out8[:, s * cap:(s + 1) * cap]
+        tgt = stencil_ref[base + group[0] * 4 + 0]
+        out_acc_ref[tgt] = out_acc_ref[tgt] + acc
 
 
 def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
@@ -195,10 +206,11 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                   out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ...]
                   out_cell_ref,  # (ncell, 8) virial6
                   q_scratch, sem,
-                  *, cap, n_stencil, form, pt, T):
+                  *, cap, n_stencil, alias_groups, form, pt, T):
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
+    base = c * (S * 4)
     rcut2 = L_ref[0, 3]
 
     @pl.when(c == 0)
@@ -212,34 +224,38 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
 
     ones11 = jnp.ones((1, 1), jnp.float32)
     dF_pc = jax.lax.dot_general(P[6:7, :], ones11, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (cap,1)
+                                preferred_element_type=jnp.float32, precision=_HI)  # (cap,1)
     dF_qr = Q[6:7, :]                                                # (1, W)
     coef = (de + dF_pc * dp + dF_qr * dpT) * w
 
     Pxyz = P[0:3, :]
     I3 = jnp.eye(3, dtype=jnp.float32)
     pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32, precision=_HI)
     csum = jnp.sum(coef, axis=1, keepdims=True)
     cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32, precision=_HI)
     out_f_ref[:] = -pxT * csum + cqT
 
     qsum_r = jnp.sum(coef, axis=0, keepdims=True)
-    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)
+    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)
     Fq = Pcoef - Qxyz * qsum_r
     zero5 = jnp.zeros((5, W), jnp.float32)
     out8 = jnp.concatenate([Fq, zero5], axis=0)
-    for s in range(S):
-        tgt = stencil_ref[c, s * 4 + 0]
-        out_acc_ref[tgt] = out_acc_ref[tgt] + out8[:, s * cap:(s + 1) * cap]
+    # one RMW per DISTINCT target cell (see pallas_cellpair._kernel_half)
+    for group in alias_groups:
+        acc = out8[:, group[0] * cap:(group[0] + 1) * cap]
+        for s in group[1:]:
+            acc = acc + out8[:, s * cap:(s + 1) * cap]
+        tgt = stencil_ref[base + group[0] * 4 + 0]
+        out_acc_ref[tgt] = out_acc_ref[tgt] + acc
 
     A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=_HI)
     vir = -(A - B - B.T + C)
     out_cell_ref[c, 0] = vir[0, 0]
     out_cell_ref[c, 1] = vir[1, 1]
@@ -260,12 +276,13 @@ def _geometry_col(stencil_ref, L_ref, q_scratch, sem, slots_ref, c,
     (dz = dzu - g is always the standard (-1..1) offset set)."""
     S = len(dirs)
     W = S * cap
+    base = c * U
     Lnx = L_ref[0, 0]
     Lny = L_ref[0, 1]
     Lnz = L_ref[0, 2]
     for u in range(U):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, u]],
+            slots_ref.at[stencil_ref[base + u]],
             q_scratch.at[:, pl.ds(u * cap, cap)],
             sem.at[u],
         ).start()
@@ -280,10 +297,10 @@ def _geometry_col(stencil_ref, L_ref, q_scratch, sem, slots_ref, c,
     indicator = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
                  == lane_blk).astype(jnp.float32)
     Shift3 = jnp.dot(shift_mat, indicator,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=_HI)
     for u in range(U):
         pltpu.make_async_copy(
-            slots_ref.at[stencil_ref[c, u]],
+            slots_ref.at[stencil_ref[base + u]],
             q_scratch.at[:, pl.ds(u * cap, cap)],
             sem.at[u],
         ).wait()
@@ -336,9 +353,10 @@ def _rho_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
             piece = out2[:, s * cap:(s + 1) * cap]
             qacc[u] = piece if qacc[u] is None else qacc[u] + piece
 
+    # deduped union (col_plan_grid): targets are pairwise distinct
     zero6 = jnp.zeros((6, cap), jnp.float32)
     for u in range(U):
-        tgt = stencil_ref[c, u]
+        tgt = stencil_ref[c * U + u]
         out8 = jnp.concatenate([qacc[u], zero6], axis=0)
         out_acc_ref[tgt] = out_acc_ref[tgt] + out8
 
@@ -374,20 +392,20 @@ def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
                                        True)
         dF_pc = jax.lax.dot_general(P[6:7, :], ones11,
                                     (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32, precision=_HI)
         dF_qr = Q[6:7, :]
         coef = (de + dF_pc * dp + dF_qr * dpT) * w
 
         Pxyz = P[0:3, :]
         pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32, precision=_HI)
         csum = jnp.sum(coef, axis=1, keepdims=True)
         cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32, precision=_HI)
         out_f_ref[g * cap:(g + 1) * cap, :] = -pxT * csum + cqT
 
         qsum_r = jnp.sum(coef, axis=0, keepdims=True)
-        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32)
+        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)
         Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
         for s in range(S):
             u = member_u[g][s]
@@ -395,17 +413,18 @@ def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
             qacc[u] = piece if qacc[u] is None else qacc[u] + piece
 
         A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=_HI)
         B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=_HI)
         C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz,
                                 (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32, precision=_HI)
         vir_tot = vir_tot - (A - B - B.T + C)
 
+    # deduped union (col_plan_grid): targets are pairwise distinct
     zero5 = jnp.zeros((5, cap), jnp.float32)
     for u in range(U):
-        tgt = stencil_ref[c, u]
+        tgt = stencil_ref[c * U + u]
         out8 = jnp.concatenate([qacc[u], zero5], axis=0)
         out_acc_ref[tgt] = out_acc_ref[tgt] + out8
 
@@ -426,7 +445,7 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
     pallas_cellpair.pack_stencil_col(grid, G).  The union-DMA saving is
     identical to the pair column kernel (5G+9 blocks vs 14G) and applies
     to BOTH passes."""
-    from .pallas_cellpair import _half_dirs, col_plan
+    from .pallas_cellpair import _half_dirs, col_plan_grid
 
     assert pallas_eam_supported(tables), "pallas EAM: analytic forms only"
     cap = grid.cap
@@ -434,7 +453,7 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
     ncell = grid.ncell
     assert grid.ncells[2] % G == 0 and ncell % G == 0
     ncol = ncell // G
-    union, member_u = col_plan(G)
+    union, member_u = col_plan_grid(grid, G)
     U = len(union)
     dirs = tuple(_half_dirs())
     form = tables["form"]
@@ -494,10 +513,10 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
     )
 
     def rho_fn(slots, stencil_packed, L8):
-        return rho_call(stencil_packed, L8, slots, slots)
+        return rho_call(stencil_packed.reshape(-1), L8, slots, slots)
 
     def force_fn(slots, stencil_packed, L8):
-        return force_call(stencil_packed, L8, slots, slots)
+        return force_call(stencil_packed.reshape(-1), L8, slots, slots)
 
     return rho_fn, force_fn
 
@@ -524,9 +543,12 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
         pltpu.SemaphoreType.DMA((S,)),
     ]
 
+    from .pallas_cellpair import _alias_groups_half
+
+    groups = _alias_groups_half(grid.ncells)
     rho_call = pl.pallas_call(
         functools.partial(_rho_kernel, cap=cap, n_stencil=S, form=form,
-                          pt=pt, T=T),
+                          alias_groups=groups, pt=pt, T=T),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncell,),
             in_specs=common_in,
@@ -545,7 +567,7 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
 
     force_call = pl.pallas_call(
         functools.partial(_force_kernel, cap=cap, n_stencil=S, form=form,
-                          pt=pt, T=T),
+                          alias_groups=groups, pt=pt, T=T),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncell,),
             in_specs=common_in,
@@ -565,10 +587,10 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
     )
 
     def rho_fn(slots, stencil_packed, L8):
-        return rho_call(stencil_packed, L8, slots, slots)
+        return rho_call(stencil_packed.reshape(-1), L8, slots, slots)
 
     def force_fn(slots, stencil_packed, L8):
-        return force_call(stencil_packed, L8, slots, slots)
+        return force_call(stencil_packed.reshape(-1), L8, slots, slots)
 
     return rho_fn, force_fn
 

@@ -445,3 +445,75 @@ def test_choose_col_group_gate(monkeypatch):
     assert choose_col_group(FakeGrid((8, 8, 8))) == 4      # forced
     monkeypatch.setenv("DDCMD_PALLAS_COLS", "0")
     assert choose_col_group(FakeGrid((16, 16, 16))) == 1   # disabled
+
+def test_pallas_dots_carry_explicit_precision():
+    """Mosaic lowers DEFAULT-precision f32 dot_general to ONE bf16 pass,
+    silently rounding positions/shifts/parameters.  Interpret-mode parity
+    runs on CPU at full f32 and can NEVER catch it; it was found on
+    hardware (probe_colkernel_tpu.py: energy +4.7%, force err 0.74 of
+    scale, bit-close-reproduced by a numpy bf16-channel emulation).
+    Guard the fix with a source lint: every dot in the kernel files must
+    carry the explicit full-f32 precision."""
+    import pathlib
+
+    import ddcmd_tpu.ops as ops
+
+    d = pathlib.Path(ops.__file__).parent
+    for mod in ("pallas_cellpair.py", "pallas_eam.py"):
+        src = (d / mod).read_text()
+        ndots = src.count("dot_general(") + src.count("jnp.dot(")
+        nprec = src.count("precision=_HI")
+        assert nprec >= ndots, (
+            f"{mod}: {ndots} dots but only {nprec} precision=_HI "
+            "annotations -- a DEFAULT-precision dot bf16-rounds on TPU")
+
+
+def test_package_forces_full_f32_matmuls():
+    """Geometry matmuls OUTSIDE pallas (min-image r @ hinv.T, NPT
+    rescale r @ A.T, constraint selection matrices) run under XLA's
+    default f32 precision = bf16 passes on TPU; the package __init__
+    must pin the global default to full f32."""
+    import jax
+
+    import ddcmd_tpu  # noqa: F401  (import applies the config)
+
+    assert jax.config.jax_default_matmul_precision == "highest"
+
+
+def test_col_plan_grid_dedupes_aliased_union():
+    """On nz == G grids several union directions reach the same physical
+    cell through different periodic images; col_plan_grid must collapse
+    them so (a) each cell is DMA'd once and (b) the q-side scatter does
+    one RMW per DISTINCT address (unrolled same-address RMWs are not
+    ordered by Mosaic)."""
+    from ddcmd_tpu.ops.cellpair import CellBlockGrid
+    from ddcmd_tpu.ops.pallas_cellpair import (_half_dirs, col_plan,
+                                               col_plan_grid, half_grid,
+                                               pack_stencil_col)
+
+    grid = half_grid(CellBlockGrid.plan([6.0, 6.0, 9.9], 1.1, 0.3, 100))
+    assert grid.ncells == (4, 4, 7)
+
+    # aliasing case: collapse a (3,3,3) grid with G = nz = 3
+    g33 = half_grid(CellBlockGrid.plan([4.5, 4.5, 4.5], 1.1, 0.4, 50))
+    assert g33.ncells == (3, 3, 3)
+    union, member = col_plan_grid(g33, 3)
+    raw_union, _ = col_plan(3)
+    assert len(union) < len(raw_union)          # dedup happened
+    keys = {(dx % 3, dy % 3, dz % 3) for (dx, dy, dz) in union}
+    assert len(keys) == len(union)              # pairwise distinct cells
+    tbl = pack_stencil_col(g33, 3)
+    assert tbl.shape == (g33.ncell // 3, len(union))
+    for row in tbl:                             # distinct RMW targets
+        assert len(set(int(x) for x in row)) == len(row)
+    # member maps stay within the deduped union and cover all S dirs
+    S = len(_half_dirs())
+    for g in range(3):
+        assert len(member[g]) == S
+        assert max(member[g]) < len(union)
+
+    # no-alias case keeps the raw 5G+9 union
+    g447 = grid                                  # nz=7, G=7 -> aliased too
+    union7, _ = col_plan_grid(g447, 7)
+    assert len(union7) == len({( dx % 4, dy % 4, dz % 7)
+                               for (dx, dy, dz) in union7})
