@@ -343,24 +343,7 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
     deltaR = nbrobj.get_with_units("deltaR", "4.0", "l") if nbrobj else 0.4
 
     # --- integrator ------------------------------------------------------------------
-    iobj = db.get(cfg.integrator_name, "INTEGRATOR")
-    itype = iobj.get_str("type").upper()
-    iparms = dict(
-        T=iobj.get_with_units("T", "310", "T"),
-        P0=iobj.get_with_units("P0", "0.0", "pressure"),
-        beta=iobj.get_with_units("beta", "0.0", "1/pressure"),
-        tauBarostat=iobj.get_with_units("tauBarostat", "0.0", "t"),
-        isotropic=bool(iobj.get_int("isotropic", 0)),
-        # NPTGLF (nptglf_parms, /root/reference/src/nptglf.c:24-31)
-        Gamma=iobj.get_with_units("Gamma", "1.0", "m/l^4"),
-        zeta=iobj.get_with_units("zeta", "1.0", "pressure*t"),
-        pressure=iobj.get_with_units("pressure", "1.0", "pressure"),
-        # NGLFNK Langevin-piston NPT (nglfNK_parms,
-        # /root/reference/src/nglfNK.c:28-37)
-        P=iobj.get_with_units("P", "0.0", "pressure"),
-        W=iobj.get_with_unitsv("W", "1.0 1.0 1.0", "m"),
-        tau=iobj.get_with_units("tau", "1.0", "t"),
-    )
+    itype, iparms = integrator_parms_from_deck(db, cfg.integrator_name)
 
     n_constraints = sysobj.get_int("nConstraints", 0)
     if bonded is not None and bonded.n_constraints > 0:
@@ -385,6 +368,32 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
         box_time=box_time,
         residue_instances=locals().get("residue_instances"),
     )
+
+
+def integrator_parms_from_deck(db: ObjectDB, name: str):
+    """(type, parms) for an INTEGRATOR deck object.  Factored out of
+    build_sysdef so a mid-run ddcMD_CMDS object rescan (readCmds.c:66-97)
+    can re-derive barostat/thermostat targets from updated object text
+    (Simulation._rescan_objects)."""
+    iobj = db.get(name, "INTEGRATOR")
+    itype = iobj.get_str("type").upper()
+    iparms = dict(
+        T=iobj.get_with_units("T", "310", "T"),
+        P0=iobj.get_with_units("P0", "0.0", "pressure"),
+        beta=iobj.get_with_units("beta", "0.0", "1/pressure"),
+        tauBarostat=iobj.get_with_units("tauBarostat", "0.0", "t"),
+        isotropic=bool(iobj.get_int("isotropic", 0)),
+        # NPTGLF (nptglf_parms, /root/reference/src/nptglf.c:24-31)
+        Gamma=iobj.get_with_units("Gamma", "1.0", "m/l^4"),
+        zeta=iobj.get_with_units("zeta", "1.0", "pressure*t"),
+        pressure=iobj.get_with_units("pressure", "1.0", "pressure"),
+        # NGLFNK Langevin-piston NPT (nglfNK_parms,
+        # /root/reference/src/nglfNK.c:28-37)
+        P=iobj.get_with_units("P", "0.0", "pressure"),
+        W=iobj.get_with_unitsv("W", "1.0 1.0 1.0", "m"),
+        tau=iobj.get_with_units("tau", "1.0", "t"),
+    )
+    return itype, iparms
 
 
 def plan_grid(sysdef: SystemDef, density_safety: float = 2.0,

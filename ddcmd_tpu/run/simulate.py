@@ -969,6 +969,77 @@ class Simulation:
             self._compile()
         self.first_energy()
 
+    def _rescan_objects(self):
+        """Re-derive live parameters from the re-compiled object DB --
+        the full reach of the reference's object_rescan (readCmds.c:66-97):
+        a mid-run ddcMD_CMDS can replace ANY object's text.
+
+        * SIMULATE rates -> cfg fields (no recompile)
+        * GROUP targets (Teq/vzeq ramps, Langevin tau...) -> the group
+          kick coefficients are a RUNTIME arg of the jitted chunk
+          (core/groups.py affine form), so a new Teq moves the compiled
+          step immediately, no recompile
+        * INTEGRATOR parameters (P0/beta/tau/T barostat targets) -> baked
+          into the step closure; when they change, rebuild + recompile
+          the step (explicit user command, one-time cost)
+        * ANALYSIS / TRANSFORM rates -> host-side ints
+        """
+        sd = self.sysdef
+        cfg = sd.cfg
+        sim = self.db.by_class("SIMULATE")[0]
+        cfg.printrate = sim.get_int("printrate", cfg.printrate)
+        cfg.checkpointrate = sim.get_int("checkpointrate", cfg.checkpointrate)
+        cfg.snapshotrate = sim.get_int("snapshotrate", cfg.snapshotrate)
+        cfg.maxloop = sim.get_int("maxloop", cfg.maxloop)
+
+        # groups: rebuild table + runtime coefficients from updated text
+        from ..core.groups import GroupTable, group_from_deck
+        from ..objects.eq import EqTarget
+
+        groups = [group_from_deck(self.db, g.name, i)
+                  for i, g in enumerate(sd.groups)]
+        sd.groups = groups
+        sd.group_table = GroupTable.build(groups)
+        self.coeffs = sd.group_table.coefficients(
+            float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype)
+
+        def _td(g):
+            if isinstance(g.Teq, EqTarget) and g.Teq.kind != "CONSTANT":
+                return True
+            vz = g.parms.get("vzeq")
+            return isinstance(vz, EqTarget) and vz.kind != "CONSTANT"
+
+        self._time_dependent_groups = any(_td(g) for g in groups)
+
+        # integrator/barostat: recompile the step only if values moved
+        from ..core.system import integrator_parms_from_deck
+
+        itype, iparms = integrator_parms_from_deck(self.db,
+                                                   cfg.integrator_name)
+        if itype == sd.integrator_type and iparms != sd.integrator_parms:
+            sd.integrator_parms = iparms
+            if self._barostat is not None and iparms["beta"] > 0:
+                self._barostat = dict(
+                    P0=iparms["P0"], beta=iparms["beta"],
+                    tau=iparms["tauBarostat"], T=iparms["T"],
+                    isotropic=iparms["isotropic"],
+                    n_molecules=self.n_molecules)
+            self._rebuild_step_fn()
+            self._compile()
+
+        # analysis / transform rates (atRateTransforms, transform.c:153)
+        for a in self.analyses:
+            aobj = self.db.find(a.name, "ANALYSIS")
+            if aobj is not None:
+                a.eval_rate = aobj.get_int("eval_rate",
+                                           aobj.get_int("evalrate",
+                                                        a.eval_rate))
+                a.output_rate = aobj.get_int("outputrate", a.output_rate)
+        self.transforms = [
+            (tname, self.db.find(tname, "TRANSFORM") or tobj,
+             (self.db.find(tname, "TRANSFORM") or tobj).get_int("rate", rate))
+            for tname, tobj, rate in self.transforms]
+
     def _poll_commands(self, on_checkpoint) -> bool:
         """Runtime command file (readCMDS, /root/reference/src/readCmds.c:20-58):
         ./ddcMD_CMDS may contain checkpoint / exit / kill / stop."""
@@ -976,22 +1047,20 @@ class Simulation:
         if not os.path.exists(path):
             return False
         try:
-            text = open(path).read().lower()
+            raw = open(path).read()
         except OSError:
             return False
         os.remove(path)
-        stop = False
-        if "{" in text:
-            # live re-config: compile object text + rescan rates
-            # (object_rescan hook, readCmds.c:66-97, masters.c:520-524)
+        text = raw.lower()           # command keywords are case-insensitive;
+        stop = False                 # object TEXT must keep its case
+        if "{" in raw:
+            # live re-config: compile object text + rescan EVERYTHING the
+            # text can reach -- rates, group targets, integrator/barostat
+            # parameters, analysis/transform rates (object_rescan,
+            # readCmds.c:66-97, masters.c:520-524)
             try:
-                self.db.compile_string(text)
-                sim = self.db.by_class("SIMULATE")[0]
-                cfg = self.sysdef.cfg
-                cfg.printrate = sim.get_int("printrate", cfg.printrate)
-                cfg.checkpointrate = sim.get_int("checkpointrate", cfg.checkpointrate)
-                cfg.snapshotrate = sim.get_int("snapshotrate", cfg.snapshotrate)
-                cfg.maxloop = sim.get_int("maxloop", cfg.maxloop)
+                self.db.compile_string(raw)
+                self._rescan_objects()
             except Exception as err:
                 import warnings
 

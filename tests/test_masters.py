@@ -179,3 +179,39 @@ def test_profile_phases(tmp_path):
         assert k in out and out[k] > 0, (k, out)
         assert k in PROFILE.timers
     assert "phase.force" in PROFILE.table()
+
+
+def test_runtime_cmds_object_rescan_moves_teq(waterbox_dir, tmp_path):
+    """ddcMD_CMDS with new object TEXT re-derives live parameters: a new
+    Langevin Teq must reach the compiled step (the group kick
+    coefficients are a runtime arg -- no recompile) and the measured
+    temperature must move toward the new target (object_rescan,
+    /root/reference/src/readCmds.c:66-97; masters.c:520-524)."""
+    from ddcmd_tpu.objects import units as U
+
+    db = wb_db(waterbox_dir)
+    sim = Simulation(db, str(waterbox_dir), run_dir=str(tmp_path))
+    sim.run(20, print_fn=lambda s: None, max_steps_per_dispatch=10)
+
+    def temp():
+        n = sim.sysdef.state.n_local
+        v = np.asarray(sim.ss.state.v[:n])
+        m = np.asarray(sim.ss.state.mass[:n])
+        dof = 3 * n - sim.sysdef.n_constraints
+        return (m[:, None] * v ** 2).sum() / (dof * U.kB)
+
+    t_before = temp()
+    noise_before = np.asarray(sim.coeffs[2]).copy()   # 2 kB Teq / tau
+    # hot-swap BOTH Langevin groups to a much hotter target, tighter tau
+    (tmp_path / "ddcMD_CMDS").write_text(
+        "group GROUP { type = LANGEVIN; Teq=900K; tau=0.1ps; useDefault=0;}\n"
+        "free GROUP { type = LANGEVIN; Teq=900K; tau=0.1ps; useDefault=0;}\n")
+    sim.run(200, print_fn=lambda s: None, max_steps_per_dispatch=10)
+
+    # targets re-derived from the new text
+    for g in sim.sysdef.groups:
+        assert float(g.Teq(0.0)) == pytest.approx(900.0, rel=1e-6)
+    # runtime coefficients actually changed (they carry the compiled step)
+    assert not np.allclose(np.asarray(sim.coeffs[2]), noise_before)
+    # and the physics followed: T moved substantially toward 900 K
+    assert temp() > t_before + 100.0
