@@ -42,6 +42,9 @@ class SimulateConfig:
     ddc_update_rate: int
     heap_size: int = 0
     nfiles: int = 1            # checkpoint shard count (Pio_setNumWriteFiles)
+    # FULL = f8 velocities; BRIEF = f4 velocities in binary checkpoints
+    # (simulate.c:192-197, collection_write.c:217,300)
+    checkpointprecision: str = "FULL"
 
 
 @dataclass
@@ -91,6 +94,8 @@ def _find_simulate(db: ObjectDB) -> SimulateConfig:
         printinfo_name=sim.get_str("printinfo", "") or None,
         ddc_update_rate=_ddc_update_rate(db, sim),
         nfiles=max(1, sim.get_int("nfiles", 1)),
+        checkpointprecision=sim.get_str("checkpointprecision",
+                                        "FULL").upper(),
     )
 
 

@@ -274,7 +274,7 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
                      r, v, h, loop: int = 0, time_fs: float = 0.0,
                      group_list=(), species_list=(), type_list=("ATOM",),
                      gid_format: str = "dec", datatype: str = "VARRECORDASCII",
-                     nfiles: int = 1) -> None:
+                     nfiles: int = 1, precision: str = "FULL") -> None:
     """Write one atoms# shard compatible with collection_read.
 
     `r` in internal nm (written as Ang), `v` in nm/ps (written as Ang/fs),
@@ -327,7 +327,7 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
                              loop=loop, time_fs=time_fs,
                              group_list=group_list or sorted(set(group_names)),
                              species_list=species_list or sorted(set(species_names)),
-                             type_list=type_list)
+                             type_list=type_list, precision=precision)
     fixed = datatype.upper() == "FIXRECORDASCII"
     r = np.asarray(r, dtype=np.float64) * U.LENGTH_TO_ANG
     v = np.asarray(v, dtype=np.float64) * (1.0 / U.ANG_FS_TO_VEL)
@@ -408,11 +408,13 @@ def write_collection(path: str, *, gid, species_names, group_names, class_names,
 
 
 def _write_binary(path, *, gid, species_names, group_names, r, v, h,
-                  loop, time_fs, group_list, species_list, type_list):
-    """FIXRECORDBINARY writer: checksum u4 | id b8 | pinfo b2 | r,v f8 x6,
-    padded to 8 bytes.  pinfo = species_index * n_groups + group_index
-    against the header's species/groups lists (pinfo codec role,
-    collection_write.c:340-410)."""
+                  loop, time_fs, group_list, species_list, type_list,
+                  precision="FULL"):
+    """FIXRECORDBINARY writer: checksum u4 | id b8 | pinfo b2 | r f8 x3 |
+    v f8 x3 (FULL) or f4 x3 (BRIEF, checkpointprecision=BRIEF --
+    simulate.c:192-197, collection_write.c:217,300), padded to 8 bytes.
+    pinfo = species_index * n_groups + group_index against the header's
+    species/groups lists (pinfo codec role, collection_write.c:340-410)."""
     n = len(gid)
     r = np.asarray(r, dtype=np.float64) * U.LENGTH_TO_ANG
     v = np.asarray(v, dtype=np.float64) * (1.0 / U.ANG_FS_TO_VEL)
@@ -427,12 +429,15 @@ def _write_binary(path, *, gid, species_names, group_names, r, v, h,
                       for s, g in zip(species_names, group_names)],
                      dtype=np.uint16)
 
-    lrec = 8 * ((4 + 8 + 2 + 6 * 8 + 7) // 8)
+    brief = precision.upper().startswith("BRIEF")
+    vsize = 4 if brief else 8
+    lrec = 8 * ((4 + 8 + 2 + 3 * 8 + 3 * vsize + 7) // 8)
     recs = np.zeros((n, lrec), dtype=np.uint8)
     recs[:, 4:12] = np.asarray(gid, dtype="<u8").view(np.uint8).reshape(n, 8)
     recs[:, 12:14] = pinfo.astype("<u2").view(np.uint8).reshape(n, 2)
-    floats = np.concatenate([r, v], axis=1).astype("<f8")
-    recs[:, 14:62] = floats.view(np.uint8).reshape(n, 48)
+    recs[:, 14:38] = r.astype("<f8").view(np.uint8).reshape(n, 24)
+    recs[:, 38:38 + 3 * vsize] = v.astype(
+        "<f4" if brief else "<f8").view(np.uint8).reshape(n, 3 * vsize)
     from .fastio import crc32_rows
 
     recs[:, 0:4] = crc32_rows(recs, skip=4).astype("<u4").view(
@@ -444,7 +449,7 @@ def _write_binary(path, *, gid, species_names, group_names, r, v, h,
         checksum="CRC32",
         loop=loop, time=time_fs, nfiles=1, nrecord=n, nfields=9,
         field_names="checksum id pinfo rx ry rz vx vy vz",
-        field_types="u4 b8 b2 f8 f8 f8 f8 f8 f8",
+        field_types="u4 b8 b2 f8 f8 f8" + (" f4" if brief else " f8") * 3,
         field_units="1 1 1 Ang Ang Ang Ang/fs Ang/fs Ang/fs",
         field_format="binary",
         h=hstr,

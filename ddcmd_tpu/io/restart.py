@@ -107,6 +107,7 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
         gid_format="hex" if sd.cfg.gidFormat == "hex" else "dec",
         datatype=mode,
         nfiles=sd.cfg.nfiles,
+        precision=sd.cfg.checkpointprecision,
     )
 
     hang = h * U.LENGTH_TO_ANG
@@ -145,8 +146,8 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
         # off by default -- it re-runs phases outside the fused step
         try:
             sim.profile_phases()
-        except Exception:
-            pass
+        except Exception as err:   # broken profiler must report, not hide
+            print(f"profile_phases: FAILED ({type(err).__name__}: {err})")
     PROFILE.write(snapdir)
 
     # domain-center decomposition file (writePXYZ, io.c:113)

@@ -88,3 +88,44 @@ def test_golden_crc_matches_our_writer_crc():
     got = int(crc32_rows(rec, skip=4)[0])
     assert got == zlib.crc32(payload)           # 0xCBF43926 for "123456789"
     assert got == 0xCBF43926
+
+
+def test_brief_checkpoint_precision_roundtrip(tmp_path):
+    """checkpointprecision=BRIEF writes f4 velocities in binary
+    checkpoints (simulate.c:192-197; collection_write.c:217,300); the
+    reader parses them from the self-describing field_types header."""
+    import numpy as np
+
+    from ddcmd_tpu.io.collection import write_collection
+    from ddcmd_tpu.objects import units as U
+
+    rng = np.random.default_rng(5)
+    n = 64
+    gid = np.arange(n, dtype=np.uint64)
+    r = rng.standard_normal((n, 3))
+    v = rng.standard_normal((n, 3)) * 0.01
+    h = np.eye(3) * 5.0
+    names = ["W"] * n
+    groups = ["free"] * n
+
+    for prec, vsz in (("FULL", 8), ("BRIEF", 4)):
+        p = tmp_path / prec / "atoms#000000"
+        write_collection(str(p), gid=gid, species_names=names,
+                         group_names=groups, class_names=["ATOM"] * n,
+                         r=r, v=v, h=h, loop=7, time_fs=1.0,
+                         group_list=["free"], species_list=["W"],
+                         datatype="FIXRECORDBINARY", precision=prec)
+        col = read_collection("atoms#", str(tmp_path / prec))
+        assert col.n == n
+        np.testing.assert_allclose(col.r, r, rtol=0, atol=1e-12)
+        # velocities survive to the written width
+        tol = 1e-12 if prec == "FULL" else 1e-6
+        ext = v / U.ANG_FS_TO_VEL
+        np.testing.assert_allclose(col.v / U.ANG_FS_TO_VEL, ext,
+                                   rtol=tol, atol=tol)
+        hdr = open(p, "rb").read(600).decode("latin1")
+        assert (" f4" in hdr) == (prec == "BRIEF")
+
+    full = (tmp_path / "FULL" / "atoms#000000").stat().st_size
+    brief = (tmp_path / "BRIEF" / "atoms#000000").stat().st_size
+    assert brief < full                      # the point of BRIEF
