@@ -173,9 +173,17 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
             fb, eb, vb, peb = bonded_eval(r_ext, Lv, bterms,
                                           r_ext.shape[0], r_ext.dtype)
             f = f + fb
-            e_pot = e_pot + eb
             virial = virial + vb
             pe = pe + peb
+            # per-particle cancellation BEFORE the device total: the
+            # exclusion correction (peb, ~ -1e6/atom for all-atom 1-2
+            # pairs) must cancel the nonbond pe on the same rows, not
+            # between two huge f32 scalars.  Every bonded term's energy
+            # lands exactly-once across the mesh: nonbond pe is zero on
+            # ghost rows (row_mask), bonded pe halves live on the term
+            # OWNER's pool rows (local or ghost), so the psum over
+            # devices counts each half once.
+            e_pot = jnp.sum(pe)
         # a shrinking NPT box can drop the cell edge below rlist, which
         # silently breaks the one-shell stencil: flag it as an overflow
         cell_ok = jnp.all(_perp_widths(Lv) / jnp.asarray(ncells_v, Lv.dtype)

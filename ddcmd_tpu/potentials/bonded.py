@@ -85,6 +85,9 @@ class BondedTerms:
     cons_dist: np.ndarray = None      # (G, max_n) r0, pad=0
     n_constraints: int = 0
     # CMAP phi/psi correction terms (charmm.add_chain_links)
+    # instance i linked to i+1 (CHARMM inter-residue junctions); domain
+    # decomposition keeps whole CHAINS device-coherent from this
+    chain_links: np.ndarray = None    # (L,) int64
     cmap_atoms: np.ndarray = None     # (M,5) rows [-C, N, CA, C, +N]
     cmap_type: np.ndarray = None      # (M,)
     cmap_grid: np.ndarray = None      # (K, 24, 24) internal energy

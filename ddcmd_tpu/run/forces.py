@@ -314,14 +314,18 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
         n_pad = state.n_pad
         f = jnp.zeros((n_pad, 3), dtype=dtype)
         pe = jnp.zeros((n_pad,), dtype=dtype)
-        e = jnp.zeros((), dtype=dtype)
         virial = jnp.zeros((3, 3), dtype=dtype)
         for term in terms:
-            tf, te, tv, tpe = term(state, box, nbr_idx)
+            tf, _te, tv, tpe = term(state, box, nbr_idx)
             f = f + tf
-            e = e + te
             virial = virial + tv
             pe = pe + tpe
-        return f, e, virial, pe
+        # total energy from the per-particle sums, AFTER all terms: every
+        # term keeps e == sum(pe) (parity-tested), and for all-atom
+        # CHARMM the bonded-exclusion correction (~ -1e6) cancels the
+        # nonbond engine's excluded-pair energy (~ +1e6) PER PARTICLE
+        # here instead of between two huge f32 totals -- summing the
+        # totals first loses ~7 digits of the reported energy
+        return f, jnp.sum(pe), virial, pe
 
     return force_fn

@@ -225,10 +225,18 @@ class ParallelSimulation:
                 from ..parallel.bonded_shard import constraint_gid_tables
 
                 cons_tab = constraint_gid_tables(bt, gid64)
-            # head bead = first atom of each residue instance
+            # head bead = first atom of each CHAIN (a maximal run of
+            # residue instances joined by junction terms): residue-level
+            # heads would split a peptide at the C(+N) bond across
+            # devices and silently drop the ghost-side bonded forces
             hgid64 = gid64.copy()
-            for _name, rows in (sd.residue_instances or []):
-                hgid64[np.asarray(rows)] = gid64[rows[0]]
+            cl = getattr(bt, "chain_links", None)
+            linked = set(np.asarray(cl).tolist()) if cl is not None else set()
+            head_rows = None
+            for i, (_name, rows) in enumerate(sd.residue_instances or []):
+                if head_rows is None or (i - 1) not in linked:
+                    head_rows = rows
+                hgid64[np.asarray(rows)] = gid64[head_rows[0]]
 
         # Berendsen-style barostat (NGLFCONSTRAINT family with beta>0):
         # sharded NPT uses the atomic virial -- identical to molecular
@@ -274,11 +282,12 @@ class ParallelSimulation:
             constraint_tables=cons_tab, barostat=barostat,
             mol_tables=mol_tab, force_kind=self.force_kind)
 
+        npdt = np.dtype(jnp.dtype(dtype))
         arrays = dict(
-            r=np.asarray(sd.state.r[:n], dtype=np.float32),
-            v=np.asarray(sd.state.v[:n], dtype=np.float32),
-            q=np.asarray(sd.state.q[:n], dtype=np.float32),
-            mass=np.asarray(sd.state.mass[:n], dtype=np.float32),
+            r=np.asarray(sd.state.r[:n], dtype=npdt),
+            v=np.asarray(sd.state.v[:n], dtype=npdt),
+            q=np.asarray(sd.state.q[:n], dtype=npdt),
+            mass=np.asarray(sd.state.mass[:n], dtype=npdt),
             species=np.asarray(sd.state.species[:n]),
             group=np.asarray(sd.state.group[:n]),
             gid=np.stack([(gid64 & 0xFFFFFFFF).astype(np.uint32),
@@ -532,7 +541,8 @@ def parallel_rebalance(psim):
                               psim.coeffs, **kw)
         psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
         arrays = dict(psim._host_arrays,
-                      r=R.astype(np.float32), v=V.astype(np.float32))
+                      r=R.astype(psim._host_arrays["r"].dtype),
+                      v=V.astype(psim._host_arrays["v"].dtype))
         buf, mask, counts = distribute_bricks(arrays, geom, psim.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
@@ -559,7 +569,8 @@ def parallel_rebalance(psim):
     psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
 
     arrays = dict(psim._host_arrays,
-                  r=R.astype(np.float32), v=V.astype(np.float32))
+                  r=R.astype(psim._host_arrays["r"].dtype),
+                  v=V.astype(psim._host_arrays["v"].dtype))
     buf, mask, counts = distribute_bricks(arrays, geom, psim.plan)
     shard = lambda a: jax.device_put(
         jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))
@@ -585,7 +596,8 @@ def parallel_redistribute(psim):
     R, V = _gather_by_gid(psim)
     _, _, geom = _lb_frame(psim, R)
     arrays = dict(psim._host_arrays,
-                  r=R.astype(np.float32), v=V.astype(np.float32))
+                  r=R.astype(psim._host_arrays["r"].dtype),
+                  v=V.astype(psim._host_arrays["v"].dtype))
     buf, mask, counts = distribute_bricks(arrays, geom, psim.plan)
     shard = lambda a: jax.device_put(
         jnp.asarray(a), NamedSharding(psim.mesh, P(("bx", "by", "bz"))))

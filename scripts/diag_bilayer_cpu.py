@@ -10,7 +10,10 @@ sys.path.append(os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DIAG_TPU=1 runs the same deck on the real TPU (pallas engine) --
+# the small-size hardware repro of the 100k first-chunk NaN
+if not os.environ.get("DIAG_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 if os.environ.get("DIAG_X64"):
     jax.config.update("jax_enable_x64", True)
 
@@ -31,9 +34,11 @@ sim.sysdef.cfg.printrate = 24
 sim.first_energy()
 print(f"first_energy ok  n={sim.sysdef.state.n_local} dtype={dtype.__name__}",
       flush=True)
+print("engine:", sim.engine, "grid:", sim.grid.ncells, "cap:", sim.grid.cap,
+      flush=True)
 try:
     sim.run(steps, print_fn=lambda s: print(s, flush=True),
-            max_steps_per_dispatch=24)
+            max_steps_per_dispatch=int(os.environ.get("DIAG_DISPATCH", "24")))
     print("SURVIVED", flush=True)
 except Exception as e:  # noqa: BLE001
     print(f"DIED: {e}", flush=True)

@@ -543,3 +543,48 @@ def test_sharded_molecular_pressure_bilayer(tmp_path):
     assert int(np.asarray(psim.mask).sum()) == n_before
     psim.run(psim.chunk_steps, print_fn=lambda s: None)
     assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
+
+
+def test_brick_charmm_deck(tmp_path):
+    """A real CHARMM c36 DECK (solvated tripeptide: bonds/angles/UB/
+    dihedrals/impropers/CMAP + LJ/RF nonbond) through ParallelSimulation
+    on a 2x2x1 mesh: e_pot and per-atom forces match the single-chip
+    nlist engine, and sharded steps stay finite with all atoms owned.
+    Match: bioCharmm.c:708 running under full DDC halo/migration."""
+    from test_charmm_c36 import make_solvated_fixture
+
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+    from ddcmd_tpu.run.simulate import Simulation
+
+    # 32 A box so each 2-way brick axis (16 A) clears rlist (11 A).
+    # Parity runs at f64: the all-atom exclusion-correction design
+    # cancels ~1e6-scale pair energies, so f32 totals carry O(1)
+    # engine-vs-correction op-order noise that is not a sharding defect.
+    n, n_w = make_solvated_fixture(tmp_path, L=32.0, nve=True, dt_fs=0.25)
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    psim = ParallelSimulation(db, str(tmp_path), shape=(2, 2, 1),
+                              dtype=jnp.float64)
+    e_par = psim.first_energy()
+
+    db2 = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db2, str(tmp_path), run_dir=str(tmp_path),
+                     engine="nlist", dtype=jnp.float64)
+    sim.first_energy()
+    e_single = float(sim.ss.energy.eion)
+    assert e_par == pytest.approx(e_single, rel=1e-8)
+
+    # per-atom force parity via gid ordering
+    m = np.asarray(psim.mask)
+    assert int(m.sum()) == n
+    gid = np.asarray(psim.fields["gid"])[m][:, 0].astype(np.int64)
+    f_sh = np.asarray(psim.f)[m]
+    f_ref = np.asarray(sim.ss.state.f[: sim.sysdef.state.n_local])
+    order = np.argsort(gid)
+    scale = max(1.0, float(np.abs(f_ref).max()))
+    assert np.abs(f_sh[order] - f_ref).max() / scale < 1e-9
+
+    psim.run(2 * psim.chunk_steps, print_fn=lambda s: None)
+    m2 = np.asarray(psim.mask)
+    assert int(m2.sum()) == n
+    assert np.isfinite(np.asarray(psim.f)[m2]).all()
