@@ -71,7 +71,12 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
     density = n_particles / vol
 
     def need(nc):
-        return int(density * vol / float(np.prod(nc)) * density_safety) + 4
+        # fluctuation-aware capacity: mean * safety bounds the systematic
+        # part, mean + 4 sqrt(mean) the Poisson tail -- at small caps the
+        # relative fluctuations dominate and a pure multiplier overflows
+        mean = density * vol / float(np.prod(nc))
+        return int(max(mean * density_safety,
+                       mean + 4.0 * _math.sqrt(mean))) + 8
 
     edge_cap = ((lane_cap - 4) / (density * density_safety)) ** (1.0 / 3.0)
     # start feasible (enough cells that expected occupancy fits the lane
@@ -92,7 +97,13 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
                 improved = True
                 break
     ncells = tuple(ncells)
-    cap = max(lane_cap, 128 * int(_math.ceil(need(ncells) / 128.0)))
+    # cap granularity: 128 lanes by default; a sub-128 lane_cap opts into
+    # 32-lane granularity (quarter-vreg aligned windows) -- the padded
+    # pair work scales with cap^2, so denser packing at smaller caps cuts
+    # the dominant VPU cost when cells can't fill 128 lanes (the cell
+    # edge is floored at rlist, which floors occupancy for small rcut)
+    gran = 128 if lane_cap >= 128 else 32
+    cap = max(lane_cap, gran * int(_math.ceil(need(ncells) / float(gran))))
     stencil_cells, wrap = _build_stencil(ncells)
     return CellBlockGrid(ncells=ncells, cap=cap, rlist=rlist,
                          stencil_cells=stencil_cells, wrap=wrap)
@@ -784,7 +795,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
     (per-slot (ncell*cap, 8) p-side [f, pe], q-side (ncell, 8, cap),
     per-column (ncol, 8) [e, virial6])."""
     cap = grid.cap
-    assert cap % 128 == 0, "pallas engine needs lane-multiple cell capacity"
+    assert cap % 32 == 0, "pallas engine needs 32-lane-multiple cell capacity"
     ncell = grid.ncell
     assert grid.ncells[2] % G == 0 and ncell % G == 0
     ncol = ncell // G
@@ -848,7 +859,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
     (per-slot (ncell*cap, 8) p-side [f, pe], q-side (ncell, 8, S*cap),
     per-cell (ncell, 8) [e, virial6])."""
     cap = grid.cap
-    assert cap % 128 == 0, "pallas engine needs lane-multiple cell capacity"
+    assert cap % 32 == 0, "pallas engine needs 32-lane-multiple cell capacity"
     ncell = grid.ncell
     S = grid.n_stencil
     T = int(tables["sigma"].shape[0])
@@ -938,7 +949,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
     """Returns eval(slots, stencil_packed, L8) ->
     (per-slot (ncell*cap, 8) [f, pe], per-cell (ncell, 8) [e, virial6])."""
     cap = grid.cap
-    assert cap % 128 == 0, "pallas engine needs lane-multiple cell capacity"
+    assert cap % 32 == 0, "pallas engine needs 32-lane-multiple cell capacity"
     ncell = grid.ncell
     S = grid.n_stencil
     T = int(tables["sigma"].shape[0])

@@ -449,7 +449,7 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
 
     assert pallas_eam_supported(tables), "pallas EAM: analytic forms only"
     cap = grid.cap
-    assert cap % 128 == 0
+    assert cap % 32 == 0
     ncell = grid.ncell
     assert grid.ncells[2] % G == 0 and ncell % G == 0
     ncol = ncell // G
@@ -526,7 +526,7 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
     analytic form).  Returns (rho_fn, force_fn)."""
     assert pallas_eam_supported(tables), "pallas EAM: analytic forms only"
     cap = grid.cap
-    assert cap % 128 == 0
+    assert cap % 32 == 0
     ncell = grid.ncell
     S = grid.n_stencil
     form = tables["form"]

@@ -29,11 +29,34 @@ dtype = jnp.float64 if os.environ.get("DIAG_X64") else jnp.float32
 d = tempfile.mkdtemp()
 martini_bilayer(d, nx=nx, ny=nx, water_nm=float(os.environ.get("DIAG_W", "2.2")))
 db, base = load(d)
-sim = Simulation(db, base, run_dir=d, dtype=dtype)
-sim.sysdef.cfg.printrate = 24
+sim = Simulation(db, base, run_dir=d, dtype=dtype,
+                 engine=os.environ.get("DIAG_ENGINE", "auto"))
+sim.sysdef.cfg.printrate = int(os.environ.get("DIAG_PRINTRATE", "24"))
 sim.first_energy()
 print(f"first_energy ok  n={sim.sysdef.state.n_local} dtype={dtype.__name__}",
       flush=True)
+
+# step-0 force parity across engines/platforms: DIAG_SAVE=<npz> stores
+# forces+energy; DIAG_CHECK=<npz> compares against a stored reference
+import numpy as _np  # noqa: E402
+
+_n = sim.sysdef.state.n_local
+if os.environ.get("DIAG_SAVE"):
+    _np.savez(os.environ["DIAG_SAVE"],
+              f=_np.asarray(sim.ss.state.f[:_n]),
+              e=float(sim.ss.energy.eion))
+    print(f"saved step-0 forces -> {os.environ['DIAG_SAVE']}", flush=True)
+if os.environ.get("DIAG_CHECK"):
+    ref = _np.load(os.environ["DIAG_CHECK"])
+    f0 = _np.asarray(sim.ss.state.f[:_n])
+    scale = max(1.0, float(_np.abs(ref["f"]).max()))
+    df = float(_np.abs(f0 - ref["f"]).max()) / scale
+    de = abs(float(sim.ss.energy.eion) - float(ref["e"])) / max(
+        1.0, abs(float(ref["e"])))
+    print(f"step-0 parity vs {os.environ['DIAG_CHECK']}: "
+          f"max|df|/scale={df:.3e} |de|/e={de:.3e} "
+          f"{'OK' if df < 1e-4 and de < 1e-4 else '** MISMATCH **'}",
+          flush=True)
 print("engine:", sim.engine, "grid:", sim.grid.ncells, "cap:", sim.grid.cap,
       flush=True)
 try:
