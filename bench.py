@@ -200,7 +200,11 @@ def main():
     roofline = {}
     g = getattr(sim, "grid", None)
     if g is not None and hasattr(g, "cap"):
-        slots = g.ncell * g.n_stencil * g.cap * g.cap
+        # the production kernels run the N3L HALF stencil (14 blocks);
+        # sim.grid carries the full 27-stencil plan, which overstated
+        # pair slots 1.93x in earlier rounds
+        n_st = 14 if sim.engine == "pallas" else g.n_stencil
+        slots = g.ncell * n_st * g.cap * g.cap
         dev = str(jax.devices()[0]).lower()
         peak_bf16 = (459e12 if "v5p" in dev else
                      275e12 if "v4" in dev else 197e12)  # default: v5e

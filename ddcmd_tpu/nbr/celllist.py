@@ -162,14 +162,17 @@ def build_cell_table(r, fmask, box_lengths, grid: CellGrid):
     return table.reshape(grid.ncell_total + 1, cap), c3, overflow
 
 
-def build_neighbor_list(r, fmask, box_lengths, grid: CellGrid, row_mask=None):
+def build_neighbor_list(r, fmask, box_lengths, grid: CellGrid, row_mask=None,
+                        pbc: int = 7):
     """Full (N, K) neighbor index list within rlist. Returns
     (nbr_idx, nbr_count, overflow).  nbr_idx padded with n_pad sentinel.
     Positions must be wrapped (origin-centered).
 
     fmask: particles that may appear as NEIGHBORS (binned into cells).
     row_mask: particles whose own rows are built (defaults to fmask);
-    the sharded path passes local+ghost as fmask but local-only rows."""
+    the sharded path passes local+ghost as fmask but local-only rows.
+    pbc: box periodicity bits (bit i => axis i periodic, preduce.c:42);
+    stencil reaches that wrap a non-periodic axis are dropped."""
     n_pad = r.shape[0]
     sentinel = n_pad
     if row_mask is None:
@@ -180,9 +183,16 @@ def build_neighbor_list(r, fmask, box_lengths, grid: CellGrid, row_mask=None):
     stencil = jnp.asarray(_stencil_for(grid.ncells))
     n_stencil = stencil.shape[0]
     # (N, S, 3) neighbor cell coords with periodic wrap
-    nc3 = (c3[:, None, :] + stencil[None, :, :]) % ncells
+    raw = c3[:, None, :] + stencil[None, :, :]
+    nc3 = raw % ncells
     ncid = _flat_cell(nc3, grid.ncells)            # (N, S)
     cand = table[ncid].reshape(n_pad, n_stencil * grid.cell_capacity)  # (N, C)
+    pbc_ok = None
+    if pbc & 7 != 7:
+        free = np.array([not (pbc >> a) & 1 for a in range(3)])
+        crossed = jnp.any(((raw < 0) | (raw >= ncells))
+                          & jnp.asarray(free)[None, None, :], axis=-1)
+        pbc_ok = ~jnp.repeat(crossed, grid.cell_capacity, axis=1)
 
     # distances (min image; orthorhombic lengths or triclinic h)
     r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=r.dtype)], axis=0)
@@ -193,6 +203,8 @@ def build_neighbor_list(r, fmask, box_lengths, grid: CellGrid, row_mask=None):
     i_idx = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
     valid = (cand != sentinel) & (cand != i_idx) & (d2 < grid.rlist ** 2) \
         & (row_mask[:, None] > 0)
+    if pbc_ok is not None:
+        valid = valid & pbc_ok
 
     K = grid.max_neighbors
     pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1

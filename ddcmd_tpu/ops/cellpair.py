@@ -206,6 +206,17 @@ def half_grid(grid: CellBlockGrid) -> CellBlockGrid:
                          stencil_cells=stencil, wrap=wrap)
 
 
+def pbc_allowed(grid: CellBlockGrid, pbc: int) -> np.ndarray | None:
+    """(C, S) bool: stencil entries that do NOT cross a non-periodic
+    boundary (box pbc bit i => axis i periodic, preduce.c:42-45 /
+    box.c pbc bits).  None when fully periodic (pbc == 7) so the
+    fully-periodic path stays branch-free."""
+    if pbc & 7 == 7:
+        return None
+    free = np.array([not (pbc >> a) & 1 for a in range(3)])
+    return ~np.any(grid.wrap.astype(bool) & free[None, None, :], axis=2)
+
+
 def half_back_map(grid: CellBlockGrid) -> np.ndarray:
     """(S, ncell) int32: src_map[s, t] = the cell whose direction-s block
     targets cell t (each direction is a translation, hence a bijection)."""
@@ -255,7 +266,7 @@ def build_cell_slots(r, fmask, box_geom, grid: CellBlockGrid):
 # ---------------------------------------------------------------------------
 
 def cellpair_eval(r, q, tidx, perm, box_geom, grid: CellBlockGrid, tables,
-                  coulomb: bool = True):
+                  coulomb: bool = True, allowed=None):
     """Forces/energy/virial/per-particle pe for shifted-LJ (+RF Coulomb).
 
     box_geom: (3,) lengths or (3,3) h (triclinic).  tables: sigma/eps/
@@ -293,6 +304,10 @@ def cellpair_eval(r, q, tidx, perm, box_geom, grid: CellBlockGrid, tables,
     Qq = Pq[stencil]                                   # (C,S,c)
     Qt = Pt[stencil]
     Qv = Pv[stencil]
+    if allowed is not None:
+        # pbc < 7: blocks reached through a non-periodic image are
+        # masked off wholesale (static per (cell, stencil) table)
+        Qv = Qv & jnp.asarray(allowed)[:, :, None]
     Q = Q.reshape(ncell, S * cap, 3)
     Qq = Qq.reshape(ncell, S * cap)
     Qt = Qt.reshape(ncell, S * cap)
@@ -372,7 +387,7 @@ def cellpair_eval(r, q, tidx, perm, box_geom, grid: CellBlockGrid, tables,
 
 
 def cellpair_eval_half(r, q, tidx, perm, box_geom, grid: CellBlockGrid,
-                       tables, back_map, coulomb: bool = True):
+                       tables, back_map, coulomb: bool = True, allowed=None):
     """N3L variant of cellpair_eval: `grid` from half_grid() (self block
     first + 13 positive directions), `back_map` from half_back_map().
     Halves the dominant (C, c, S*c) elementwise math; the q-side reaction
@@ -401,7 +416,10 @@ def cellpair_eval_half(r, q, tidx, perm, box_geom, grid: CellBlockGrid,
     Q = (Q - centers[:, None, None, :]).reshape(ncell, S * cap, 3)
     Qq = Pq[stencil].reshape(ncell, S * cap)
     Qt = Pt[stencil].reshape(ncell, S * cap)
-    Qv = Pv[stencil].reshape(ncell, S * cap)
+    Qv = Pv[stencil]
+    if allowed is not None:
+        Qv = Qv & jnp.asarray(allowed)[:, :, None]   # pbc < 7 (see above)
+    Qv = Qv.reshape(ncell, S * cap)
 
     # dedup only inside the self block (index 0): keep lane > row once
     rows = jnp.arange(cap, dtype=jnp.int32)

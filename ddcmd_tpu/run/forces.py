@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.system import SystemDef
-from ..ops.cellpair import (cellpair_eval_half, half_back_map, half_grid)
+from ..ops.cellpair import (cellpair_eval_half, half_back_map, half_grid,
+                            pbc_allowed)
 from ..potentials.martini import martini_device_tables, martini_nonbond
 from ..potentials.pair import pair_device_tables, pair_lj
 
@@ -107,13 +108,14 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
                 hg = half_grid(grid)
                 back = jnp.asarray(half_back_map(hg))
+                allowed = pbc_allowed(hg, sysdef.box.pbc)
 
                 def martini_term(state, box, handle, tables=tables, tmap=tmap,
-                                 coul=coul, hg=hg, back=back):
+                                 coul=coul, hg=hg, back=back, allowed=allowed):
                     tidx = tmap[state.species]
                     f, e, virial, pe = cellpair_eval_half(
                         state.r, state.q, tidx, handle, _geom(box), hg,
-                        tables, back, coulomb=coul)
+                        tables, back, coulomb=coul, allowed=allowed)
                     if not coul:
                         return f, e, virial, pe
                     e_self_i = (-0.5 * state.q * state.q * state.fmask
@@ -160,12 +162,13 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                 lj_tables = dict(tables)
                 hg = half_grid(grid)
                 back = jnp.asarray(half_back_map(hg))
+                allowed = pbc_allowed(hg, sysdef.box.pbc)
 
                 def pair_term(state, box, handle, tables=lj_tables, hg=hg,
-                              back=back):
+                              back=back, allowed=allowed):
                     return cellpair_eval_half(
                         state.r, state.q, state.species, handle, _geom(box),
-                        hg, tables, back, coulomb=False)
+                        hg, tables, back, coulomb=False, allowed=allowed)
             else:
                 def pair_term(state, box, handle, tables=tables):
                     return pair_lj(state.r, state.species, state.fmask, handle,

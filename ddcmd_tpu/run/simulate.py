@@ -56,6 +56,12 @@ class Simulation:
                 else "cellblock"
         if any(p[0] in ("PAIRENERGY", "ORDERSH") for p in sd.potentials):
             engine = "nlist"  # cell-block variants pending
+        if engine == "pallas" and sd.box.pbc & 7 != 7:
+            # non-periodic axes (slab/wire/cluster, preduce.c:42-45) run
+            # on the XLA engines: their static (cell, stencil) allowance
+            # masks drop non-periodic image blocks (ops/cellpair.py:
+            # pbc_allowed); the pallas kernels are fully periodic
+            engine = "cellblock"
         if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
             ep = next(p[2] for p in sd.potentials if p[0] == "EAM")
             if not (1 <= ep.n_species <= 4 and ep.form in (
@@ -307,10 +313,12 @@ class Simulation:
                     r, ss.state.fmask, geom, grid)
                 return ss, perm, overflow | cell_edge_bad(ss.box)
         else:
+            pbc_bits = int(sd.box.pbc)
+
             def build_nbr(ss):
                 geom = ss.box.lengths if ss.box.ortho else ss.box.h
                 nbr_idx, _, overflow = build_neighbor_list(
-                    ss.state.r, ss.state.fmask, geom, grid)
+                    ss.state.r, ss.state.fmask, geom, grid, pbc=pbc_bits)
                 return ss, nbr_idx, overflow | cell_edge_bad(ss.box)
 
         deltaR2 = float(self.sysdef.neighbor_deltaR) ** 2

@@ -59,8 +59,16 @@ if os.environ.get("DIAG_CHECK"):
           flush=True)
 print("engine:", sim.engine, "grid:", sim.grid.ncells, "cap:", sim.grid.cap,
       flush=True)
+print("run_dir:", d, flush=True)
+on_ckpt = None
+if os.environ.get("DIAG_CKPT"):
+    from ddcmd_tpu.io.restart import write_checkpoint
+
+    sim.sysdef.cfg.checkpointrate = int(os.environ["DIAG_CKPT"])
+    on_ckpt = lambda s: write_checkpoint(s, d)  # noqa: E731
 try:
     sim.run(steps, print_fn=lambda s: print(s, flush=True),
+            on_checkpoint=on_ckpt,
             max_steps_per_dispatch=int(os.environ.get("DIAG_DISPATCH", "24")))
     print("SURVIVED", flush=True)
 except Exception as e:  # noqa: BLE001
