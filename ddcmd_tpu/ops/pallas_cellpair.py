@@ -68,7 +68,11 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
     rlist = rcut + skin
     rplan = rlist * plan_margin          # shrink headroom for NPT planning
     vol = float(np.prod(L))
-    density = n_particles / vol
+    # NPT headroom applies to DENSITY too: a box shrinking by the planned
+    # linear margin raises every cell's occupancy by margin^3 -- without
+    # this the cap overflows right at the end of a barostat compression
+    # (observed on the 100k bilayer: -27% volume in the first ~700 steps)
+    density = n_particles / vol * plan_margin ** 3
 
     def need(nc):
         # fluctuation-aware capacity: mean * safety bounds the systematic
@@ -84,6 +88,18 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
     # fewer, fatter cells = fuller lanes = less wasted pair math
     ncells = [min(max(1, int(_math.ceil(l / edge_cap))),
                   max(1, int(_math.floor(l / rplan)))) for l in L]
+    # refine to feasibility first: the closed-form edge guess ignores the
+    # Poisson-tail capacity term, so the start can exceed lane_cap; add
+    # cells on the fattest axis while the rlist floor allows
+    for _ in range(64):
+        if need(ncells) <= lane_cap:
+            break
+        grow = [i for i in range(3)
+                if ncells[i] + 1 <= max(1, int(_math.floor(L[i] / rplan)))]
+        if not grow:
+            break                        # rlist-floored: cap absorbs the rest
+        i = max(grow, key=lambda j: L[j] / ncells[j])
+        ncells[i] += 1
     improved = True
     while improved:
         improved = False

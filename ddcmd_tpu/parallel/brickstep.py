@@ -68,10 +68,6 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
     moment is computed locally per owned molecule and psum'd; without it
     the atomic virial is used (identical for single-bead molecules)."""
     Lv_host = np.asarray(box_lengths, dtype=np.float64)
-    if Lv_host.ndim == 2 and barostat is not None:
-        raise NotImplementedError(
-            "sharded barostat requires an orthorhombic box (the Berendsen "
-            "scale acts on the h diagonal)")
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
     full_axes = tuple(AXES)
@@ -341,9 +337,13 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
 
     def _lam(vir_diag, Lv):
         """Berendsen per-axis scale from the previous step's virial
-        (changeVolume; P = (virial + nmol kB T I)/V with the TARGET T)."""
+        (changeVolume; P = (virial + nmol kB T I)/V with the TARGET T).
+        Lv may be (3,) lengths or a (3,3) h (triclinic): the scale acts
+        as r' = diag(lam) r, h' = diag(lam) h -- the same affine volume
+        move the reference applies (nglfconstraint.c:64-85 is not
+        orthorhombic-specific)."""
         dtb = Lv.dtype
-        vol = jnp.prod(Lv)
+        vol = _volume(Lv)
         nkt = barostat["n_molecules"] * barostat["T"] * U.kB
         p = (vir_diag.astype(dtb) + nkt) / vol - barostat["P0"]
         btt = barostat["beta"] * dt / barostat["tau"]
@@ -387,9 +387,11 @@ def make_brick_step(mesh: Mesh, plan: BrickPlan, grid: CellGrid, tables,
         def body(carry, i):
             fields, f, vird, Lv, ov = carry
             lam = _lam(vird, Lv)
-            Lv = Lv * lam
+            # h' = diag(lam) h: for a (3,3) h scale the ROWS (Cartesian
+            # components); for (3,) lengths this is elementwise
+            Lv = lam[:, None] * Lv if Lv.ndim == 2 else Lv * lam
             brick_ok = jnp.all(
-                jnp.asarray(_min_brick_frac, Lv.dtype) * Lv
+                jnp.asarray(_min_brick_frac, Lv.dtype) * _perp_widths(Lv)
                 >= jnp.asarray(plan.rlist, Lv.dtype))
             ov = ov | (~brick_ok).astype(ov.dtype)
             fields = dict(fields, r=fields["r"] * lam[None, :])

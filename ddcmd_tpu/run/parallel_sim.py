@@ -248,11 +248,10 @@ class ParallelSimulation:
                                    "NGLFCONSTRAINTGPULANGEVIN", "NGLFGPU",
                                    "NGLFGPULANGEVIN", "NGLFNEW")
                 and ip["beta"] > 0):
-            if tri:
-                raise NotImplementedError(
-                    "sharded NPT requires an orthorhombic box (the "
-                    "Berendsen scale acts on the h diagonal); run "
-                    "triclinic NPT decks single-chip")
+            # triclinic NPT: the Berendsen move is r' = diag(lam) r,
+            # h' = diag(lam) h (nglfconstraint.c:64-85 is affine, not
+            # orthorhombic-specific); the chunk carries the full (3,3) h
+            # and measures brick/cell widths by perpendicular span
             from ..core.molecule import build_molecule_class
 
             sysobj = db.get(sd.cfg.system_name, "SYSTEM")

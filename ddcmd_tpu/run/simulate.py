@@ -448,29 +448,17 @@ class Simulation:
         """Grow neighbor capacity after an overflow (allocPages analog)."""
         g = self.grid
         if self.engine == "pallas":
-            # lane-parallel kernel needs 128-multiple capacities; cap=256
-            # exceeds the ~16M scoped-VMEM stack limit (the (cap, S*cap)
-            # tile temporaries scale quadratically), so growth past one
-            # lane tile falls back to the XLA cell-block engine instead
-            # of compiling a program Mosaic will reject
-            new_cap = 128 * int(math.ceil(g.cap * factor / 128.0))
-            if new_cap > 128:
-                import warnings
-
-                warnings.warn(
-                    "pallas cell capacity overflow: falling back to the "
-                    "XLA cell-block engine")
-                from ..ops.cellpair import CellBlockGrid
-
-                sd = self.sysdef
-                self.engine = "cellblock"
-                geom = sd.box.lengths if sd.box.ortho else sd.box.h
-                self.grid = CellBlockGrid.plan(
-                    np.asarray(geom, dtype=np.float64),
-                    sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
-                    density_safety=2.5)
-            else:
-                self.grid = g.with_cap(new_cap)
+            # grow in 32-lane steps; the (cap, S*cap) VMEM tile grows
+            # quadratically, so cap is bounded (~2MB tile at 192).  Past
+            # the bound the GRID is stale, not the cap: replan at the
+            # live box/density (more, smaller cells).  Never fall back
+            # to the XLA cell-block engine at scale -- its (C, c, S*c)
+            # HBM intermediates exceed the chip for ~100k atoms
+            # (observed 17.5GB allocation on the bilayer)
+            new_cap = 32 * int(math.ceil(g.cap * factor / 32.0))
+            if new_cap > 192:
+                return self.replan_grid()
+            self.grid = g.with_cap(new_cap)
             self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,
                                            engine=self.engine, grid=self.grid)
             self._rebuild_step_fn()

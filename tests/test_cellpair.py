@@ -178,10 +178,12 @@ def test_overflow_recapacity_completes(tmp_path, monkeypatch):
             assert sim.grid.cap > cap0      # recapacity actually fired
 
 
-def test_pallas_recapacity_falls_back_to_cellblock(tmp_path, monkeypatch):
-    """Growing the pallas lane capacity past one 128-lane tile exceeds
-    the scoped-VMEM stack; recapacity must fall back to the XLA engine
-    and keep running."""
+def test_pallas_recapacity_grows_then_replans(tmp_path, monkeypatch):
+    """Pallas overflow recovery stays ON the pallas engine: capacity
+    grows in 32-lane steps to a bounded VMEM tile, and past the bound
+    the grid is REPLANNED at the live box/density.  (The old XLA
+    fallback allocated (C, c, S*c) HBM intermediates that exceed the
+    chip at ~100k atoms -- observed 17.5GB on the bilayer.)"""
     monkeypatch.setenv("DDCMD_PALLAS_INTERPRET", "1")
     from ddcmd_tpu.models import lj_fluid, load
     from ddcmd_tpu.run.simulate import Simulation
@@ -191,8 +193,13 @@ def test_pallas_recapacity_falls_back_to_cellblock(tmp_path, monkeypatch):
     sim = Simulation(db, base, run_dir=str(tmp_path), engine="pallas")
     assert sim.engine == "pallas"
     sim.first_energy()
-    with pytest.warns(UserWarning, match="falling back"):
-        sim.recapacity()
-    assert sim.engine == "cellblock"
+    cap0 = sim.grid.cap
+    sim.recapacity()
+    assert sim.engine == "pallas"
+    assert sim.grid.cap > cap0 and sim.grid.cap % 32 == 0
+    # grow to the bound: next recapacity must replan, still pallas
+    sim.grid = sim.grid.with_cap(192)
+    sim.recapacity()
+    assert sim.engine == "pallas"
     sim.run(10, print_fn=lambda s: None)
     assert np.isfinite(float(sim.ss.energy.eion))
