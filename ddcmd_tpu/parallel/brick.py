@@ -137,12 +137,13 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         win = plan.rlist
         if plan.voronoi is not None:
             # widen by the bisector-plane excursion beyond the nominal
-            # face (voronoi.face_margins), scaled with the live box
-            # (Voronoi domains are orthorhombic-only: margins/L0 are
-            # Cartesian lengths)
+            # face (voronoi.face_margins), scaled with the live box.
+            # Voronoi state lives in the SCALED-FRACTIONAL frame
+            # (fractional coords x perpendicular spans == Cartesian when
+            # orthorhombic), so a triclinic h reduces to the same math
             vor = plan.voronoi
             win = win + (vor["margins"][ax_i] / vor["L0"][ax_i]
-                         * box_lengths[ax_i])
+                         * (1.0 / per_cart[ax_i]))
         win_f = win * per_cart[ax_i]
         x = frac(pool["r"])[:, ax_i]
         sel_lo = pool_mask & (x < lo + win_f)
@@ -216,19 +217,21 @@ def migrate_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
     overflow = jnp.zeros((), bool)
     cur = fields
     mask = valid_mask
-    frac, _ = geom_frac(box_lengths, fields["r"].dtype)
+    frac, per_cart = geom_frac(box_lengths, fields["r"].dtype)
     vor = plan.voronoi
     if vor is not None:
         from .voronoi import dest_offsets, neighborhood_centers
 
         dtype = fields["r"].dtype
-        scale = (jnp.asarray(box_lengths, dtype)
-                 / jnp.asarray(vor["L0"], dtype))
+        spans = 1.0 / per_cart          # == lengths when orthorhombic
+        scale = spans / jnp.asarray(vor["L0"], dtype)
         centers_dev = jnp.asarray(vor["centers"], dtype) * scale
-        c27 = neighborhood_centers(centers_dev, box_lengths, plan.shape)
+        c27 = neighborhood_centers(centers_dev, spans, plan.shape)
         rr = _head_positions(fields, mask) if "hgid" in fields \
             else fields["r"]
-        mig = dest_offsets(rr, c27, box_lengths)
+        # scaled-fractional frame: identical to Cartesian when ortho
+        rr_v = frac(rr) * spans
+        mig = dest_offsets(rr_v, c27, spans)
         mig = mig * jnp.asarray([int(n > 1) for n in plan.shape],
                                 mig.dtype)[None, :]
         cur = dict(fields, mig=mig)
@@ -324,9 +327,16 @@ def distribute_bricks(arrays: dict, box_lengths, plan: BrickPlan):
         from .voronoi import assign_host
 
         vor = plan.voronoi
-        centers = vor["centers"] * (L / np.asarray(vor["L0"]))[None, None,
-                                                               None, :]
-        dest = assign_host(r, centers, L, plan.shape)
+        if L.ndim == 2:
+            hin = np.linalg.inv(L)
+            spans = 1.0 / np.sqrt((hin * hin).sum(axis=1))
+            r_v = (fr - 0.5) * spans          # scaled-fractional frame
+        else:
+            spans = L
+            r_v = r
+        centers = vor["centers"] * (spans / np.asarray(vor["L0"]))[
+            None, None, None, :]
+        dest = assign_host(r_v, centers, spans, plan.shape)
     elif plan.walls is not None:
         from .loadbalance import walls_assign
 

@@ -10,9 +10,10 @@ constraints, the Berendsen-style barostat, molecule-coherent migration
 Boxes may be orthorhombic or triclinic (BOX type=GENERAL): brick
 ownership, halos and migration run in fractional coordinates with
 perpendicular-span windows (parallel/brick.geom_frac) and forces
-min-image against the full h.  Triclinic limits: fixed cell only (no
-sharded barostat -- the Berendsen scale acts on the h diagonal) and no
-VORONOI load balance (centers/margins are Cartesian).
+min-image against the full h.  The Berendsen barostat (affine
+r' = diag(lam) r, h' = diag(lam) h) and VORONOI load balance (run in
+the scaled-fractional frame where a tilted box is Euclidean) work under
+general h as well.
 """
 
 from __future__ import annotations
@@ -142,11 +143,11 @@ class ParallelSimulation:
             elif kind == "VORONOI":
                 # nearest-center domains; centers start at the brick
                 # centers and drift under the diffusive balancer
-                # (voronoiLoadBalance registry, loadBalance.c:65-68)
-                if tri:
-                    raise NotImplementedError(
-                        "VORONOI load balance requires an orthorhombic "
-                        "box (centers/margins are Cartesian)")
+                # (voronoiLoadBalance registry, loadBalance.c:65-68).
+                # Triclinic boxes run in the SCALED-FRACTIONAL frame
+                # (fractional coords x perpendicular spans): L here is
+                # already the perp-span vector and r_lb the transformed
+                # positions, so centers/margins stay Euclidean
                 from ..parallel.voronoi import nominal_centers
 
                 voronoi = dict(centers=nominal_centers(L, self.shape),

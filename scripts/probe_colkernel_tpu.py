@@ -85,11 +85,17 @@ def run_case(name, L3, density, seed):
     q = rng.choice([-1.0, 0.0, 1.0], size=n) * 0.3
     tidx = rng.integers(0, 2, size=n)
 
-    e_ref, f_ref = brute(r, q, tidx, L)
+    if n <= 6000:
+        e_ref, f_ref = brute(r, q, tidx, L)
+    else:
+        # big-grid cases: the O(N^2) f64 oracle is too slow; use the
+        # hardware-proven XLA cell-block engine as reference instead
+        e_ref = f_ref = None
     grid = plan_lanes(L, rcut, skin, n)
     nz = grid.ncells[2]
     print(f"[{name}] n={n} ncells={grid.ncells} cap={grid.cap} "
-          f"e_brute={e_ref:.3f}", flush=True)
+          f"oracle={'brute-f64' if e_ref is not None else 'xla-engine'}",
+          flush=True)
 
     rj = jnp.asarray(r, jnp.float32)
     qj = jnp.asarray(q, jnp.float32)
@@ -98,6 +104,11 @@ def run_case(name, L3, density, seed):
     fmask = jnp.ones(n, jnp.float32)
     perm, ov = build_cell_slots(rj, fmask, Lv, grid)
     assert not bool(ov)
+    if f_ref is None:
+        f_ref, e_ref, _, _ = cellpair_eval(rj, qj, tj, perm, Lv, grid,
+                                           tables, coulomb=True)
+        f_ref = np.asarray(f_ref, np.float64)
+        e_ref = float(e_ref)
     scale = max(1.0, float(np.abs(f_ref).max()))
 
     def report(tag, f, e):
@@ -138,3 +149,8 @@ if not CASE or CASE == "cubic":
     run_case("cubic", (6.0, 6.0, 6.0), 7.0, 3)
 if not CASE or CASE == "aniso":
     run_case("aniso", (6.0, 6.0, 9.9), 7.0, 3)
+if CASE == "biggrid":
+    # the 100k-bilayer grid shape: ~1125 fat cells, XLA-engine oracle
+    # (per-cell hardware probes never exercised ncell >= ~100 before the
+    # flat-SMEM fix unlocked these grids)
+    run_case("biggrid", (34.0, 34.0, 11.0), 7.0, 3)

@@ -213,3 +213,82 @@ collection COLLECTION {{ mode=VARRECORDASCII; size={n}; files=atoms#; }}
     assert not sim3.sysdef.box.ortho
     sim3.first_energy()
     assert np.isfinite(float(sim3.ss.energy.eion))
+
+
+def test_parallel_triclinic_npt(tmp_path):
+    """Sharded NPT under a GENERAL (tilted) h: the Berendsen move is
+    affine (r' = diag(lam) r, h' = diag(lam) h -- nglfconstraint.c:64-85
+    is not orthorhombic-specific); the chunk carries the full h and the
+    box-volume trajectory tracks the single-chip run."""
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+    from ddcmd_tpu.run.simulate import Simulation
+
+    L = 24.0
+    h = np.diag([L, L, L]).astype(np.float64)
+    h[0, 1] = 0.15 * L
+    rng = np.random.default_rng(9)
+    m = 6
+    g = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)
+    s = (g + 0.5) / m - 0.5 + (rng.random((m ** 3, 3)) - 0.5) * 0.02
+    r = s @ h.T
+    n = len(r)
+    v = rng.standard_normal((n, 3)) * 0.004
+    rows = [f"{i} ATOM Ar free "
+            + " ".join("%.8f" % x for x in r[i])
+            + " " + " ".join("%.8f" % x for x in v[i]) for i in range(n)]
+    hflat = " ".join("%.6f" % x for x in h.reshape(-1))
+    hdr = (f"particle FILEHEADER {{type=MULTILINE; datatype=VARRECORDASCII;"
+           f" checksum=NONE;\nloop=0; time=0.0;\nnfiles=1; nrecord={n};"
+           f" nfields=10;\n"
+           f"field_names=id class type group rx ry rz vx vy vz;\n"
+           f"field_types=u s s s f f f f f f;\n"
+           f"h= {hflat} ;\n}}\n\n")
+    (tmp_path / "atoms#000000").write_text(hdr + "\n".join(rows) + "\n")
+    deck = f"""
+simulate SIMULATE {{ type=MD; system=system; integrator=npt; dt=4;
+  maxloop=1000; printrate=50; ddc=ddc; }}
+ddc DDC {{ updateRate=10; lz=2; lx=1; ly=1; }}
+pot POTENTIAL {{ type=PAIR; cutoff=7.0 Angstrom; eps=0.01 eV;
+  sigma=3.4 Angstrom; }}
+npt INTEGRATOR {{ type=NGLFCONSTRAINT; T=120K; P0=1.0 bar;
+  beta=3.0e-4 /bar; tauBarostat=1.0 ps; isotropic=1; }}
+system SYSTEM {{ type=NORMAL; potential=pot; neighbor=nbr; groups=free;
+  box=box; collection=collection; species=Ar; }}
+Ar SPECIES {{ type=ATOM; mass=39.948; charge=0; }}
+box BOX {{ type=GENERAL; pbc=7; h= {hflat} ; }}
+nbr NEIGHBOR {{ type=NORMAL; deltaR=1.2; }}
+free GROUP {{ type=FREE; }}
+collection COLLECTION {{ mode=VARRECORDASCII; size={n}; files=atoms#; }}
+"""
+    (tmp_path / "object.data").write_text(deck)
+
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    psim = ParallelSimulation(db, str(tmp_path), shape=(1, 1, 2))
+    assert not psim.sysdef.box.ortho
+    assert psim.barostat is not None
+    psim.first_energy()
+
+    db2 = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim = Simulation(db2, str(tmp_path), run_dir=str(tmp_path))
+    sim.first_energy()
+    v0 = float(sim.ss.box.volume)
+
+    n_steps = 8 * psim.chunk_steps
+    psim.run(n_steps, print_fn=lambda s: None)
+    sim.run(n_steps, print_fn=lambda s: None)
+
+    h_par = np.asarray(psim.Lv, dtype=np.float64)
+    assert h_par.shape == (3, 3)
+    v_par = abs(np.linalg.det(h_par))
+    # the tilt RATIO is preserved by the affine move
+    assert h_par[0, 1] / h_par[0, 0] == pytest.approx(0.15, rel=1e-5)
+    dv_par = v_par / v0 - 1.0
+    dv_single = float(sim.ss.box.volume) / v0 - 1.0
+    assert dv_single != 0.0
+    assert dv_par == pytest.approx(dv_single, rel=0.15,
+                                   abs=2e-4)
+    m2 = np.asarray(psim.mask)
+    assert int(m2.sum()) == n
+    assert np.isfinite(np.asarray(psim.f)[m2]).all()
