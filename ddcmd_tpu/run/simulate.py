@@ -313,7 +313,7 @@ class Simulation:
                     r, ss.state.fmask, geom, grid)
                 return ss, perm, overflow | cell_edge_bad(ss.box)
         else:
-            pbc_bits = int(sd.box.pbc)
+            pbc_bits = int(self.sysdef.box.pbc)
 
             def build_nbr(ss):
                 geom = ss.box.lengths if ss.box.ortho else ss.box.h
