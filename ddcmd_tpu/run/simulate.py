@@ -752,7 +752,27 @@ class Simulation:
                 # /root/reference/src/saveState.c:45,117; masters.c:461-466):
                 # self.ss is still the pre-chunk state; redo with fresh noise
                 retries += 1
+                bad = int(np.argmax(~np.isfinite(scal[:, 0] + scal[:, 1])))
+                loop0 = int(ss_new.loop) - k
+                import warnings
+
+                last_ok = scal[max(0, bad - 1)]
+                warnings.warn(
+                    f"non-finite energy at step {loop0 + bad + 1} "
+                    f"(chunk {loop0}+{k}, in-chunk index {bad}; last good "
+                    f"row e={last_ok[0]:.4g} rk={last_ok[1]:.4g} "
+                    f"vol={last_ok[3]:.4g}); rollback retry {retries}/3")
                 if retries > 3:
+                    # forensic dump: the pre-chunk state reproduces the
+                    # blowup in ~bad steps (write_checkpoint restores it)
+                    try:
+                        from ..io.restart import write_checkpoint
+
+                        snap = write_checkpoint(self, self.run_dir,
+                                                update_symlink=False)
+                        print(f"kill-switch state dumped to {snap}")
+                    except Exception as err:
+                        print(f"kill-switch dump failed: {err}")
                     raise FloatingPointError(
                         f"non-finite energy at loop {int(ss_new.loop)} "
                         "(reference kill switch, masters.c:470-475)")

@@ -105,8 +105,12 @@ def run_case(name, L3, density, seed):
     perm, ov = build_cell_slots(rj, fmask, Lv, grid)
     assert not bool(ov)
     if f_ref is None:
-        f_ref, e_ref, _, _ = cellpair_eval(rj, qj, tj, perm, Lv, grid,
-                                           tables, coulomb=True)
+        # jit so XLA fuses the (C, c, S*c) intermediates (eager dispatch
+        # materializes ~2GB per op and OOMs at 89k atoms)
+        oracle = jax.jit(lambda *a: cellpair_eval(*a, grid=grid,
+                                                  tables=tables,
+                                                  coulomb=True))
+        f_ref, e_ref, _, _ = oracle(rj, qj, tj, perm, Lv)
         f_ref = np.asarray(f_ref, np.float64)
         e_ref = float(e_ref)
     scale = max(1.0, float(np.abs(f_ref).max()))
@@ -122,8 +126,9 @@ def run_case(name, L3, density, seed):
               flush=True)
 
     if not KERNEL or KERNEL == "xla":
-        f0, e0, v0, pe0 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
-                                        coulomb=True)
+        f0, e0, v0, pe0 = jax.jit(
+            lambda *a: cellpair_eval(*a, grid=grid, tables=tables,
+                                     coulomb=True))(rj, qj, tj, perm, Lv)
         report("xla-cellblock", f0, e0)
 
     hgrid = half_grid(grid)
