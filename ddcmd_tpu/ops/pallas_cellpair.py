@@ -528,15 +528,17 @@ def choose_col_group(grid: CellBlockGrid) -> int:
         return G if G > 1 and nz % G == 0 else 1
     # Auto engages only on LARGE grids: the union-DMA saving pays where
     # stencil HBM traffic dominates (many cells); on small grids the
-    # per-cell kernel is measured-good (waterbox 610 steps/s) and the
-    # wider program only adds unroll/compile risk, so don't gamble the
-    # known number (force via DDCMD_PALLAS_COLS=N to A/B small grids).
+    # per-cell kernel is measured-good and the wider program only adds
+    # unroll/compile risk (force via DDCMD_PALLAS_COLS=N to A/B).
     if grid.ncell < 1000:
         return 1
-    # DMA traffic per cell is (5G+9)/G -- monotone decreasing in G -- so
-    # take the LARGEST divisor of nz up to 8 (the cap bounds per-program
-    # unroll / Mosaic compile time; G=8 already saves 56%)
-    for G in range(min(8, nz), 1, -1):
+    # DMA traffic per cell is (5G+9)/G -- monotone decreasing in G --
+    # but the G-unrolled member tiles live simultaneously in scoped
+    # VMEM: G=5 at cap=128 was measured OVER the 16M Mosaic stack limit
+    # (18.03M, hardware compile error), while G<=3 compiles.  Bound the
+    # unroll so the kernel stays comfortably inside the stack.
+    g_max = 3 if grid.cap >= 128 else 4
+    for G in range(min(g_max, nz), 1, -1):
         if nz % G == 0 and grid.ncell > G:
             return G
     return 1

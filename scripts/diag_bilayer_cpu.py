@@ -28,6 +28,12 @@ dtype = jnp.float64 if os.environ.get("DIAG_X64") else jnp.float32
 
 d = tempfile.mkdtemp()
 martini_bilayer(d, nx=nx, ny=nx, water_nm=float(os.environ.get("DIAG_W", "2.2")))
+if os.environ.get("DIAG_NVT"):
+    # bisect: barostat OFF (constraints/bonds/thermostat unchanged)
+    p = os.path.join(d, "object.data")
+    txt = open(p).read().replace("beta=0.0003/bar", "beta=0/bar")
+    open(p, "w").write(txt)
+    print("barostat disabled (DIAG_NVT)", flush=True)
 db, base = load(d)
 sim = Simulation(db, base, run_dir=d, dtype=dtype,
                  engine=os.environ.get("DIAG_ENGINE", "auto"))
