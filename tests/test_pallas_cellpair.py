@@ -433,14 +433,19 @@ def test_choose_col_group_gate(monkeypatch):
     from ddcmd_tpu.ops.pallas_cellpair import choose_col_group
 
     class FakeGrid:
-        def __init__(self, ncells):
+        def __init__(self, ncells, cap=128):
             self.ncells = ncells
             self.ncell = ncells[0] * ncells[1] * ncells[2]
+            self.cap = cap
 
     monkeypatch.delenv("DDCMD_PALLAS_COLS", raising=False)
     assert choose_col_group(FakeGrid((8, 8, 8))) == 1      # small: gated
-    assert choose_col_group(FakeGrid((16, 16, 16))) == 8   # large: max div
-    assert choose_col_group(FakeGrid((15, 15, 15))) == 5
+    # large grids: max divisor within the scoped-VMEM bound (G<=3 at
+    # cap=128: G=5 measured 18.03M > the 16M Mosaic stack limit)
+    assert choose_col_group(FakeGrid((16, 16, 16))) == 2
+    assert choose_col_group(FakeGrid((15, 15, 15))) == 3
+    assert choose_col_group(FakeGrid((16, 16, 16), cap=64)) == 4
+    assert choose_col_group(FakeGrid((15, 15, 5))) == 1    # nz=5: percell
     monkeypatch.setenv("DDCMD_PALLAS_COLS", "4")
     assert choose_col_group(FakeGrid((8, 8, 8))) == 4      # forced
     monkeypatch.setenv("DDCMD_PALLAS_COLS", "0")
