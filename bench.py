@@ -111,10 +111,16 @@ def main():
     _log(f"Simulation built (engine={sim.engine}); first_energy")
     try:
         sim.first_energy()
-    except Exception:
-        # robust fallback: the XLA cell-block engine
+    except Exception as err:
+        _log(f"first_energy FAILED: {type(err).__name__}: {err}")
+        if int(sim.sysdef.state.n_local) > 30000:
+            # the XLA cell-block engine's (C, c, S*c) intermediates
+            # cannot fit ~100k atoms on one chip (observed 17.5GB
+            # alloc + a TPU worker crash) -- surface the real error
+            raise
+        # small systems: fall back to the XLA cell-block engine
         engine = "cellblock"
-        _log("first_energy failed; falling back to cellblock engine")
+        _log("falling back to the cellblock engine")
         sim = Simulation(db, base, run_dir="/tmp", engine=engine)
     engine = sim.engine
     _log("first_energy done")
