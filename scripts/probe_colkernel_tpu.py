@@ -1,12 +1,15 @@
 """Real-TPU force parity probe: per-cell + column pallas kernels vs the
-XLA cell-block engine vs an O(N^2) numpy f64 brute force, on (a) a CUBIC
-box (the only geometry every TPU-proven workload uses) and (b) an
-ANISOTROPIC box shaped like the bilayer grid (unequal cell widths,
-nz == G whole-axis columns with aliased union entries).
+XLA cell-block engine vs an oracle (O(N^2) numpy f64 brute force below
+6k atoms; the hardware-proven XLA engine above), on (a) a CUBIC box,
+(b) an ANISOTROPIC box (unequal cell widths, nz == G whole-axis columns
+with aliased union entries), and (c) BIGGRID -- the 100k-bilayer grid
+shape (~1125 fat cells, 89k atoms).
 
-Motivation: the 100k bilayer NaNs in its first chunk on TPU while the
-same deck runs on CPU (XLA engine); all pallas parity tests are
-interpret-mode and cubic."""
+History: this probe found (1) Mosaic's DEFAULT-precision f32 dots are
+ONE bf16 pass (fixed: precision=_HI everywhere), and (2) the column
+kernel at G=5/cap=128 exceeds the 16M scoped-VMEM stack (fixed: G<=3
+auto gate).  Run it after ANY pallas kernel change -- interpret-mode
+parity cannot see compiled-mode defects."""
 import os
 import sys
 
