@@ -132,7 +132,7 @@ def _kernel(stencil_ref,      # (ncell*S*4,) int32 scalar-prefetch (SMEM)
             sigma_ref, eps_ref, shift_ref,   # (T, T) f32 VMEM
             out_f_ref,        # (cap, 3) f32 VMEM forces
             out_pe_ref,       # (cap, 1) f32 VMEM per-slot energy
-            out_cell_ref,     # (ncell, 8) f32 SMEM: e + virial6
+            out_cell_ref,     # (1, 8) f32 VMEM window: e + virial6
             q_scratch,        # (8, S*cap) f32 VMEM: ALL stencil blocks
             sem,              # DMA semaphores (S,)
             *, cap: int, n_stencil: int, s_self: int, T: int,
@@ -283,14 +283,12 @@ def _kernel(stencil_ref,      # (ncell*S*4,) int32 scalar-prefetch (SMEM)
 
     out_f_ref[:] = facc
     out_pe_ref[:] = peacc
-    out_cell_ref[c, 0] = jnp.sum(peacc)
-    out_cell_ref[c, 1] = vir[0, 0]
-    out_cell_ref[c, 2] = vir[1, 1]
-    out_cell_ref[c, 3] = vir[2, 2]
-    out_cell_ref[c, 4] = vir[0, 1]
-    out_cell_ref[c, 5] = vir[0, 2]
-    out_cell_ref[c, 6] = vir[1, 2]
-    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+    # per-cell scalars go through a (1, 8) VMEM window: a whole-resident
+    # 2-D SMEM output lane-pads 8 -> 128 (724KB at 1445 cells, second
+    # SMEM-OOM class found on the bilayer grid)
+    out_cell_ref[0, :] = jnp.stack(
+        [jnp.sum(peacc), vir[0, 0], vir[1, 1], vir[2, 2],
+         vir[0, 1], vir[0, 2], vir[1, 2], jnp.zeros((), jnp.float32)])
 
 
 def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
@@ -302,7 +300,7 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
                  out_pe_ref,    # (cap, 1) f32 VMEM p-side energy
                  out_q_ref,     # (ncell, 8, cap) f32 VMEM: ACCUMULATED
                                 # q-side reaction [fx fy fz pe 0 0 0 0]
-                 out_cell_ref,  # (ncell, 8) f32 SMEM: e + virial6
+                 out_cell_ref,  # (1, 8) f32 VMEM window: e + virial6
                  q_scratch, sem,
                  *, cap: int, n_stencil: int, T: int, alias_groups,
                  krf: float, crf: float, keR: float, coulomb: bool):
@@ -477,14 +475,9 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
                             preferred_element_type=jnp.float32, precision=_HI)
     vir = -(A - B - B.T + C)
 
-    out_cell_ref[c, 0] = jnp.sum(e_pair)
-    out_cell_ref[c, 1] = vir[0, 0]
-    out_cell_ref[c, 2] = vir[1, 1]
-    out_cell_ref[c, 3] = vir[2, 2]
-    out_cell_ref[c, 4] = vir[0, 1]
-    out_cell_ref[c, 5] = vir[0, 2]
-    out_cell_ref[c, 6] = vir[1, 2]
-    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window (see _kernel)
+        [jnp.sum(e_pair), vir[0, 0], vir[1, 1], vir[2, 2],
+         vir[0, 1], vir[0, 2], vir[1, 2], jnp.zeros((), jnp.float32)])
 
 
 def _half_dirs():
@@ -611,7 +604,7 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
                      out_pe_ref,    # (G*cap, 1) f32 VMEM p-side energy
                      out_q_ref,     # (ncell, 8, cap) f32 VMEM accumulated
                                     # q-side reaction [fx fy fz pe 0 0 0 0]
-                     out_cell_ref,  # (ncol, 8) f32 SMEM: e + virial6
+                     out_cell_ref,  # (1, 8) f32 VMEM window: e + virial6
                      q_scratch,     # (8, U*cap) f32 VMEM union blocks
                      sem,           # DMA semaphores (U,)
                      *, cap: int, G: int, n_union: int,
@@ -794,14 +787,10 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
         out8 = jnp.concatenate([qacc[u], zero4], axis=0)    # (8, cap)
         out_q_ref[tgt] = out_q_ref[tgt] + out8
 
-    out_cell_ref[c, 0] = e_tot
-    out_cell_ref[c, 1] = vir_tot[0, 0]
-    out_cell_ref[c, 2] = vir_tot[1, 1]
-    out_cell_ref[c, 3] = vir_tot[2, 2]
-    out_cell_ref[c, 4] = vir_tot[0, 1]
-    out_cell_ref[c, 5] = vir_tot[0, 2]
-    out_cell_ref[c, 6] = vir_tot[1, 2]
-    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window (see _kernel)
+        [e_tot, vir_tot[0, 0], vir_tot[1, 1], vir_tot[2, 2],
+         vir_tot[0, 1], vir_tot[0, 2], vir_tot[1, 2],
+         jnp.zeros((), jnp.float32)])
 
 
 def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
@@ -841,7 +830,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
             pl.BlockSpec((G * cap, 3), lambda c, stencil: (c, 0)),
             pl.BlockSpec((G * cap, 1), lambda c, stencil: (c, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q accumulator resident
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, U * cap), jnp.float32),
@@ -902,7 +891,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
             pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
             pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q accumulator resident
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, S * cap), jnp.float32),
@@ -996,7 +985,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
         out_specs=[
             pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
             pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (ncell,8) resident
+            pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, S * cap), jnp.float32),

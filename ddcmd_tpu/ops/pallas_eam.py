@@ -204,7 +204,7 @@ def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
 def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                   out_f_ref,     # (cap, 3)
                   out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ...]
-                  out_cell_ref,  # (ncell, 8) virial6
+                  out_cell_ref,  # (1, 8) VMEM window virial6
                   q_scratch, sem,
                   *, cap, n_stencil, alias_groups, form, pt, T):
     c = pl.program_id(0)
@@ -257,14 +257,10 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
     C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32, precision=_HI)
     vir = -(A - B - B.T + C)
-    out_cell_ref[c, 0] = vir[0, 0]
-    out_cell_ref[c, 1] = vir[1, 1]
-    out_cell_ref[c, 2] = vir[2, 2]
-    out_cell_ref[c, 3] = vir[0, 1]
-    out_cell_ref[c, 4] = vir[0, 2]
-    out_cell_ref[c, 5] = vir[1, 2]
-    out_cell_ref[c, 6] = jnp.zeros((), jnp.float32)
-    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window: 2-D SMEM
+        [vir[0, 0], vir[1, 1], vir[2, 2],    # outputs lane-pad 8 -> 128
+         vir[0, 1], vir[0, 2], vir[1, 2], zero, zero])
 
 
 def _geometry_col(stencil_ref, L_ref, q_scratch, sem, slots_ref, c,
@@ -364,7 +360,7 @@ def _rho_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
 def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
                       out_f_ref,     # (G*cap, 3)
                       out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ..]
-                      out_cell_ref,  # (ncol, 8) virial6
+                      out_cell_ref,  # (1, 8) VMEM window virial6
                       q_scratch, sem,
                       *, cap, G, n_union, member_u, dirs, form, pt, T):
     c = pl.program_id(0)
@@ -428,14 +424,10 @@ def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
         out8 = jnp.concatenate([qacc[u], zero5], axis=0)
         out_acc_ref[tgt] = out_acc_ref[tgt] + out8
 
-    out_cell_ref[c, 0] = vir_tot[0, 0]
-    out_cell_ref[c, 1] = vir_tot[1, 1]
-    out_cell_ref[c, 2] = vir_tot[2, 2]
-    out_cell_ref[c, 3] = vir_tot[0, 1]
-    out_cell_ref[c, 4] = vir_tot[0, 2]
-    out_cell_ref[c, 5] = vir_tot[1, 2]
-    out_cell_ref[c, 6] = jnp.zeros((), jnp.float32)
-    out_cell_ref[c, 7] = jnp.zeros((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window (see above)
+        [vir_tot[0, 0], vir_tot[1, 1], vir_tot[2, 2],
+         vir_tot[0, 1], vir_tot[0, 2], vir_tot[1, 2], zero, zero])
 
 
 def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
@@ -500,7 +492,7 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
             out_specs=[
                 pl.BlockSpec((G * cap, 3), lambda c, stencil: (c, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
             ],
             scratch_shapes=scratch,
         ),
@@ -574,7 +566,7 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
             out_specs=[
                 pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
             ],
             scratch_shapes=scratch,
         ),
