@@ -283,12 +283,16 @@ def _kernel(stencil_ref,      # (ncell*S*4,) int32 scalar-prefetch (SMEM)
 
     out_f_ref[:] = facc
     out_pe_ref[:] = peacc
-    # per-cell scalars go through a (1, 8) VMEM window: a whole-resident
-    # 2-D SMEM output lane-pads 8 -> 128 (724KB at 1445 cells, second
-    # SMEM-OOM class found on the bilayer grid)
-    out_cell_ref[0, :] = jnp.stack(
+    # per-cell scalars go through an ALIGNED (1, 8, 8) VMEM window
+    # (array (ncell, 8, 8), values replicated across the trailing dim;
+    # the host reads lane 0).  A 2-D SMEM output lane-pads 8 -> 128
+    # (724KB at 1445 cells, the second SMEM-OOM class found on the
+    # bilayer grid); Mosaic rejects (1, 8) windows and dynamic
+    # sublane-offset row stores are not guaranteed to lower.
+    row = jnp.stack(
         [jnp.sum(peacc), vir[0, 0], vir[1, 1], vir[2, 2],
          vir[0, 1], vir[0, 2], vir[1, 2], jnp.zeros((), jnp.float32)])
+    out_cell_ref[0] = jnp.broadcast_to(row[:, None], (8, 8))
 
 
 def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
@@ -475,9 +479,10 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
                             preferred_element_type=jnp.float32, precision=_HI)
     vir = -(A - B - B.T + C)
 
-    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window (see _kernel)
+    row = jnp.stack(
         [jnp.sum(e_pair), vir[0, 0], vir[1, 1], vir[2, 2],
          vir[0, 1], vir[0, 2], vir[1, 2], jnp.zeros((), jnp.float32)])
+    out_cell_ref[0] = jnp.broadcast_to(row[:, None], (8, 8))
 
 
 def _half_dirs():
@@ -787,10 +792,11 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
         out8 = jnp.concatenate([qacc[u], zero4], axis=0)    # (8, cap)
         out_q_ref[tgt] = out_q_ref[tgt] + out8
 
-    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window (see _kernel)
+    row = jnp.stack(
         [e_tot, vir_tot[0, 0], vir_tot[1, 1], vir_tot[2, 2],
          vir_tot[0, 1], vir_tot[0, 2], vir_tot[1, 2],
          jnp.zeros((), jnp.float32)])
+    out_cell_ref[0] = jnp.broadcast_to(row[:, None], (8, 8))
 
 
 def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
@@ -830,7 +836,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
             pl.BlockSpec((G * cap, 3), lambda c, stencil: (c, 0)),
             pl.BlockSpec((G * cap, 1), lambda c, stencil: (c, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q accumulator resident
-            pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((1, 8, 8), lambda c, stencil: (c, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, U * cap), jnp.float32),
@@ -845,7 +851,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
             jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
             jax.ShapeDtypeStruct((ncell * cap, 1), jnp.float32),
             jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
-            jax.ShapeDtypeStruct((ncol, 8), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, 8, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -891,7 +897,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
             pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
             pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q accumulator resident
-            pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((1, 8, 8), lambda c, stencil: (c, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, S * cap), jnp.float32),
@@ -906,7 +912,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
             jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
             jax.ShapeDtypeStruct((ncell * cap, 1), jnp.float32),
             jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
-            jax.ShapeDtypeStruct((ncell, 8), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -943,8 +949,8 @@ def pallas_cellpair_eval_half(r, q, tidx, perm, box_lengths,
     pe_slot = out_slots[:, 3] + back[:, 3]
     f = jnp.zeros((n_pad + 1, 3), dt).at[perm].set(F, mode="drop")[:n_pad]
     pe = jnp.zeros((n_pad + 1,), dt).at[perm].set(pe_slot, mode="drop")[:n_pad]
-    e = jnp.sum(out_cells[:, 0])
-    vir6 = jnp.sum(out_cells[:, 1:7], axis=0)
+    e = jnp.sum(out_cells[:, 0, 0])
+    vir6 = jnp.sum(out_cells[:, 1:7, 0], axis=0)
     virial = jnp.asarray([[vir6[0], vir6[3], vir6[4]],
                           [vir6[3], vir6[1], vir6[5]],
                           [vir6[4], vir6[5], vir6[2]]])
@@ -985,7 +991,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
         out_specs=[
             pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
             pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
-            pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((1, 8, 8), lambda c, stencil: (c, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, S * cap), jnp.float32),
@@ -999,7 +1005,7 @@ def make_pallas_cellpair(grid: CellBlockGrid, tables, coulomb: bool = True,
         out_shape=[
             jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
             jax.ShapeDtypeStruct((ncell * cap, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ncell, 8), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -1085,8 +1091,8 @@ def pallas_cellpair_eval(r, q, tidx, perm, box_lengths, grid: CellBlockGrid,
     pe_slot = out_slots[:, 3]
     f = jnp.zeros((n_pad + 1, 3), dt).at[perm].set(F, mode="drop")[:n_pad]
     pe = jnp.zeros((n_pad + 1,), dt).at[perm].set(pe_slot, mode="drop")[:n_pad]
-    e = jnp.sum(out_cells[:, 0])
-    vir6 = jnp.sum(out_cells[:, 1:7], axis=0)
+    e = jnp.sum(out_cells[:, 0, 0])
+    vir6 = jnp.sum(out_cells[:, 1:7, 0], axis=0)
     virial = jnp.asarray([[vir6[0], vir6[3], vir6[4]],
                           [vir6[3], vir6[1], vir6[5]],
                           [vir6[4], vir6[5], vir6[2]]])

@@ -258,9 +258,10 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                             preferred_element_type=jnp.float32, precision=_HI)
     vir = -(A - B - B.T + C)
     zero = jnp.zeros((), jnp.float32)
-    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window: 2-D SMEM
-        [vir[0, 0], vir[1, 1], vir[2, 2],    # outputs lane-pad 8 -> 128
+    row = jnp.stack(                         # (1,8,8) aligned VMEM window
+        [vir[0, 0], vir[1, 1], vir[2, 2],    # (see pallas_cellpair._kernel)
          vir[0, 1], vir[0, 2], vir[1, 2], zero, zero])
+    out_cell_ref[0] = jnp.broadcast_to(row[:, None], (8, 8))
 
 
 def _geometry_col(stencil_ref, L_ref, q_scratch, sem, slots_ref, c,
@@ -425,9 +426,10 @@ def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
         out_acc_ref[tgt] = out_acc_ref[tgt] + out8
 
     zero = jnp.zeros((), jnp.float32)
-    out_cell_ref[0, :] = jnp.stack(          # (1,8) VMEM window (see above)
+    row = jnp.stack(                         # (1,8,8) aligned VMEM window
         [vir_tot[0, 0], vir_tot[1, 1], vir_tot[2, 2],
          vir_tot[0, 1], vir_tot[0, 2], vir_tot[1, 2], zero, zero])
+    out_cell_ref[0] = jnp.broadcast_to(row[:, None], (8, 8))
 
 
 def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
@@ -492,14 +494,14 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
             out_specs=[
                 pl.BlockSpec((G * cap, 3), lambda c, stencil: (c, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
+                pl.BlockSpec((1, 8, 8), lambda c, stencil: (c, 0, 0)),
             ],
             scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
             jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
-            jax.ShapeDtypeStruct((ncol, 8), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, 8, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -566,14 +568,14 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
             out_specs=[
                 pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8), lambda c, stencil: (c, 0)),
+                pl.BlockSpec((1, 8, 8), lambda c, stencil: (c, 0, 0)),
             ],
             scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((ncell * cap, 3), jnp.float32),
             jax.ShapeDtypeStruct((ncell, 8, cap), jnp.float32),
-            jax.ShapeDtypeStruct((ncell, 8), jnp.float32),
+            jax.ShapeDtypeStruct((ncell, 8, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -626,7 +628,7 @@ def pallas_eam_eval(r, sidx, fmask, perm, box_lengths, grid: CellBlockGrid,
     pe = jnp.zeros((n_pad + 1,), dt).at[perm].set(pe_slot,
                                                   mode="drop")[:n_pad]
     e = jnp.sum(pe_slot)
-    vir6 = jnp.sum(out_cells[:, 0:6], axis=0)
+    vir6 = jnp.sum(out_cells[:, 0:6, 0], axis=0)
     virial = jnp.asarray([[vir6[0], vir6[3], vir6[4]],
                           [vir6[3], vir6[1], vir6[5]],
                           [vir6[4], vir6[5], vir6[2]]])
