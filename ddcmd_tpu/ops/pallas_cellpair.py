@@ -68,11 +68,14 @@ def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
     rlist = rcut + skin
     rplan = rlist * plan_margin          # shrink headroom for NPT planning
     vol = float(np.prod(L))
-    # NPT headroom applies to DENSITY too: a box shrinking by the planned
-    # linear margin raises every cell's occupancy by margin^3 -- without
-    # this the cap overflows right at the end of a barostat compression
-    # (observed on the 100k bilayer: -27% volume in the first ~700 steps)
-    density = n_particles / vol * plan_margin ** 3
+    # Plan at TRUE density: steps/s is inversely proportional to padded
+    # pair slots (measured ~11.1 G slots/s regardless of plan), so
+    # upfront density headroom taxes EVERY NPT deck ~25% for a
+    # compression most never make (the waterbox barostat is stationary).
+    # Decks that DO compress (the fresh bilayer: -27% volume) overflow
+    # mid-run and the recovery ladder REPLANS at the live box/density
+    # (run loop: replan-first for the pallas engine).
+    density = n_particles / vol
 
     def need(nc):
         # fluctuation-aware capacity: mean * safety bounds the systematic

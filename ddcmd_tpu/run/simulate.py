@@ -739,7 +739,16 @@ class Simulation:
                 # compression can trip cell_edge_bad while the pre-chunk
                 # edge still clears rlist -- check with slack, and if
                 # capacity growth isn't fixing it, replan cells anyway
-                if self._grid_stale(slack=1.05) or ov_retries >= 4:
+                if self.engine == "pallas":
+                    # replan-FIRST: plan_lanes at the live box/density
+                    # produces the slot-optimal grid (steps/s tracks
+                    # padded slots at a fixed ~11 G slots/s); grow the
+                    # cap only when the live replan changes nothing
+                    old = (self.grid.ncells, self.grid.cap)
+                    self.replan_grid()
+                    if (self.grid.ncells, self.grid.cap) == old:
+                        self.recapacity()
+                elif self._grid_stale(slack=1.05) or ov_retries >= 4:
                     # box compression, not density: replan cells, don't
                     # just grow capacity
                     self.replan_grid()
