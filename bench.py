@@ -159,7 +159,12 @@ def main():
             pass
 
     n_windows = max(1, int(os.environ.get("BENCH_WINDOWS", "3")))
-    win = max(1, n_steps // n_windows)
+    # window length == warmup dispatch so every window reuses the SAME
+    # compiled chunk shape (n_rebuilds/steps-per-rebuild are static args;
+    # a different window length recompiles INSIDE the measured window --
+    # observed as a consistent ~5x straggler first window)
+    win = dispatch if n_steps >= dispatch else max(1, n_steps)
+    n_windows = max(n_windows, n_steps // win)
     window_sps = []
     _log(f"warmup done; measuring {n_windows} windows x {win} steps")
     for wdx in range(n_windows):
