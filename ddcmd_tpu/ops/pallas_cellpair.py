@@ -50,7 +50,141 @@ from .cellpair import (CellBlockGrid, _build_stencil,     # noqa: F401
 # can NOT catch this -- it was confirmed on hardware by scripts/
 # probe_colkernel_tpu.py (energy +4.7%, max force error 0.74 of scale,
 # reproduced bit-close by a numpy bf16-channel emulation).
-_HI = jax.lax.Precision.HIGHEST
+#
+# DDCMD_PALLAS_DOT_PREC=high is an A/B knob: HIGH = bf16x3 (3 MXU passes,
+# ~f32-equivalent accuracy ~1e-7 rel) vs HIGHEST = 6 passes (exact f32).
+# Default stays HIGHEST until a hardware probe certifies HIGH's accuracy
+# on the target workload (scripts/probe_colkernel_tpu.py).
+_HI = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}[__import__("os").environ.get("DDCMD_PALLAS_DOT_PREC", "highest")]
+
+
+def _variant() -> str:
+    """Pair-tile math variant (env DDCMD_PALLAS_VARIANT, read at kernel
+    BUILD time so fresh processes/bench runs can A/B):
+
+    "dot"   -- distances via the cell-centered |p|^2+|q|^2-2 p.q MXU
+               matmul; force/virial sums via MXU contractions.  Every dot
+               pays the 6-pass f32-HIGHEST tax (see _HI).
+    "bcast" -- distances and force/virial sums via exact-f32 VPU
+               broadcast arithmetic: ZERO MXU passes per tile beyond the
+               one-hot parameter lookups, and numerically stronger than
+               "dot" (componentwise p-q has no |p|^2+|q|^2-2pq
+               cancellation and no bf16-split rounding)."""
+    import os as _os
+
+    v = _os.environ.get("DDCMD_PALLAS_VARIANT", "dot")
+    if v not in ("dot", "bcast"):
+        raise ValueError(f"DDCMD_PALLAS_VARIANT={v!r}: want dot|bcast")
+    return v
+
+
+def _pair_tile(variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
+               sigma_ref, eps_ref, shift_ref,
+               Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
+               T, krf, crf, keR, coulomb):
+    """Shared (cap, W) N3L pair-tile math for _kernel_half and
+    _kernel_half_col (keep the two kernels' physics in ONE place).
+
+    Inputs: p-side rows (3,cap) + derived columns, q-side shifted rows
+    (3,W) + charge/type/valid rows, the triangular self-dedup mask, and
+    the LJ/RF tables.  Returns (Fp (cap,3), pe_p (cap,1), Fq (3,W),
+    peq (1,W), e_sum scalar, vir (3,3)); each pair is counted ONCE in
+    e_sum/vir and HALF in pe_p/peq (per-particle split)."""
+    W = Qxyz.shape[1]
+    if variant == "bcast":
+        dx = pxT[:, 0:1] - Qxyz[0:1, :]                      # (cap, W)
+        dy = pxT[:, 1:2] - Qxyz[1:2, :]
+        dz = pxT[:, 2:3] - Qxyz[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz
+    else:
+        q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
+        M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_HI)               # (cap, W)
+        d2 = p2c + q2r - 2.0 * M
+
+    valid = (pvc * qv_row > 0.0)
+    valid = jnp.logical_and(valid, d2 < rcut2)
+    valid = jnp.logical_and(valid, jnp.logical_not(dup_pair))
+    w = valid.astype(jnp.float32)
+
+    d2s = jnp.where(valid, d2, 1.0)
+    ir2 = 1.0 / d2s
+    ir = jax.lax.rsqrt(d2s)
+
+    if T == 1:
+        sig = sigma_ref[0, 0]
+        eps = eps_ref[0, 0]
+        shf = shift_ref[0, 0]
+    else:
+        sigOP, epsOP, shfOP = sig_p
+        tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+        OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
+        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
+
+    s2 = sig * sig * ir2
+    s6 = s2 * s2 * s2
+    s12 = s6 * s6
+    e_pair = (4.0 * eps * (s12 - s6) + shf) * w
+    dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
+    if coulomb:
+        kqq = keR * pqc * qq_row
+        e_pair = e_pair + kqq * (ir + krf * d2s - crf) * w
+        dvdr = dvdr + kqq * (2.0 * krf - ir2 * ir)
+    coef = dvdr * w                                          # (cap, W)
+
+    pe_p = 0.5 * jnp.sum(e_pair, axis=1, keepdims=True)      # (cap, 1)
+    peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)       # (1, W)
+    e_sum = jnp.sum(e_pair)
+
+    if variant == "bcast":
+        # f_i = -sum_j coef_ij d_ij ; f_j = +sum_i coef_ij d_ij ;
+        # vir = -sum_ij coef_ij d_ij (x) d_ij  -- pure VPU reductions
+        fdx = coef * dx
+        fdy = coef * dy
+        fdz = coef * dz
+        Fp = -jnp.concatenate(
+            [jnp.sum(fdx, axis=1, keepdims=True),
+             jnp.sum(fdy, axis=1, keepdims=True),
+             jnp.sum(fdz, axis=1, keepdims=True)], axis=1)   # (cap, 3)
+        Fq = jnp.concatenate(
+            [jnp.sum(fdx, axis=0, keepdims=True),
+             jnp.sum(fdy, axis=0, keepdims=True),
+             jnp.sum(fdz, axis=0, keepdims=True)], axis=0)   # (3, W)
+        vxx = jnp.sum(fdx * dx)
+        vyy = jnp.sum(fdy * dy)
+        vzz = jnp.sum(fdz * dz)
+        vxy = jnp.sum(fdx * dy)
+        vxz = jnp.sum(fdx * dz)
+        vyz = jnp.sum(fdy * dz)
+        vir = -jnp.stack([jnp.stack([vxx, vxy, vxz]),
+                          jnp.stack([vxy, vyy, vyz]),
+                          jnp.stack([vxz, vyz, vzz])])
+    else:
+        # p side: f_i = -sum_j coef_ij (p_i - q_j)
+        csum = jnp.sum(coef, axis=1, keepdims=True)          # (cap, 1)
+        cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=_HI)             # (cap, 3)
+        Fp = -pxT * csum + cqT
+        # q side (reaction): f_j = +sum_i coef_ij (p_i - q_j)
+        qsum_r = jnp.sum(coef, axis=0, keepdims=True)        # (1, W)
+        Pcoef = jnp.dot(Pxyz, coef,
+                        preferred_element_type=jnp.float32, precision=_HI)
+        Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
+        A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=_HI)
+        B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=_HI)
+        C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=_HI)
+        vir = -(A - B - B.T + C)
+    return Fp, pe_p, Fq, peq, e_sum, vir
 
 
 def plan_lanes(box_lengths, rcut: float, skin: float, n_particles: int,
@@ -310,7 +444,8 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
                  out_cell_ref,  # (1, 8) f32 VMEM window: e + virial6
                  q_scratch, sem,
                  *, cap: int, n_stencil: int, T: int, alias_groups,
-                 krf: float, crf: float, keR: float, coulomb: bool):
+                 krf: float, crf: float, keR: float, coulomb: bool,
+                 variant: str = "dot"):
     """Newton's-3rd-law variant of _kernel: the self block (index 0) is
     deduplicated with a triangular mask, only the 13 positive stencil
     directions are evaluated, and the reaction forces on the q side are
@@ -360,8 +495,9 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
 
     pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32, precision=_HI)  # (cap,3)
-    p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32, precision=_HI)
+    p2c = None if variant == "bcast" else jax.lax.dot_general(
+        Pxyz * Pxyz, ones31, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI)
     pqc = col(pq_row)
     pvc = col(pv_row)
     ptc = col(pt_row)
@@ -369,13 +505,14 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
         # uniform LJ type (e.g. the Martini waterbox): parameters are
         # scalars -- skip the one-hot MXU lookups and the three (cap, W)
         # parameter tiles entirely
-        sigOP = epsOP = shfOP = None
+        sig_p = None
     else:
         tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
         OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
-        sigOP = jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32, precision=_HI)
-        epsOP = jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32, precision=_HI)
-        shfOP = jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+        sig_p = (
+            jnp.dot(OP, sigma_ref[:], preferred_element_type=jnp.float32, precision=_HI),
+            jnp.dot(OP, eps_ref[:], preferred_element_type=jnp.float32, precision=_HI),
+            jnp.dot(OP, shift_ref[:], preferred_element_type=jnp.float32, precision=_HI))
 
     row3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 0)
     col3s = jax.lax.broadcasted_iota(jnp.int32, (3, S), 1)
@@ -412,54 +549,13 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
     qt_row = Q[4:5, :]
     qv_row = Q[5:6, :]
 
-    q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
-    M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    d2 = p2c + q2r - 2.0 * M
-
-    valid = (pvc * qv_row > 0.0)
-    valid = jnp.logical_and(valid, d2 < rcut2)
-    valid = jnp.logical_and(valid, jnp.logical_not(dup_pair))
-    w = valid.astype(jnp.float32)
-
-    d2s = jnp.where(valid, d2, 1.0)
-    ir2 = 1.0 / d2s
-    ir = jax.lax.rsqrt(d2s)
-
-    if T == 1:
-        sig = sigma_ref[0, 0]
-        eps = eps_ref[0, 0]
-        shf = shift_ref[0, 0]
-    else:
-        tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
-        OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
-        sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
-        eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
-        shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
-
-    s2 = sig * sig * ir2
-    s6 = s2 * s2 * s2
-    s12 = s6 * s6
-    e_pair = (4.0 * eps * (s12 - s6) + shf) * w
-    dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
-    if coulomb:
-        kqq = keR * pqc * qq_row
-        e_pair = e_pair + kqq * (ir + krf * d2s - crf) * w
-        dvdr = dvdr + kqq * (2.0 * krf - ir2 * ir)
-    coef = dvdr * w                                      # (cap, W)
-
-    # p side: f_i = -sum_j coef_ij (p_i - q_j)
-    csum = jnp.sum(coef, axis=1, keepdims=True)          # (cap,1)
-    cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32, precision=_HI)  # (cap,3)
-    out_f_ref[:] = -pxT * csum + cqT
-    out_pe_ref[:] = 0.5 * jnp.sum(e_pair, axis=1, keepdims=True)
-
-    # q side (reaction): f_j = +sum_i coef_ij (p_i - q_j)
-    qsum_r = jnp.sum(coef, axis=0, keepdims=True)        # (1, W)
-    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)  # (3, W)
-    Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
-    peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)   # (1, W)
+    Fp, pe_p, Fq, peq, e_sum, vir = _pair_tile(
+        variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
+        sigma_ref, eps_ref, shift_ref,
+        Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
+        T, krf, crf, keR, coulomb)
+    out_f_ref[:] = Fp
+    out_pe_ref[:] = pe_p
     zero4 = jnp.zeros((4, W), jnp.float32)
     out8 = jnp.concatenate([Fq, peq, zero4], axis=0)     # (8, W)
     # one read-modify-write per DISTINCT target cell: stencil directions
@@ -474,16 +570,8 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
         out_q_ref[tgt] = out_q_ref[tgt] + acc
 
     # each pair counted ONCE: no 0.5 on e/virial
-    A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    vir = -(A - B - B.T + C)
-
     row = jnp.stack(
-        [jnp.sum(e_pair), vir[0, 0], vir[1, 1], vir[2, 2],
+        [e_sum, vir[0, 0], vir[1, 1], vir[2, 2],
          vir[0, 1], vir[0, 2], vir[1, 2], jnp.zeros((), jnp.float32)])
     out_cell_ref[0] = jnp.broadcast_to(row[:, None], (8, 8))
 
@@ -617,7 +705,8 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
                      sem,           # DMA semaphores (U,)
                      *, cap: int, G: int, n_union: int,
                      member_u, dirs, T: int,
-                     krf: float, crf: float, keR: float, coulomb: bool):
+                     krf: float, crf: float, keR: float, coulomb: bool,
+                     variant: str = "dot"):
     """Multi-cell (column) variant of _kernel_half: one program owns G
     z-contiguous cells and DMAs the UNION of their stencil blocks once
     (5G+9 blocks instead of 14G -- ~half the HBM traffic at G=4).  Each
@@ -697,23 +786,24 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
 
         pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32, precision=_HI)
-        p2c = jax.lax.dot_general(Pxyz * Pxyz, ones31,
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32, precision=_HI)
+        p2c = None if variant == "bcast" else jax.lax.dot_general(
+            Pxyz * Pxyz, ones31, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
         pqc = col(pq_row)
         pvc = col(pv_row)
         ptc = col(pt_row)
         if T == 1:
-            sigOP = epsOP = shfOP = None
+            sig_p = None
         else:
             tids = jax.lax.broadcasted_iota(jnp.int32, (cap, T), 1)
             OP = (ptc.astype(jnp.int32) == tids).astype(jnp.float32)
-            sigOP = jnp.dot(OP, sigma_ref[:],
-                            preferred_element_type=jnp.float32, precision=_HI)
-            epsOP = jnp.dot(OP, eps_ref[:],
-                            preferred_element_type=jnp.float32, precision=_HI)
-            shfOP = jnp.dot(OP, shift_ref[:],
-                            preferred_element_type=jnp.float32, precision=_HI)
+            sig_p = (
+                jnp.dot(OP, sigma_ref[:],
+                        preferred_element_type=jnp.float32, precision=_HI),
+                jnp.dot(OP, eps_ref[:],
+                        preferred_element_type=jnp.float32, precision=_HI),
+                jnp.dot(OP, shift_ref[:],
+                        preferred_element_type=jnp.float32, precision=_HI))
 
         Q = jnp.concatenate(
             [Qall[:, member_u[g][s] * cap:(member_u[g][s] + 1) * cap]
@@ -723,68 +813,22 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
         qt_row = Q[4:5, :]
         qv_row = Q[5:6, :]
 
-        q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
-        M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=_HI)
-        d2 = p2c + q2r - 2.0 * M
+        Fp, pe_p, Fq, peq, e_sum, vir = _pair_tile(
+            variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
+            sigma_ref, eps_ref, shift_ref,
+            Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
+            T, krf, crf, keR, coulomb)
+        out_f_ref[g * cap:(g + 1) * cap, :] = Fp
+        out_pe_ref[g * cap:(g + 1) * cap, :] = pe_p
 
-        valid = (pvc * qv_row > 0.0)
-        valid = jnp.logical_and(valid, d2 < rcut2)
-        valid = jnp.logical_and(valid, jnp.logical_not(dup_pair))
-        w = valid.astype(jnp.float32)
-
-        d2s = jnp.where(valid, d2, 1.0)
-        ir2 = 1.0 / d2s
-        ir = jax.lax.rsqrt(d2s)
-
-        if T == 1:
-            sig = sigma_ref[0, 0]
-            eps = eps_ref[0, 0]
-            shf = shift_ref[0, 0]
-        else:
-            tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
-            OQT = (qt_row.astype(jnp.int32) == tidsT).astype(jnp.float32)
-            sig = jnp.dot(sigOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
-            eps = jnp.dot(epsOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
-            shf = jnp.dot(shfOP, OQT, preferred_element_type=jnp.float32, precision=_HI)
-
-        s2 = sig * sig * ir2
-        s6 = s2 * s2 * s2
-        s12 = s6 * s6
-        e_pair = (4.0 * eps * (s12 - s6) + shf) * w
-        dvdr = 24.0 * eps * (s6 - 2.0 * s12) * ir2
-        if coulomb:
-            kqq = keR * pqc * qq_row
-            e_pair = e_pair + kqq * (ir + krf * d2s - crf) * w
-            dvdr = dvdr + kqq * (2.0 * krf - ir2 * ir)
-        coef = dvdr * w                                     # (cap, W)
-
-        csum = jnp.sum(coef, axis=1, keepdims=True)
-        cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32, precision=_HI)
-        out_f_ref[g * cap:(g + 1) * cap, :] = -pxT * csum + cqT
-        out_pe_ref[g * cap:(g + 1) * cap, :] = \
-            0.5 * jnp.sum(e_pair, axis=1, keepdims=True)
-
-        qsum_r = jnp.sum(coef, axis=0, keepdims=True)       # (1, W)
-        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)
-        Fq = Pcoef - Qxyz * qsum_r                          # (3, W)
-        peq = 0.5 * jnp.sum(e_pair, axis=0, keepdims=True)  # (1, W)
         out4 = jnp.concatenate([Fq, peq], axis=0)           # (4, W)
         for s in range(S):
             u = member_u[g][s]
             piece = out4[:, s * cap:(s + 1) * cap]
             qacc[u] = piece if qacc[u] is None else qacc[u] + piece
 
-        A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=_HI)
-        B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=_HI)
-        C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=_HI)
-        e_tot = e_tot + jnp.sum(e_pair)
-        vir_tot = vir_tot - (A - B - B.T + C)
+        e_tot = e_tot + e_sum
+        vir_tot = vir_tot + vir
 
     # the deduped union (col_plan_grid) guarantees the U targets of one
     # column are DISTINCT cells, so each RMW below touches a different
@@ -822,7 +866,8 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
         _kernel_half_col, cap=cap, G=G, n_union=U, member_u=member_u,
         dirs=tuple(_half_dirs()), T=T,
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
-        keR=float(tables.get("keR", 0.0)), coulomb=coulomb)
+        keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
+        variant=_variant())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -883,7 +928,8 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
         _kernel_half, cap=cap, n_stencil=S, T=T,
         alias_groups=_alias_groups_half(grid.ncells),
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
-        keR=float(tables.get("keR", 0.0)), coulomb=coulomb)
+        keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
+        variant=_variant())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -522,3 +522,58 @@ def test_col_plan_grid_dedupes_aliased_union():
     union7, _ = col_plan_grid(g447, 7)
     assert len(union7) == len({( dx % 4, dy % 4, dz % 7)
                                for (dx, dy, dz) in union7})
+
+
+@pytest.mark.parametrize("G,n,L", [(0, 800, 6.6), (2, 220, 4.2),
+                                   (3, 800, 6.6)])
+def test_pallas_bcast_variant_matches_xla(G, n, L, monkeypatch):
+    """DDCMD_PALLAS_VARIANT=bcast computes distances and force/virial
+    sums with exact-f32 VPU broadcast arithmetic instead of MXU dots
+    (zero 6-pass HIGHEST matmuls per tile beyond the one-hot parameter
+    lookups).  Physics must match the XLA engine at the same tolerance
+    as the dot variant, for both the per-cell (G=0) and column kernels."""
+    from ddcmd_tpu.ops.pallas_cellpair import (
+        half_grid, make_pallas_cellpair_half, make_pallas_cellpair_half_col,
+        pack_stencil, pack_stencil_col, pallas_cellpair_eval_half)
+
+    monkeypatch.setenv("DDCMD_PALLAS_VARIANT", "bcast")
+    r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
+        n=n, L=L, seed=11, charged=True)
+    tables = dict(
+        sigma=jnp.asarray(sigma, jnp.float32),
+        eps=jnp.asarray(eps, jnp.float32),
+        shift=jnp.asarray(shift, jnp.float32),
+        rcut2=jnp.asarray(rcut ** 2, jnp.float32),
+        krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
+        keR=jnp.asarray(keR, jnp.float32))
+    grid = plan_lanes([L] * 3, rcut, 0.3, n)
+    rj = jnp.asarray(r, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    tj = jnp.asarray(tidx, jnp.int32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    perm, ov = build_cell_slots(rj, jnp.ones(n, jnp.float32), Lv, grid)
+    assert not bool(ov)
+
+    f1, e1, v1, pe1 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
+                                    coulomb=True)
+
+    hgrid = half_grid(grid)
+    if G:
+        if hgrid.ncells[2] % G != 0:
+            pytest.skip(f"nz={hgrid.ncells[2]} not divisible by G={G}")
+        eval_fn = make_pallas_cellpair_half_col(hgrid, tables, G,
+                                                coulomb=True, interpret=True)
+        stencil = jnp.asarray(pack_stencil_col(hgrid, G))
+    else:
+        eval_fn = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
+                                            interpret=True)
+        stencil = jnp.asarray(pack_stencil(hgrid))
+    f2, e2, v2, pe2 = pallas_cellpair_eval_half(
+        rj, qj, tj, perm, Lv, hgrid, tables, stencil, eval_fn)
+
+    scale = max(1.0, float(jnp.abs(f1).max()))
+    assert float(jnp.abs(f2 - f1).max()) / scale < 2e-5
+    assert float(e2) == pytest.approx(float(e1), rel=1e-4, abs=1e-2)
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=2e-3, abs=0.5)
+    assert np.asarray(pe2) == pytest.approx(np.asarray(pe1), rel=1e-3,
+                                            abs=2e-3)
