@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..potentials.eam import _embedding, _pair_eval
 from .cellpair import CellBlockGrid
+from .pallas_cellpair import _variant
 
 # force full-f32 MXU passes on every in-kernel dot (Mosaic's DEFAULT
 # precision is one bf16 pass -- see ops/pallas_cellpair.py:_HI)
@@ -102,21 +103,36 @@ def _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem, slots_ref,
     return P, Q, Q[0:3, :] + Shift3
 
 
-def _pair_tile(P, Qxyz, Q, rcut2, cap, W):
-    """d2 / masks for the (cap, W) tile; returns (d2s, ir, ir2, w, pvc)."""
+def _pair_tile(P, Qxyz, Q, rcut2, cap, W, variant="dot"):
+    """d2 / masks for the (cap, W) tile; returns (d2s, ir, ir2, w, geom)
+    where geom is (pxT (cap,3), dx, dy, dz) under the "bcast" variant
+    (exact-f32 VPU broadcast distances, see pallas_cellpair._variant)
+    and None under "dot" (cell-centered |p|^2+|q|^2-2 p.q MXU matmul)."""
     Pxyz = P[0:3, :]
     pv_row = P[5:6, :]
     qv_row = Q[5:6, :]
     ones11 = jnp.ones((1, 1), jnp.float32)
     pvc = jax.lax.dot_general(pv_row, ones11, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32, precision=_HI)
-    p2c = jax.lax.dot_general(Pxyz * Pxyz, jnp.ones((3, 1), jnp.float32),
-                              (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32, precision=_HI)
-    q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
-    M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    d2 = p2c + q2r - 2.0 * M
+    if variant == "bcast":
+        I3 = jnp.eye(3, dtype=jnp.float32)
+        pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=_HI)             # (cap, 3)
+        dx = pxT[:, 0:1] - Qxyz[0:1, :]
+        dy = pxT[:, 1:2] - Qxyz[1:2, :]
+        dz = pxT[:, 2:3] - Qxyz[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        geom = (pxT, dx, dy, dz)
+    else:
+        p2c = jax.lax.dot_general(Pxyz * Pxyz, jnp.ones((3, 1), jnp.float32),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32, precision=_HI)
+        q2r = jnp.sum(Qxyz * Qxyz, axis=0, keepdims=True)
+        M = jax.lax.dot_general(Pxyz, Qxyz, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=_HI)
+        d2 = p2c + q2r - 2.0 * M
+        geom = None
     lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (cap, W), 0)
     dup = jnp.logical_and(lanes < cap, lanes <= rows)
@@ -126,7 +142,55 @@ def _pair_tile(P, Qxyz, Q, rcut2, cap, W):
     valid = jnp.logical_and(valid, jnp.logical_not(dup))
     w = valid.astype(jnp.float32)
     d2s = jnp.where(valid, d2, 1.0)
-    return d2s, jax.lax.rsqrt(d2s), 1.0 / d2s, w
+    return d2s, jax.lax.rsqrt(d2s), 1.0 / d2s, w, geom
+
+
+def _force_virial(variant, geom, Pxyz, Qxyz, coef):
+    """Force/virial sums for one (cap, W) tile: (Fp (cap,3), Fq (3,W),
+    vir (3,3)), each pair counted once.  "bcast" uses VPU reductions on
+    the broadcast displacement tiles; "dot" uses MXU contractions (both
+    exactly as pallas_cellpair._pair_tile)."""
+    if variant == "bcast":
+        _, dx, dy, dz = geom
+        fdx = coef * dx
+        fdy = coef * dy
+        fdz = coef * dz
+        Fp = -jnp.concatenate(
+            [jnp.sum(fdx, axis=1, keepdims=True),
+             jnp.sum(fdy, axis=1, keepdims=True),
+             jnp.sum(fdz, axis=1, keepdims=True)], axis=1)
+        Fq = jnp.concatenate(
+            [jnp.sum(fdx, axis=0, keepdims=True),
+             jnp.sum(fdy, axis=0, keepdims=True),
+             jnp.sum(fdz, axis=0, keepdims=True)], axis=0)
+        vxx = jnp.sum(fdx * dx)
+        vyy = jnp.sum(fdy * dy)
+        vzz = jnp.sum(fdz * dz)
+        vxy = jnp.sum(fdx * dy)
+        vxz = jnp.sum(fdx * dz)
+        vyz = jnp.sum(fdy * dz)
+        vir = -jnp.stack([jnp.stack([vxx, vxy, vxz]),
+                          jnp.stack([vxy, vyy, vyz]),
+                          jnp.stack([vxz, vyz, vzz])])
+        return Fp, Fq, vir
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32, precision=_HI)
+    csum = jnp.sum(coef, axis=1, keepdims=True)
+    cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32, precision=_HI)
+    Fp = -pxT * csum + cqT
+    qsum_r = jnp.sum(coef, axis=0, keepdims=True)
+    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)
+    Fq = Pcoef - Qxyz * qsum_r
+    A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=_HI)
+    B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=_HI)
+    C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=_HI)
+    vir = -(A - B - B.T + C)
+    return Fp, Fq, vir
 
 
 def _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T, derivative):
@@ -167,7 +231,8 @@ def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                 out_p_ref,      # (cap, 2) [rho_p, pe_p]
                 out_acc_ref,    # (ncell, 8, cap) rows [rho_q, pe_q, ...]
                 q_scratch, sem,
-                *, cap, n_stencil, alias_groups, form, pt, T):
+                *, cap, n_stencil, alias_groups, form, pt, T,
+                variant="dot"):
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
@@ -180,7 +245,7 @@ def _rho_kernel(stencil_ref, L_ref, slots_ref, p_ref,
 
     P, Q, Qxyz = _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem,
                            slots_ref, c, S, cap)
-    d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+    d2s, ir, ir2, w, _ = _pair_tile(P, Qxyz, Q, rcut2, cap, W, variant)
     e1, p1, p1T = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T, False)
     e1 = e1 * w
     p1 = p1 * w
@@ -206,7 +271,8 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
                   out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ...]
                   out_cell_ref,  # (1, 8) VMEM window virial6
                   q_scratch, sem,
-                  *, cap, n_stencil, alias_groups, form, pt, T):
+                  *, cap, n_stencil, alias_groups, form, pt, T,
+                  variant="dot"):
     c = pl.program_id(0)
     S = n_stencil
     W = S * cap
@@ -219,7 +285,7 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
 
     P, Q, Qxyz = _geometry(stencil_ref, L_ref, p_ref, q_scratch, sem,
                            slots_ref, c, S, cap)
-    d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+    d2s, ir, ir2, w, geom = _pair_tile(P, Qxyz, Q, rcut2, cap, W, variant)
     de, dp, dpT = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T, True)
 
     ones11 = jnp.ones((1, 1), jnp.float32)
@@ -228,18 +294,8 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
     dF_qr = Q[6:7, :]                                                # (1, W)
     coef = (de + dF_pc * dp + dF_qr * dpT) * w
 
-    Pxyz = P[0:3, :]
-    I3 = jnp.eye(3, dtype=jnp.float32)
-    pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32, precision=_HI)
-    csum = jnp.sum(coef, axis=1, keepdims=True)
-    cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32, precision=_HI)
-    out_f_ref[:] = -pxT * csum + cqT
-
-    qsum_r = jnp.sum(coef, axis=0, keepdims=True)
-    Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)
-    Fq = Pcoef - Qxyz * qsum_r
+    Fp, Fq, vir = _force_virial(variant, geom, P[0:3, :], Qxyz, coef)
+    out_f_ref[:] = Fp
     zero5 = jnp.zeros((5, W), jnp.float32)
     out8 = jnp.concatenate([Fq, zero5], axis=0)
     # one RMW per DISTINCT target cell (see pallas_cellpair._kernel_half)
@@ -250,13 +306,6 @@ def _force_kernel(stencil_ref, L_ref, slots_ref, p_ref,
         tgt = stencil_ref[base + group[0] * 4 + 0]
         out_acc_ref[tgt] = out_acc_ref[tgt] + acc
 
-    A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=_HI)
-    vir = -(A - B - B.T + C)
     zero = jnp.zeros((), jnp.float32)
     row = jnp.stack(                         # (1,8,8) aligned VMEM window
         [vir[0, 0], vir[1, 1], vir[2, 2],    # (see pallas_cellpair._kernel)
@@ -315,7 +364,8 @@ def _rho_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
                     out_p_ref,     # (G*cap, 2) [rho_p, pe_p]
                     out_acc_ref,   # (ncell, 8, cap) rows [rho_q, pe_q, ..]
                     q_scratch, sem,
-                    *, cap, G, n_union, member_u, dirs, form, pt, T):
+                    *, cap, G, n_union, member_u, dirs, form, pt, T,
+                    variant="dot"):
     c = pl.program_id(0)
     S = len(dirs)
     U = n_union
@@ -333,7 +383,7 @@ def _rho_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
         P = p_ref[g]
         Q = _member_tile(Qall, member_u, g, S, cap)
         Qxyz = Q[0:3, :] + Shift3
-        d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+        d2s, ir, ir2, w, _ = _pair_tile(P, Qxyz, Q, rcut2, cap, W, variant)
         e1, p1, p1T = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T,
                                        False)
         e1 = e1 * w
@@ -363,7 +413,8 @@ def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
                       out_acc_ref,   # (ncell, 8, cap) rows [fx, fy, fz, ..]
                       out_cell_ref,  # (1, 8) VMEM window virial6
                       q_scratch, sem,
-                      *, cap, G, n_union, member_u, dirs, form, pt, T):
+                      *, cap, G, n_union, member_u, dirs, form, pt, T,
+                      variant="dot"):
     c = pl.program_id(0)
     S = len(dirs)
     U = n_union
@@ -377,14 +428,14 @@ def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
     Qall, Shift3 = _geometry_col(stencil_ref, L_ref, q_scratch, sem,
                                  slots_ref, c, dirs, U, cap)
     ones11 = jnp.ones((1, 1), jnp.float32)
-    I3 = jnp.eye(3, dtype=jnp.float32)
     qacc = [None] * U
     vir_tot = jnp.zeros((3, 3), jnp.float32)
     for g in range(G):
         P = p_ref[g]
         Q = _member_tile(Qall, member_u, g, S, cap)
         Qxyz = Q[0:3, :] + Shift3
-        d2s, ir, ir2, w = _pair_tile(P, Qxyz, Q, rcut2, cap, W)
+        d2s, ir, ir2, w, geom = _pair_tile(P, Qxyz, Q, rcut2, cap, W,
+                                           variant)
         de, dp, dpT = _typed_pair_sums(P, Q, d2s, ir, ir2, form, pt, T,
                                        True)
         dF_pc = jax.lax.dot_general(P[6:7, :], ones11,
@@ -393,30 +444,14 @@ def _force_kernel_col(stencil_ref, L_ref, slots_ref, p_ref,
         dF_qr = Q[6:7, :]
         coef = (de + dF_pc * dp + dF_qr * dpT) * w
 
-        Pxyz = P[0:3, :]
-        pxT = jax.lax.dot_general(Pxyz, I3, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32, precision=_HI)
-        csum = jnp.sum(coef, axis=1, keepdims=True)
-        cqT = jax.lax.dot_general(coef, Qxyz, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32, precision=_HI)
-        out_f_ref[g * cap:(g + 1) * cap, :] = -pxT * csum + cqT
-
-        qsum_r = jnp.sum(coef, axis=0, keepdims=True)
-        Pcoef = jnp.dot(Pxyz, coef, preferred_element_type=jnp.float32, precision=_HI)
-        Fq = Pcoef - Qxyz * qsum_r                           # (3, W)
+        Fp, Fq, vir = _force_virial(variant, geom, P[0:3, :], Qxyz, coef)
+        out_f_ref[g * cap:(g + 1) * cap, :] = Fp
         for s in range(S):
             u = member_u[g][s]
             piece = Fq[:, s * cap:(s + 1) * cap]
             qacc[u] = piece if qacc[u] is None else qacc[u] + piece
 
-        A = jax.lax.dot_general(pxT * csum, pxT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=_HI)
-        B = jax.lax.dot_general(pxT, cqT, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=_HI)
-        C = jax.lax.dot_general(Qxyz * qsum_r, Qxyz,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=_HI)
-        vir_tot = vir_tot - (A - B - B.T + C)
+        vir_tot = vir_tot + vir
 
     # deduped union (col_plan_grid): targets are pairwise distinct
     zero5 = jnp.zeros((5, cap), jnp.float32)
@@ -467,7 +502,7 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
     rho_call = pl.pallas_call(
         functools.partial(_rho_kernel_col, cap=cap, G=G, n_union=U,
                           member_u=member_u, dirs=dirs, form=form,
-                          pt=pt, T=T),
+                          pt=pt, T=T, variant=_variant()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncol,),
             in_specs=common_in,
@@ -487,7 +522,7 @@ def make_pallas_eam_col(grid: CellBlockGrid, tables, G: int,
     force_call = pl.pallas_call(
         functools.partial(_force_kernel_col, cap=cap, G=G, n_union=U,
                           member_u=member_u, dirs=dirs, form=form,
-                          pt=pt, T=T),
+                          pt=pt, T=T, variant=_variant()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncol,),
             in_specs=common_in,
@@ -542,7 +577,8 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
     groups = _alias_groups_half(grid.ncells)
     rho_call = pl.pallas_call(
         functools.partial(_rho_kernel, cap=cap, n_stencil=S, form=form,
-                          alias_groups=groups, pt=pt, T=T),
+                          alias_groups=groups, pt=pt, T=T,
+                          variant=_variant()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncell,),
             in_specs=common_in,
@@ -561,7 +597,8 @@ def make_pallas_eam(grid: CellBlockGrid, tables, interpret: bool = False):
 
     force_call = pl.pallas_call(
         functools.partial(_force_kernel, cap=cap, n_stencil=S, form=form,
-                          alias_groups=groups, pt=pt, T=T),
+                          alias_groups=groups, pt=pt, T=T,
+                          variant=_variant()),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(ncell,),
             in_specs=common_in,

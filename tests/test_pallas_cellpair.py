@@ -577,3 +577,54 @@ def test_pallas_bcast_variant_matches_xla(G, n, L, monkeypatch):
     assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=2e-3, abs=0.5)
     assert np.asarray(pe2) == pytest.approx(np.asarray(pe1), rel=1e-3,
                                             abs=2e-3)
+
+
+def test_pallas_eam_bcast_variant_matches_xla(monkeypatch):
+    """EAM kernels under DDCMD_PALLAS_VARIANT=bcast (broadcast distances
+    + VPU force/virial sums) == the XLA half engine, percell and column,
+    pinned here so CI exercises the variant regardless of ambient env."""
+    from ddcmd_tpu.ops.cellpair import (build_cell_slots, half_back_map,
+                                        half_grid)
+    from ddcmd_tpu.ops.cellpair_eam import eam_cellblock_eval_half
+    from ddcmd_tpu.ops.pallas_cellpair import pack_stencil, pack_stencil_col
+    from ddcmd_tpu.ops.pallas_eam import (make_pallas_eam,
+                                          make_pallas_eam_col,
+                                          pallas_eam_eval)
+    from ddcmd_tpu.potentials.eam import eam_device_tables
+    from tests.test_eam import fcc, make_fs_parms
+
+    monkeypatch.setenv("DDCMD_PALLAS_VARIANT", "bcast")
+    r, L = fcc(0.3615, 5)
+    n = len(r)
+    rng = np.random.default_rng(17)
+    r = r + rng.standard_normal(r.shape) * 0.006
+    rcut = 0.55
+    tables = eam_device_tables(make_fs_parms(rcut), dtype=jnp.float32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    rj = jnp.asarray(r, jnp.float32)
+    sidx = jnp.zeros(n, jnp.int32)
+    fmask = jnp.ones(n, jnp.float32)
+    grid = plan_lanes([L] * 3, rcut, 0.1, n)
+    perm, ov = build_cell_slots(rj, fmask, Lv, grid)
+    assert not bool(ov)
+    hg = half_grid(grid)
+    bm = half_back_map(hg)
+    f1, e1, v1, _ = eam_cellblock_eval_half(rj, sidx, fmask, perm, Lv, hg,
+                                            tables, bm)
+    scale = max(1.0, float(jnp.abs(f1).max()))
+
+    rho_fn, force_fn = make_pallas_eam(hg, tables, interpret=True)
+    f2, e2, v2, _ = pallas_eam_eval(rj, sidx, fmask, perm, Lv, hg, tables,
+                                    jnp.asarray(pack_stencil(hg)),
+                                    rho_fn, force_fn)
+    assert float(e2) == pytest.approx(float(e1), rel=2e-5)
+    assert float(jnp.abs(f2 - f1).max()) / scale < 5e-5
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=5e-3, abs=1.0)
+
+    G = hg.ncells[2]
+    rho_c, force_c = make_pallas_eam_col(hg, tables, G, interpret=True)
+    f3, e3, v3, _ = pallas_eam_eval(rj, sidx, fmask, perm, Lv, hg, tables,
+                                    jnp.asarray(pack_stencil_col(hg, G)),
+                                    rho_c, force_c)
+    assert float(e3) == pytest.approx(float(e1), rel=2e-5)
+    assert float(jnp.abs(f3 - f1).max()) / scale < 5e-5
