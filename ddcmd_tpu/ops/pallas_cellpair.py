@@ -119,6 +119,19 @@ def _pair_tile(variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
         sig = sigma_ref[0, 0]
         eps = eps_ref[0, 0]
         shf = shift_ref[0, 0]
+    elif variant == "bcast":
+        # q-side parameter spread as a T-step select chain (exact): the
+        # (cap,T)@(T,W) one-hot matmuls cost 3 x 6-pass MXU sweeps of the
+        # full (cap,W) tile; T broadcast selects are plain VPU ops
+        sigOP, epsOP, shfOP = sig_p
+        sig = jnp.zeros((1, 1), jnp.float32)
+        eps = jnp.zeros((1, 1), jnp.float32)
+        shf = jnp.zeros((1, 1), jnp.float32)
+        for t in range(T):
+            m_t = qt_row == float(t)                         # (1, W)
+            sig = jnp.where(m_t, sigOP[:, t:t + 1], sig)
+            eps = jnp.where(m_t, epsOP[:, t:t + 1], eps)
+            shf = jnp.where(m_t, shfOP[:, t:t + 1], shf)
     else:
         sigOP, epsOP, shfOP = sig_p
         tidsT = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
