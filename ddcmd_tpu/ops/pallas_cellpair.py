@@ -72,10 +72,14 @@ def _variant() -> str:
                broadcast arithmetic: ZERO MXU passes per tile beyond the
                one-hot parameter lookups, and numerically stronger than
                "dot" (componentwise p-q has no |p|^2+|q|^2-2pq
-               cancellation and no bf16-split rounding)."""
+               cancellation and no bf16-split rounding).
+
+    DEFAULT: "bcast" -- measured 750.1 vs 576.4 steps/s on the waterbox
+    (TPU v5e, same process protocol) and hardware-certified vs the f64
+    brute oracle at 5.8e-6 force / 4.1e-7 energy (probe_colkernel_tpu)."""
     import os as _os
 
-    v = _os.environ.get("DDCMD_PALLAS_VARIANT", "dot")
+    v = _os.environ.get("DDCMD_PALLAS_VARIANT", "bcast")
     if v not in ("dot", "bcast"):
         raise ValueError(f"DDCMD_PALLAS_VARIANT={v!r}: want dot|bcast")
     return v

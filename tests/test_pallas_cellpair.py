@@ -524,19 +524,20 @@ def test_col_plan_grid_dedupes_aliased_union():
                                for (dx, dy, dz) in union7})
 
 
+@pytest.mark.parametrize("variant", ["bcast", "dot"])
 @pytest.mark.parametrize("G,n,L", [(0, 800, 6.6), (2, 220, 4.2),
                                    (3, 800, 6.6)])
-def test_pallas_bcast_variant_matches_xla(G, n, L, monkeypatch):
-    """DDCMD_PALLAS_VARIANT=bcast computes distances and force/virial
-    sums with exact-f32 VPU broadcast arithmetic instead of MXU dots
-    (zero 6-pass HIGHEST matmuls per tile beyond the one-hot parameter
-    lookups).  Physics must match the XLA engine at the same tolerance
-    as the dot variant, for both the per-cell (G=0) and column kernels."""
+def test_pallas_variant_matches_xla(G, n, L, variant, monkeypatch):
+    """Both pair-tile variants, PINNED (ambient-env-independent):
+    "bcast" (the default: exact-f32 VPU broadcast distances and
+    force/virial sums; zero 6-pass HIGHEST matmuls per tile) and "dot"
+    (MXU contractions) must match the XLA engine at the same tolerance,
+    for both the per-cell (G=0) and column kernels."""
     from ddcmd_tpu.ops.pallas_cellpair import (
         half_grid, make_pallas_cellpair_half, make_pallas_cellpair_half_col,
         pack_stencil, pack_stencil_col, pallas_cellpair_eval_half)
 
-    monkeypatch.setenv("DDCMD_PALLAS_VARIANT", "bcast")
+    monkeypatch.setenv("DDCMD_PALLAS_VARIANT", variant)
     r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
         n=n, L=L, seed=11, charged=True)
     tables = dict(
