@@ -632,11 +632,13 @@ def choose_col_group(grid: CellBlockGrid) -> int:
     if env not in ("auto", ""):
         G = int(env)
         return G if G > 1 and nz % G == 0 else 1
-    # Auto engages only on LARGE grids: the union-DMA saving pays where
-    # stencil HBM traffic dominates (many cells); on small grids the
-    # per-cell kernel is measured-good and the wider program only adds
+    # Auto engages on grids where the union-DMA saving pays: measured
+    # +29% at 49k beads / 648 cells (146.6 vs 113.2 steps/s, G=3, TPU
+    # v5e) -- the old >=1000-cell gate was too conservative.  On small
+    # grids (the 80-cell waterbox cannot even form columns) the per-cell
+    # kernel is measured-good and the wider program only adds
     # unroll/compile risk (force via DDCMD_PALLAS_COLS=N to A/B).
-    if grid.ncell < 1000:
+    if grid.ncell < 256:
         return 1
     # DMA traffic per cell is (5G+9)/G -- monotone decreasing in G --
     # but the G-unrolled member tiles live simultaneously in scoped

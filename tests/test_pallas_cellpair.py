@@ -439,7 +439,10 @@ def test_choose_col_group_gate(monkeypatch):
             self.cap = cap
 
     monkeypatch.delenv("DDCMD_PALLAS_COLS", raising=False)
-    assert choose_col_group(FakeGrid((8, 8, 8))) == 1      # small: gated
+    assert choose_col_group(FakeGrid((6, 6, 6))) == 1      # small: gated
+    # gate at 256 cells (649-cell G=3 measured +29% at 49k; widened from
+    # the old conservative 1000)
+    assert choose_col_group(FakeGrid((8, 8, 8))) == 2
     # large grids: max divisor within the scoped-VMEM bound (G<=3 at
     # cap=128: G=5 measured 18.03M > the 16M Mosaic stack limit)
     assert choose_col_group(FakeGrid((16, 16, 16))) == 2
