@@ -642,10 +642,16 @@ def choose_col_group(grid: CellBlockGrid) -> int:
         return 1
     # DMA traffic per cell is (5G+9)/G -- monotone decreasing in G --
     # but the G-unrolled member tiles live simultaneously in scoped
-    # VMEM: G=5 at cap=128 was measured OVER the 16M Mosaic stack limit
-    # (18.03M, hardware compile error), while G<=3 compiles.  Bound the
-    # unroll so the kernel stays comfortably inside the stack.
-    g_max = 3 if grid.cap >= 128 else 4
+    # VMEM.  For the "dot" variant G=5 at cap=128 was measured OVER the
+    # 16M Mosaic stack limit (18.03M, hardware compile error) while
+    # G<=3 compiles; the "bcast" variant carries no big dot temporaries
+    # and G=5 at cap=128 compiles AND passes the hardware oracle probe
+    # (scripts/probe_colkernel_tpu.py nz5 case) -- which unlocks
+    # whole-axis columns on the (17,17,5) bilayer grid.
+    if _variant() == "bcast":
+        g_max = 5 if grid.cap <= 128 else 3
+    else:
+        g_max = 3 if grid.cap >= 128 else 4
     for G in range(min(g_max, nz), 1, -1):
         if nz % G == 0 and grid.ncell > G:
             return G

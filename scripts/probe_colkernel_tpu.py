@@ -157,6 +157,13 @@ if not CASE or CASE == "cubic":
     run_case("cubic", (6.0, 6.0, 6.0), 7.0, 3)
 if not CASE or CASE == "aniso":
     run_case("aniso", (6.0, 6.0, 9.9), 7.0, 3)
+if CASE == "nz5":
+    # nz == 5 like the DPPC bilayer grid (17,17,5): G=5 whole-axis
+    # columns were over the 16M scoped-VMEM stack for the dot variant
+    # (18.03M at cap=128); this case asks whether the bcast variant's
+    # different VMEM profile admits G=5 -- if yes, the bilayer gets the
+    # measured +29% column saving with zero new machinery
+    run_case("nz5", (6.0, 6.0, 13.0), 7.0, 3)
 if CASE == "biggrid":
     # the 100k-bilayer grid shape: ~1125 fat cells, XLA-engine oracle
     # (per-cell hardware probes never exercised ncell >= ~100 before the

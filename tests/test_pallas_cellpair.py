@@ -442,13 +442,21 @@ def test_choose_col_group_gate(monkeypatch):
     assert choose_col_group(FakeGrid((6, 6, 6))) == 1      # small: gated
     # gate at 256 cells (649-cell G=3 measured +29% at 49k; widened from
     # the old conservative 1000)
-    assert choose_col_group(FakeGrid((8, 8, 8))) == 2
-    # large grids: max divisor within the scoped-VMEM bound (G<=3 at
-    # cap=128: G=5 measured 18.03M > the 16M Mosaic stack limit)
+    assert choose_col_group(FakeGrid((8, 8, 8))) == 4
+    # bcast (default): G<=5 at cap 128 (hardware nz5 probe); the dot
+    # variant keeps G<=3 (its G=5 temporaries measured 18.03M > the 16M
+    # Mosaic scoped-VMEM stack)
+    monkeypatch.setenv("DDCMD_PALLAS_VARIANT", "bcast")
+    assert choose_col_group(FakeGrid((16, 16, 16))) == 4
+    assert choose_col_group(FakeGrid((15, 15, 15))) == 5
+    assert choose_col_group(FakeGrid((15, 15, 5))) == 5    # bilayer grid
+    assert choose_col_group(FakeGrid((16, 16, 16), cap=64)) == 4
+    monkeypatch.setenv("DDCMD_PALLAS_VARIANT", "dot")
     assert choose_col_group(FakeGrid((16, 16, 16))) == 2
     assert choose_col_group(FakeGrid((15, 15, 15))) == 3
     assert choose_col_group(FakeGrid((16, 16, 16), cap=64)) == 4
     assert choose_col_group(FakeGrid((15, 15, 5))) == 1    # nz=5: percell
+    monkeypatch.delenv("DDCMD_PALLAS_VARIANT", raising=False)
     monkeypatch.setenv("DDCMD_PALLAS_COLS", "4")
     assert choose_col_group(FakeGrid((8, 8, 8))) == 4      # forced
     monkeypatch.setenv("DDCMD_PALLAS_COLS", "0")
