@@ -100,6 +100,7 @@ class Simulation:
                    or sd.integrator_type in ("NPTGLF", "NGLFNK")
                    or ip0.get("beta", 0.0) > 0)
         self._plan_margin = 1.08 if dyn_box else 1.0
+        self._dyn_box = dyn_box
         if engine == "pallas":
             from ..ops.pallas_cellpair import plan_lanes
 
@@ -338,7 +339,7 @@ class Simulation:
             r0 = ss.state.r
             h0 = ss.box.h
 
-            def body(carry, i):
+            def live(carry, i):
                 ss, nbr_idx, r0, h0, ov = carry
                 ss = step_fn(ss, nbr_idx, jax.random.fold_in(key, i), coeffs,
                              box_lam)
@@ -367,6 +368,22 @@ class Simulation:
 
                 ss, nbr_idx, r0, h0, ov_i = jax.lax.cond(stale, do_rebuild,
                                                          keep, ss)
+                return (ss, nbr_idx, r0, h0, ov | ov_i)
+
+            def body(carry, i):
+                # FREEZE once the overflow flag is set: an overflowed
+                # rebuild has silently DROPPED atoms (build_cell_slots
+                # mode="drop"), so every further step would integrate
+                # wrong forces -- observed as an NPT-compression blowup
+                # (bilayer: caps planned at start density, volume -10%
+                # inside one 800-step chunk, kinetic energy 1e22 by step
+                # ~100).  Freezing pins the chunk at the overflow point;
+                # the host sees overflow=True, rolls back, replans at the
+                # live box (replan-first ladder) and re-runs the chunk --
+                # no corrupted physics ever escapes a dispatch.
+                out = jax.lax.cond(carry[4], lambda c: c,
+                                   lambda c: live(c, i), carry)
+                ss = out[0]
                 e = ss.energy
                 scal = jnp.stack([
                     e.eion, e.rk,
@@ -375,7 +392,7 @@ class Simulation:
                     e.virial[0, 0], e.virial[1, 1], e.virial[2, 2],
                     jnp.trace(e.tion),
                 ])
-                return (ss, nbr_idx, r0, h0, ov | ov_i), scal
+                return out, scal
 
             (ss, _, _, _, overflow), scal = jax.lax.scan(
                 body, (ss, nbr_idx, r0, h0, overflow), jnp.arange(n_steps))
@@ -739,6 +756,15 @@ class Simulation:
                 # compression can trip cell_edge_bad while the pre-chunk
                 # edge still clears rlist -- check with slack, and if
                 # capacity growth isn't fixing it, replan cells anyway
+                if self._dyn_box and spr > 100:
+                    # a fast barostat compression can outrun one chunk:
+                    # the replan below sees the PRE-chunk box (rollback
+                    # point) and may reproduce the same plan that just
+                    # overflowed mid-chunk.  Shorter dispatches let the
+                    # ladder replan at a box closer to the live one (the
+                    # overflow-freeze in superchunk already guarantees no
+                    # corrupted steps escape either way).
+                    self._forced_spr = max(100, spr // 2)
                 if self.engine == "pallas":
                     # replan-FIRST: plan_lanes at the live box/density
                     # produces the slot-optimal grid (steps/s tracks
