@@ -201,13 +201,15 @@ def main():
         }
 
     # --- roofline estimate (VERDICT r1: make "fast" measurable) ---------
-    # The cell-block/pallas engines do dense padded work: every
-    # (cell, stencil-neighbor) block evaluates cap x cap pair slots; the
-    # distance matrix is a (cap,3)@(3,cap) matmul -> 6 MXU flops/slot,
-    # plus ~45 VPU flops/slot (rsqrt, LJ/coulomb polys, accumulates).
-    # f32 with Precision.HIGHEST runs the MXU at ~1/6 of bf16 peak
-    # (3-pass decomposition each side), so the f32 matmul roofline is
-    # peak_bf16/6.  Peaks: v5e 197 TFLOP/s bf16, v5p 459, v4 275.
+    # The pallas tile math is deliberately VPU-resident (bcast variant,
+    # the default: broadcast distances + force/virial reductions -- see
+    # ops/pallas_cellpair._variant); the MXU only sees tiny per-tile
+    # lookups.  Roofline is therefore the f32 VPU peak: ~62 f32
+    # ops/slot (3 diffs + 3 mul + 2 add distances, masks/selects ~8,
+    # rsqrt+LJ+RF polys ~22, coef*d force products + row/col reductions
+    # ~18, virial products ~8).  VPU peak = 8 sublanes x 128 lanes x
+    # 4 ALUs x clock: v5e ~0.94 GHz -> ~3.85, v5p ~1.75 -> ~7.17,
+    # v4 ~1.05 -> ~4.3 TFLOP/s f32.
     roofline = {}
     g = getattr(sim, "grid", None)
     if g is not None and hasattr(g, "cap"):
@@ -217,17 +219,18 @@ def main():
         n_st = 14 if sim.engine == "pallas" else g.n_stencil
         slots = g.ncell * n_st * g.cap * g.cap
         dev = str(jax.devices()[0]).lower()
-        peak_bf16 = (459e12 if "v5p" in dev else
-                     275e12 if "v4" in dev else 197e12)  # default: v5e
-        mxu_flops = slots * 6.0 * steps_per_sec
+        peak_vpu = (7.17e12 if "v5p" in dev else
+                    4.3e12 if "v4" in dev else 3.85e12)  # default: v5e
+        vpu_flops = slots * 62.0 * steps_per_sec
         roofline = {
             "pair_slots_per_step": int(slots),
             "pair_slots_per_sec": round(slots * steps_per_sec / 1e9, 3),
             "pair_slots_unit": "G slots/s (padded cap^2 blocks)",
-            "est_mxu_tflops": round(mxu_flops / 1e12, 4),
-            "mxu_frac_f32_roofline": round(mxu_flops / (peak_bf16 / 6.0), 4),
-            "roofline_note": "6 MXU flops/slot (dist matmul) vs bf16peak/6 "
-                             "f32-HIGHEST ceiling; VPU work excluded",
+            "est_vpu_tflops": round(vpu_flops / 1e12, 4),
+            "vpu_frac_roofline": round(vpu_flops / peak_vpu, 4),
+            "roofline_note": "~62 VPU f32 ops/slot (bcast tile math) vs "
+                             "VPU peak; MXU is idle by design in the "
+                             "bcast variant",
         }
     # the single-core CPU estimate scales ~1/N: the documented ~100
     # steps/s is for the 6,173-bead waterbox, so scale it per-particle
