@@ -550,8 +550,6 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         pe = pe.at[idx[:, 0]].add(0.5 * e_p).at[idx[:, 1]].add(0.5 * e_p)
 
     if "exclusions" in terms:
-        # subtract LJ + bare Coulomb the nonbond engine added for excluded
-        # pairs (RF polarization terms stay: bioMartini.c:1124-1208)
         idx = terms["exclusions"]
         tidx = terms["excl_tidx"]
         qq = terms["excl_qq"]
@@ -560,17 +558,29 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
                       (1.0, 0.0, 0.0))
         r2 = jnp.sum(dr * dr, axis=-1)
         within = r2 < terms["rcut2"]
-        ir2 = 1.0 / r2
-        ir = jnp.sqrt(ir2)
-        sig = terms["sigma_flat"][tidx]
-        eps = terms["eps_flat"][tidx]
-        shf = terms["shift_flat"][tidx]
-        s2 = sig * sig * ir2
-        s6 = s2 * s2 * s2
-        s12 = s6 * s6
         w = famw("exclusions", within.astype(dtype))
-        e_x = -(4.0 * eps * (s12 - s6) + shf + qq * ir) * w
-        dvdr = -(24.0 * eps * (s6 - 2.0 * s12) * ir2 - qq * ir2 * ir) * w
+        if terms.get("excl_mode") == "rf_add":
+            # the nonbond engine masked excluded pairs IN-LIST (nothing
+            # to cancel); add back only the RF polarization part the
+            # reference keeps for excluded pairs within cutoff
+            # (bioMartini.c:1124-1208): e = kqq (krf r^2 - crf)
+            krf = terms["excl_krf"]
+            crf = terms["excl_crf"]
+            e_x = qq * (krf * r2 - crf) * w
+            dvdr = qq * (2.0 * krf) * w
+        else:
+            # subtract LJ + bare Coulomb the nonbond engine added for
+            # excluded pairs (RF polarization terms stay)
+            ir2 = 1.0 / r2
+            ir = jnp.sqrt(ir2)
+            sig = terms["sigma_flat"][tidx]
+            eps = terms["eps_flat"][tidx]
+            shf = terms["shift_flat"][tidx]
+            s2 = sig * sig * ir2
+            s6 = s2 * s2 * s2
+            s12 = s6 * s6
+            e_x = -(4.0 * eps * (s12 - s6) + shf + qq * ir) * w
+            dvdr = -(24.0 * eps * (s6 - 2.0 * s12) * ir2 - qq * ir2 * ir) * w
         fi = -dvdr[:, None] * dr
         f = f.at[idx[:, 0]].add(fi).at[idx[:, 1]].add(-fi)
         virial = virial + jnp.einsum("ba,bc->ac", fi, dr)
@@ -582,8 +592,14 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
 
 def device_bonded_tables(bt: BondedTerms, dtype, *, lj_sigma=None, lj_eps=None,
                          lj_shift=None, rcut=None, keR=None, charges=None,
-                         species_lj_type=None, species_per_particle=None):
-    """Move instantiated terms to device; precompute exclusion pair data."""
+                         species_lj_type=None, species_per_particle=None,
+                         excl_mode="subtract", krf=None, crf=None):
+    """Move instantiated terms to device; precompute exclusion pair data.
+
+    excl_mode "subtract" (default) cancels what the nonbond engine added
+    for excluded pairs; "rf_add" pairs with IN-LIST exclusion masking
+    (martini_nonbond excl_tbl) and adds back only the kept RF
+    polarization term (needs krf/crf)."""
     t = {}
     if bt.bonds is not None:
         t["bonds"] = jnp.asarray(bt.bonds)
@@ -622,4 +638,8 @@ def device_bonded_tables(bt: BondedTerms, dtype, *, lj_sigma=None, lj_eps=None,
         t["eps_flat"] = jnp.asarray(np.asarray(lj_eps).reshape(-1), dtype=dtype)
         t["shift_flat"] = jnp.asarray(np.asarray(lj_shift).reshape(-1), dtype=dtype)
         t["rcut2"] = jnp.asarray(rcut ** 2, dtype=dtype)
+        if excl_mode == "rf_add":
+            t["excl_mode"] = "rf_add"
+            t["excl_krf"] = jnp.asarray(krf, dtype=dtype)
+            t["excl_crf"] = jnp.asarray(crf, dtype=dtype)
     return t

@@ -129,13 +129,23 @@ def martini_device_tables(parms: MartiniParms, dtype=jnp.float32):
     )
 
 
-def martini_nonbond(r, q, tidx, fmask, nbr_idx, box_lengths, tables):
+def martini_nonbond(r, q, tidx, fmask, nbr_idx, box_lengths, tables,
+                    excl_tbl=None):
     """Forces/energy/virial from the full neighbor list.
 
     Args:
       r: (N,3) wrapped positions.  q: (N,) charges.  tidx: (N,) LJ type.
       fmask: (N,) 1.0 for valid particles.  nbr_idx: (N,K) full list,
       sentinel N.  box_lengths: (3,).  tables: martini_device_tables().
+      excl_tbl: optional (N, Emax) int32 per-atom excluded-partner rows
+      (sentinel N) -- IN-LIST exclusion masking: excluded pairs are
+      dropped here instead of computed-then-subtracted, so their ~1e6-
+      scale 1-2 LJ/bare-Coulomb terms never enter any f32 accumulation
+      (the reference prunes exclusions from its GPU pages the same way,
+      bioCharmm exclude lists / nlistGPU).  The caller must then run the
+      bonded exclusion block in "rf_add" mode to restore the RF
+      polarization part the reference keeps for excluded pairs
+      (bioMartini.c:1124-1208).
     Returns (f (N,3), e_pot scalar, virial (3,3), e_lj, e_ele).
     """
     n_pad = r.shape[0]
@@ -158,6 +168,10 @@ def martini_nonbond(r, q, tidx, fmask, nbr_idx, box_lengths, tables):
 
     valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0)
     valid = valid & (fmask[:, None] > 0)
+    if excl_tbl is not None:
+        excluded = jnp.any(nbr_idx[:, :, None] == excl_tbl[:, None, :],
+                           axis=-1)                           # (N, K)
+        valid = valid & jnp.logical_not(excluded)
     r2s = jnp.where(valid, r2, jnp.asarray(1.0, dt))          # avoid 0-div
     ir2 = 1.0 / r2s
     ir = jnp.sqrt(ir2)

@@ -21,6 +21,31 @@ from ..potentials.pair import pair_device_tables, pair_lj
 
 
 
+def _inlist_excl(sysdef, engine) -> bool:
+    """True when the (N,K)-list engine should mask excluded pairs
+    in-list (and the bonded block add back only the kept RF term)."""
+    return (engine == "nlist"
+            and sysdef.bonded is not None
+            and sysdef.bonded.exclusions is not None
+            and os.environ.get("DDCMD_INLIST_EXCL", "1") != "0")
+
+
+def _excl_table(exclusions, n_pad: int) -> np.ndarray:
+    """(n_pad, Emax) int32 per-atom excluded-partner rows, sentinel
+    n_pad, both directions of each (i, j)."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(list)
+    for i, j in np.asarray(exclusions):
+        nbrs[int(i)].append(int(j))
+        nbrs[int(j)].append(int(i))
+    emax = max(len(v) for v in nbrs.values())
+    tbl = np.full((n_pad, emax), n_pad, dtype=np.int32)
+    for i, v in nbrs.items():
+        tbl[i, :len(v)] = v
+    return tbl
+
+
 def _geom(box):
     """Pair-engine box geometry: (3,) lengths for an orthorhombic box,
     the full (3,3) h for a triclinic one (box.ortho is static)."""
@@ -122,11 +147,24 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
                                 * tables["keR"] * tables["crf"])
                     return f, e + jnp.sum(e_self_i), virial, pe + e_self_i
             else:
-                def martini_term(state, box, handle, tables=tables, tmap=tmap):
+                # (N,K)-list engine: mask excluded pairs IN-LIST when the
+                # topology carries exclusions (DDCMD_INLIST_EXCL=0 opts
+                # back into compute-then-subtract).  The huge 1-2/1-3
+                # LJ/bare-Coulomb terms then never enter any f32 sum --
+                # the reference's exclude-from-list discipline
+                # (bioCharmmPar exclude lists pruned in nlistGPU.cu).
+                excl_tbl = None
+                if _inlist_excl(sysdef, engine):
+                    excl_tbl = jnp.asarray(
+                        _excl_table(sysdef.bonded.exclusions,
+                                    sysdef.state.n_pad))
+
+                def martini_term(state, box, handle, tables=tables,
+                                 tmap=tmap, excl_tbl=excl_tbl):
                     tidx = tmap[state.species]
                     f, e, virial, pe, _ = martini_nonbond(
                         state.r, state.q, tidx, state.fmask, handle,
-                        _geom(box), tables)
+                        _geom(box), tables, excl_tbl=excl_tbl)
                     return f, e, virial, pe
 
             terms.append(martini_term)
@@ -290,7 +328,9 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             rcut=mparms.rcut, keR=U.ke / mparms.epsilon_r,
             charges=charges,
             species_lj_type=mparms.species_lj_type,
-            species_per_particle=np.asarray(sysdef.state.species))
+            species_per_particle=np.asarray(sysdef.state.species),
+            excl_mode="rf_add" if _inlist_excl(sysdef, engine) else "subtract",
+            krf=mparms.krf, crf=mparms.crf)
         n_pad = sysdef.state.n_pad
 
         def bonded_term(state, box, nbr_idx, btab=btab, n_pad=n_pad):

@@ -458,3 +458,32 @@ def test_charmm_terminal_patches(tmp_path):
             em = e_of(rj.at[i, ax].add(-h))
             fd = -(ep - em) / (2 * h)
             assert f[i, ax] == pytest.approx(fd, rel=2e-5, abs=1e-5), (i, ax)
+
+
+def test_charmm_inlist_exclusion_masking(tmp_path, monkeypatch):
+    """IN-LIST exclusion masking (nlist engine default): excluded pairs
+    are dropped from the neighbor sweep and only the kept RF
+    polarization term is added back (bioMartini.c:1124-1208), instead of
+    computing-then-subtracting their ~1e6-scale LJ/bare-Coulomb terms.
+    Same physics as the subtract route on both engines (f64 parity)."""
+    make_fixture(tmp_path)
+    db = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim_m = Simulation(db, str(tmp_path), run_dir=str(tmp_path),
+                       dtype=jnp.float64, engine="nlist")
+    sim_m.first_energy()
+    e_masked = float(sim_m.ss.energy.eion)
+
+    monkeypatch.setenv("DDCMD_INLIST_EXCL", "0")
+    db2 = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim_s = Simulation(db2, str(tmp_path), run_dir=str(tmp_path),
+                       dtype=jnp.float64, engine="nlist")
+    sim_s.first_energy()
+    e_subtract = float(sim_s.ss.energy.eion)
+    assert e_masked == pytest.approx(e_subtract, rel=1e-10, abs=1e-9)
+
+    db3 = load_db([str(tmp_path / "object.data")], None, str(tmp_path))
+    sim_c = Simulation(db3, str(tmp_path), run_dir=str(tmp_path),
+                       dtype=jnp.float64, engine="cellblock")
+    sim_c.first_energy()
+    assert e_masked == pytest.approx(float(sim_c.ss.energy.eion),
+                                     rel=1e-9, abs=1e-8)
