@@ -304,17 +304,24 @@ def _dppc_mmff() -> str:
     return "\n".join(out) + "\n"
 
 
-def martini_bilayer(out_dir, *, nx=48, ny=48, apl_nm2=0.55, water_nm=2.2,
+def martini_bilayer(out_dir, *, nx=48, ny=48, apl_nm2=0.64, water_nm=2.2,
                     density_nm3=7.47, T=323.0, dt_fs=20.0, seed=4,
                     beta_per_bar=3.0e-4, tau_ps=1.0, isotropic=0):
     """DPPC-like Martini bilayer in water: 2*nx*ny lipids (12 beads each)
     + two water slabs of thickness `water_nm`.  Defaults give ~100k beads
     (48x48: 55,296 lipid + ~45,000 W).  Semi-anisotropic NPT via
-    NGLFCONSTRAINT (changeVolume, /root/reference/src/nglfconstraint.c:64)."""
+    NGLFCONSTRAINT (changeVolume, /root/reference/src/nglfconstraint.c:64).
+
+    The start is built NEAR EQUILIBRIUM on purpose: apl 0.64 nm^2 (fluid
+    DPPC/Martini at 323 K), ladder spacing = bond b0, Maxwell-Boltzmann
+    velocities at T.  A colder/denser lattice start (apl 0.55, 0 K)
+    relaxed so violently under dt=20 fs NPT that the potential-energy
+    avalanche overheated the box to ~4800 K and core overlaps tripped
+    the kill switch faster than the rollback ladder could recover."""
     rng = np.random.default_rng(seed)
     a = float(np.sqrt(apl_nm2))          # in-plane lattice (nm)
     Lx, Ly = nx * a, ny * a
-    dzb = 0.45                           # bead ladder spacing (nm)
+    dzb = 0.47                           # bead ladder spacing = bond b0 (nm)
     z_gl = 2.10                          # glycerol plane: C4 tails end at
     #                                      z=0.30, leaving a 0.6 nm
     #                                      inter-leaflet gap
@@ -367,7 +374,10 @@ def martini_bilayer(out_dir, *, nx=48, ny=48, apl_nm2=0.55, water_nm=2.2,
                     species.append("WxW")
     n = len(r)
     r = np.asarray(r) * 10.0             # -> Angstrom for write_atoms
-    v = np.zeros((n, 3))                 # Langevin warms from 0 K
+    # Maxwell-Boltzmann at T (all beads 72 amu): nm/ps -> Angstrom/fs
+    from ..objects.units import kB
+
+    v = rng.normal(size=(n, 3)) * np.sqrt(kB * T / 72.0) * 0.01
     write_atoms(os.path.join(out_dir, "atoms#000000"), r, v, species,
                 ["free"] * n, np.diag([Lx * 10, Ly * 10, Lz * 10]))
 
