@@ -385,12 +385,19 @@ class Simulation:
                                    lambda c: live(c, i), carry)
                 ss = out[0]
                 e = ss.energy
+                # columns 11-12: kinetic-blowup forensics -- the hottest
+                # particle and its row (a runaway injects velocity into
+                # ONE atom first; the id names the species/molecule role
+                # before the kill switch fires)
+                v2 = jnp.sum(ss.state.v * ss.state.v, axis=-1) \
+                    * ss.state.fmask
                 scal = jnp.stack([
                     e.eion, e.rk,
                     jnp.trace(e.virial), ss.box.volume,
                     ss.box.lengths[0], ss.box.lengths[1], ss.box.lengths[2],
                     e.virial[0, 0], e.virial[1, 1], e.virial[2, 2],
                     jnp.trace(e.tion),
+                    jnp.max(v2), jnp.argmax(v2).astype(ss.state.r.dtype),
                 ])
                 return out, scal
 
@@ -792,11 +799,23 @@ class Simulation:
                 import warnings
 
                 last_ok = scal[max(0, bad - 1)]
+                hot = ""
+                if scal.shape[1] > 12:
+                    # trace the runaway back: first step whose hottest
+                    # particle exceeded ~30x the thermal scale names the
+                    # injection point and the atom row
+                    v2_col = scal[:bad + 1, 11]
+                    v2_ref = float(np.median(v2_col[:max(1, bad // 2)]))
+                    hot_steps = np.nonzero(v2_col > 1e3 * max(v2_ref, 1e-12))[0]
+                    j0 = int(hot_steps[0]) if len(hot_steps) else bad
+                    hot = (f"; vmax2 {v2_col[max(0, j0 - 1)]:.3g}->"
+                           f"{v2_col[j0]:.3g} at in-chunk step {j0}, "
+                           f"atom row {int(scal[j0, 12])}")
                 warnings.warn(
                     f"non-finite energy at step {loop0 + bad + 1} "
                     f"(chunk {loop0}+{k}, in-chunk index {bad}; last good "
                     f"row e={last_ok[0]:.4g} rk={last_ok[1]:.4g} "
-                    f"vol={last_ok[3]:.4g}); rollback retry {retries}/3")
+                    f"vol={last_ok[3]:.4g}){hot}; rollback retry {retries}/3")
                 if retries > 3:
                     # forensic dump: the pre-chunk state reproduces the
                     # blowup in ~bad steps (write_checkpoint restores it)

@@ -34,7 +34,20 @@ if os.environ.get("DIAG_NVT"):
     txt = open(p).read().replace("beta=0.0003/bar", "beta=0/bar")
     open(p, "w").write(txt)
     print("barostat disabled (DIAG_NVT)", flush=True)
-db, base = load(d)
+if os.environ.get("DIAG_NOCONS"):
+    # bisect: NC3-PO4 constraint -> standard Martini 1250 bond (isolates
+    # the RATTLE/SHAKE solver from the kinetic-blowup statistics)
+    p = os.path.join(d, "bilayer.data")
+    txt = open(p).read()
+    txt = txt.replace("constraintList= DPPC_cl ;", "")
+    txt = txt.replace(
+        "bondList= DPPC_b0",
+        "bondList= DPPC_bc DPPC_b0")
+    txt += ("\nDPPC_bc BONDPARMS { atomI=0; atomJ=1; func=1; "
+            "kb=1250 kJ*mol^-1*nm^-2; b0=0.47 nm; }\n")
+    open(p, "w").write(txt)
+    print("constraint swapped for a 1250 bond (DIAG_NOCONS)", flush=True)
+db, base = load(d, restart=os.environ.get("DIAG_RESTART"))
 sim = Simulation(db, base, run_dir=d, dtype=dtype,
                  engine=os.environ.get("DIAG_ENGINE", "auto"))
 sim.sysdef.cfg.printrate = int(os.environ.get("DIAG_PRINTRATE", "24"))
@@ -63,8 +76,8 @@ if os.environ.get("DIAG_CHECK"):
           f"max|df|/scale={df:.3e} |de|/e={de:.3e} "
           f"{'OK' if df < 1e-4 and de < 1e-4 else '** MISMATCH **'}",
           flush=True)
-print("engine:", sim.engine, "grid:", sim.grid.ncells, "cap:", sim.grid.cap,
-      flush=True)
+print("engine:", sim.engine, "grid:", sim.grid.ncells,
+      "cap:", getattr(sim.grid, "cap", None), flush=True)
 print("run_dir:", d, flush=True)
 on_ckpt = None
 if os.environ.get("DIAG_CKPT"):
