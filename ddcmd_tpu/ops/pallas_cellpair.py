@@ -85,10 +85,25 @@ def _variant() -> str:
     return v
 
 
+def _pchunk(cap: int) -> int:
+    """Occupancy-trim chunk height (p-side sublane rows per gated chunk;
+    see _pair_tile).  Env DDCMD_PALLAS_PCHUNK: 0 disables, N forces N.
+    Only the bcast variant chunks (the dot variant's MXU contractions
+    want the full tile).  Default 0 until the hardware A/B lands."""
+    import os as _os
+
+    if _variant() != "bcast":
+        return 0
+    pc = int(_os.environ.get("DDCMD_PALLAS_PCHUNK", "0"))
+    if pc <= 0 or pc >= cap or cap % pc or pc % 8:
+        return 0
+    return pc
+
+
 def _pair_tile(variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
                sigma_ref, eps_ref, shift_ref,
                Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
-               T, krf, crf, keR, coulomb):
+               T, krf, crf, keR, coulomb, nocc=None, pchunk=0):
     """Shared (cap, W) N3L pair-tile math for _kernel_half and
     _kernel_half_col (keep the two kernels' physics in ONE place).
 
@@ -96,8 +111,57 @@ def _pair_tile(variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
     (3,W) + charge/type/valid rows, the triangular self-dedup mask, and
     the LJ/RF tables.  Returns (Fp (cap,3), pe_p (cap,1), Fq (3,W),
     peq (1,W), e_sum scalar, vir (3,3)); each pair is counted ONCE in
-    e_sum/vir and HALF in pe_p/peq (per-particle split)."""
+    e_sum/vir and HALF in pe_p/peq (per-particle split).
+
+    nocc/pchunk (bcast variant only): OCCUPANCY-TRIMMED evaluation.  The
+    p side lives on SUBLANES (granularity 8), so the (cap, W) tile can be
+    computed in pchunk-row chunks, each gated on `nocc > k*pchunk` with a
+    traced per-cell occupancy -- rows >= nocc hold no valid slots (cells
+    fill rank-contiguously, build_cell_slots), so skipped chunks
+    contribute exactly nothing.  Mean occupancy is well below cap (the
+    Poisson-tail capacity floor: cap >= mean + 4 sqrt(mean) + 8, then
+    128-lane granularity), so this trims the dominant VPU cost by
+    ~cap/ceil(nocc/pchunk)/pchunk per cell with no grid change.  The GPU
+    reference sizes its pair pages to live occupancy the same way
+    (nlistGPU.cu page fill); cap^2 padding is our slot currency."""
     W = Qxyz.shape[1]
+    cap_p = pxT.shape[0]
+    if (pchunk and variant == "bcast" and nocc is not None
+            and 0 < pchunk < cap_p and cap_p % pchunk == 0):
+        zero = (jnp.zeros((pchunk, 3), jnp.float32),
+                jnp.zeros((pchunk, 1), jnp.float32),
+                jnp.zeros((3, W), jnp.float32),
+                jnp.zeros((1, W), jnp.float32),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((3, 3), jnp.float32))
+        fp_parts, pe_parts = [], []
+        Fq = zero[2]
+        peq = zero[3]
+        e_sum = zero[4]
+        vir = zero[5]
+        for k in range(cap_p // pchunk):
+            k0 = k * pchunk
+            sig_k = None if sig_p is None else tuple(
+                t[k0:k0 + pchunk] for t in sig_p)
+
+            def live(_, k0=k0, sig_k=sig_k):
+                return _pair_tile(
+                    variant, None, pxT[k0:k0 + pchunk], None,
+                    pqc[k0:k0 + pchunk], pvc[k0:k0 + pchunk], sig_k,
+                    sigma_ref, eps_ref, shift_ref,
+                    Qxyz, qq_row, qt_row, qv_row,
+                    dup_pair[k0:k0 + pchunk], rcut2,
+                    T, krf, crf, keR, coulomb)
+
+            out = jax.lax.cond(nocc > k0, live, lambda _: zero, 0)
+            fp_parts.append(out[0])
+            pe_parts.append(out[1])
+            Fq = Fq + out[2]
+            peq = peq + out[3]
+            e_sum = e_sum + out[4]
+            vir = vir + out[5]
+        return (jnp.concatenate(fp_parts, axis=0),
+                jnp.concatenate(pe_parts, axis=0), Fq, peq, e_sum, vir)
     if variant == "bcast":
         dx = pxT[:, 0:1] - Qxyz[0:1, :]                      # (cap, W)
         dy = pxT[:, 1:2] - Qxyz[1:2, :]
@@ -462,7 +526,7 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
                  q_scratch, sem,
                  *, cap: int, n_stencil: int, T: int, alias_groups,
                  krf: float, crf: float, keR: float, coulomb: bool,
-                 variant: str = "dot"):
+                 variant: str = "dot", pchunk: int = 0, counts_off: int = 0):
     """Newton's-3rd-law variant of _kernel: the self block (index 0) is
     deduplicated with a triangular mask, only the 13 positive stencil
     directions are evaluated, and the reaction forces on the q side are
@@ -566,11 +630,12 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
     qt_row = Q[4:5, :]
     qv_row = Q[5:6, :]
 
+    nocc = stencil_ref[counts_off + c] if pchunk else None
     Fp, pe_p, Fq, peq, e_sum, vir = _pair_tile(
         variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
         sigma_ref, eps_ref, shift_ref,
         Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
-        T, krf, crf, keR, coulomb)
+        T, krf, crf, keR, coulomb, nocc=nocc, pchunk=pchunk)
     out_f_ref[:] = Fp
     out_pe_ref[:] = pe_p
     zero4 = jnp.zeros((4, W), jnp.float32)
@@ -731,7 +796,8 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
                      *, cap: int, G: int, n_union: int,
                      member_u, dirs, T: int,
                      krf: float, crf: float, keR: float, coulomb: bool,
-                     variant: str = "dot"):
+                     variant: str = "dot", pchunk: int = 0,
+                     counts_off: int = 0):
     """Multi-cell (column) variant of _kernel_half: one program owns G
     z-contiguous cells and DMAs the UNION of their stencil blocks once
     (5G+9 blocks instead of 14G -- ~half the HBM traffic at G=4).  Each
@@ -838,11 +904,12 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
         qt_row = Q[4:5, :]
         qv_row = Q[5:6, :]
 
+        nocc = stencil_ref[counts_off + c * G + g] if pchunk else None
         Fp, pe_p, Fq, peq, e_sum, vir = _pair_tile(
             variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
             sigma_ref, eps_ref, shift_ref,
             Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
-            T, krf, crf, keR, coulomb)
+            T, krf, crf, keR, coulomb, nocc=nocc, pchunk=pchunk)
         out_f_ref[g * cap:(g + 1) * cap, :] = Fp
         out_pe_ref[g * cap:(g + 1) * cap, :] = pe_p
 
@@ -887,12 +954,13 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
     union, member_u = col_plan_grid(grid, G)
     U = len(union)
     T = int(tables["sigma"].shape[0])
+    PC = _pchunk(cap)
     kernel = functools.partial(
         _kernel_half_col, cap=cap, G=G, n_union=U, member_u=member_u,
         dirs=tuple(_half_dirs()), T=T,
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
         keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
-        variant=_variant())
+        variant=_variant(), pchunk=PC, counts_off=ncol * U)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -929,9 +997,15 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
         interpret=interpret,
     )
 
-    def eval_fn(slots, stencil_packed, L8):
+    def eval_fn(slots, stencil_packed, L8, counts=None):
+        tbl = stencil_packed.reshape(-1)
+        if PC:
+            # per-CELL occupancy appended flat; member g of column c
+            # reads counts_off + c*G + g (cells of a column are the
+            # G consecutive slot rows, pack_stencil_col base order)
+            tbl = jnp.concatenate([tbl, counts.astype(jnp.int32)])
         out_f, out_pe, out_q, out_cells = call(
-            stencil_packed.reshape(-1), L8, slots,
+            tbl, L8, slots,
             slots, tables["sigma"], tables["eps"], tables["shift"])
         return (jnp.concatenate([out_f, out_pe], axis=1), out_q, out_cells)
 
@@ -949,12 +1023,13 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
     ncell = grid.ncell
     S = grid.n_stencil
     T = int(tables["sigma"].shape[0])
+    PC = _pchunk(cap)
     kernel = functools.partial(
         _kernel_half, cap=cap, n_stencil=S, T=T,
         alias_groups=_alias_groups_half(grid.ncells),
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
         keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
-        variant=_variant())
+        variant=_variant(), pchunk=PC, counts_off=ncell * S * 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -991,9 +1066,12 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
         interpret=interpret,
     )
 
-    def eval_fn(slots, stencil_packed, L8):
+    def eval_fn(slots, stencil_packed, L8, counts=None):
+        tbl = stencil_packed.reshape(-1)
+        if PC:
+            tbl = jnp.concatenate([tbl, counts.astype(jnp.int32)])
         out_f, out_pe, out_q, out_cells = call(
-            stencil_packed.reshape(-1), L8, slots,
+            tbl, L8, slots,
             slots, tables["sigma"], tables["eps"], tables["shift"])
         return (jnp.concatenate([out_f, out_pe], axis=1), out_q, out_cells)
 
@@ -1013,7 +1091,11 @@ def pallas_cellpair_eval_half(r, q, tidx, perm, box_lengths,
     Ln = L / jnp.asarray(grid.ncells, dt)
     L8 = jnp.concatenate([Ln, jnp.asarray([tables["rcut2"]], dt),
                           jnp.zeros((4,), dt)]).reshape(1, 8)
-    out_slots, out_q, out_cells = eval_fn(slots, stencil_packed, L8)
+    # per-cell occupancy for the occupancy-trimmed kernels (_pchunk):
+    # slots fill rank-contiguously, so the count == filled-slot total
+    counts = jnp.sum((perm.reshape(ncell, cap) != n_pad).astype(jnp.int32),
+                     axis=1)
+    out_slots, out_q, out_cells = eval_fn(slots, stencil_packed, L8, counts)
 
     # q-side reaction contributions arrive pre-accumulated per target
     # cell (in-kernel scatter over the sequential grid)

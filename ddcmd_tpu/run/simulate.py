@@ -439,6 +439,7 @@ class Simulation:
             self.grid = plan_lanes(
                 np.asarray(box.lengths, dtype=np.float64),
                 sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
+                density_safety=getattr(self, "_density_safety", 1.3),
                 plan_margin=margin)
         elif self.engine == "cellblock":
             from ..ops.cellpair import CellBlockGrid
@@ -472,20 +473,20 @@ class Simulation:
         """Grow neighbor capacity after an overflow (allocPages analog)."""
         g = self.grid
         if self.engine == "pallas":
-            # grow in 32-lane steps; the (cap, S*cap) VMEM tile grows
-            # quadratically, so cap is bounded (~2MB tile at 192).  Past
-            # the bound the GRID is stale, not the cap: replan at the
-            # live box/density (more, smaller cells).  Never fall back
-            # to the XLA cell-block engine at scale -- its (C, c, S*c)
-            # HBM intermediates exceed the chip for ~100k atoms
-            # (observed 17.5GB allocation on the bilayer)
-            new_cap = 32 * int(math.ceil(g.cap * factor / 32.0))
-            if new_cap > 192:
-                return self.replan_grid()
-            self.grid = g.with_cap(new_cap)
-            self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,
-                                           engine=self.engine, grid=self.grid)
-            self._rebuild_step_fn()
+            # NEVER grow cap in sub-128 steps: Mosaic rejects HBM window
+            # slices that are not 128-lane aligned AT COMPILE TIME on
+            # hardware ("Slice shape along dimension 2 must be aligned to
+            # tiling (128), but is 192" -- hit by an NVT bilayer density
+            # fluctuation growing cap 128->160->192; interpret mode never
+            # sees it).  Instead escalate the planner's density safety and
+            # replan: plan_lanes subdivides cells while need() <= 128 and
+            # only then moves to the next 128-lane cap granule, so every
+            # plan it emits is alignment-safe.  Never fall back to the
+            # XLA cell-block engine at scale -- its (C, c, S*c) HBM
+            # intermediates exceed the chip for ~100k atoms (observed
+            # 17.5GB allocation on the bilayer).
+            self._density_safety = getattr(self, "_density_safety", 1.3) * 1.3
+            return self.replan_grid()
         elif self.engine == "cellblock":
             self.grid = g.with_cap(int(g.cap * factor))
             self.force_fn = build_force_fn(self.sysdef, dtype=self.dtype,

@@ -591,6 +591,73 @@ def test_pallas_variant_matches_xla(G, n, L, variant, monkeypatch):
                                             abs=2e-3)
 
 
+@pytest.mark.parametrize("G", [0, 3])
+@pytest.mark.parametrize("pchunk", [32, 64])
+def test_pallas_pchunk_occupancy_trim_matches_xla(G, pchunk, monkeypatch):
+    """Occupancy-trimmed tiles (DDCMD_PALLAS_PCHUNK: p-side sublane
+    chunks gated per cell on the live occupancy) == the XLA engine,
+    per-cell and column kernels, on a density-SKEWED box (cells from
+    near-empty to near-cap exercise every gating path: all-skipped,
+    partially-filled last chunk, full)."""
+    from ddcmd_tpu.ops.pallas_cellpair import (
+        half_grid, make_pallas_cellpair_half, make_pallas_cellpair_half_col,
+        pack_stencil, pack_stencil_col, pallas_cellpair_eval_half)
+
+    monkeypatch.setenv("DDCMD_PALLAS_VARIANT", "bcast")
+    monkeypatch.setenv("DDCMD_PALLAS_PCHUNK", str(pchunk))
+    n, L = 800, 6.6
+    r, q, tidx, sigma, eps, shift, rcut, krf, crf, keR = make_system(
+        n=n, L=L, seed=13, charged=True)
+    # skew the occupancy WITHOUT touching geometry (no fake overlaps):
+    # mask out most particles in the x > L/2 half so per-cell fill spans
+    # near-empty .. dense and every chunk-gating path runs
+    rng = np.random.default_rng(7)
+    r = np.asarray(r)
+    fmask_np = np.ones(n, np.float32)
+    right = np.nonzero(r[:, 0] > 0.5 * L)[0]
+    fmask_np[rng.permutation(right)[: int(0.8 * len(right))]] = 0.0
+    tables = dict(
+        sigma=jnp.asarray(sigma, jnp.float32),
+        eps=jnp.asarray(eps, jnp.float32),
+        shift=jnp.asarray(shift, jnp.float32),
+        rcut2=jnp.asarray(rcut ** 2, jnp.float32),
+        krf=jnp.asarray(krf, jnp.float32), crf=jnp.asarray(crf, jnp.float32),
+        keR=jnp.asarray(keR, jnp.float32))
+    grid = plan_lanes([L] * 3, rcut, 0.3, n, density_safety=3.2)
+    rj = jnp.asarray(r, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    tj = jnp.asarray(tidx, jnp.int32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    perm, ov = build_cell_slots(rj, jnp.asarray(fmask_np), Lv, grid)
+    assert not bool(ov)
+    counts = np.asarray((perm.reshape(grid.ncell, grid.cap) != n).sum(1))
+    assert counts.min() < pchunk <= counts.max()  # both gate paths live
+
+    f1, e1, v1, pe1 = cellpair_eval(rj, qj, tj, perm, Lv, grid, tables,
+                                    coulomb=True)
+
+    hgrid = half_grid(grid)
+    if G:
+        if hgrid.ncells[2] % G != 0:
+            pytest.skip(f"nz={hgrid.ncells[2]} not divisible by G={G}")
+        eval_fn = make_pallas_cellpair_half_col(hgrid, tables, G,
+                                                coulomb=True, interpret=True)
+        stencil = jnp.asarray(pack_stencil_col(hgrid, G))
+    else:
+        eval_fn = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
+                                            interpret=True)
+        stencil = jnp.asarray(pack_stencil(hgrid))
+    f2, e2, v2, pe2 = pallas_cellpair_eval_half(
+        rj, qj, tj, perm, Lv, hgrid, tables, stencil, eval_fn)
+
+    scale = max(1.0, float(jnp.abs(f1).max()))
+    assert float(jnp.abs(f2 - f1).max()) / scale < 2e-5
+    assert float(e2) == pytest.approx(float(e1), rel=1e-4, abs=1e-2)
+    assert np.asarray(v2) == pytest.approx(np.asarray(v1), rel=2e-3, abs=0.5)
+    assert np.asarray(pe2) == pytest.approx(np.asarray(pe1), rel=1e-3,
+                                            abs=2e-3)
+
+
 def test_pallas_eam_bcast_variant_matches_xla(monkeypatch):
     """EAM kernels under DDCMD_PALLAS_VARIANT=bcast (broadcast distances
     + VPU force/virial sums) == the XLA half engine, percell and column,
