@@ -87,14 +87,28 @@ def _variant() -> str:
 
 def _pchunk(cap: int) -> int:
     """Occupancy-trim chunk height (p-side sublane rows per gated chunk;
-    see _pair_tile).  Env DDCMD_PALLAS_PCHUNK: 0 disables, N forces N.
-    Only the bcast variant chunks (the dot variant's MXU contractions
-    want the full tile).  Default 0 until the hardware A/B lands."""
+    see _pair_tile).  Env DDCMD_PALLAS_PCHUNK: 0 disables, N forces N,
+    unset picks the default.  Only the bcast variant chunks (the dot
+    variant's MXU contractions want the full tile).
+
+    DEFAULT: 16 (when it divides cap; else 8; else off).  Hardware A/B
+    on the waterbox (TPU v5e, rested tunnel, same 3-window protocol):
+    894.6 steps/s vs 750.1 unchunked -- +19% from skipping empty
+    sublane chunks above the per-cell occupancy (mean ~77 of cap 128;
+    roundup(77,16)=80 rows evaluated instead of 128).  16 rather than 8
+    halves the per-tile lax.cond count at the same trim for typical
+    occupancies."""
     import os as _os
 
     if _variant() != "bcast":
         return 0
-    pc = int(_os.environ.get("DDCMD_PALLAS_PCHUNK", "0"))
+    raw = _os.environ.get("DDCMD_PALLAS_PCHUNK")
+    if raw is None:
+        for pc in (16, 8):
+            if pc < cap and cap % pc == 0:
+                return pc
+        return 0
+    pc = int(raw)
     if pc <= 0 or pc >= cap or cap % pc or pc % 8:
         return 0
     return pc
