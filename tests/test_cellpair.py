@@ -178,11 +178,17 @@ def test_overflow_recapacity_completes(tmp_path, monkeypatch):
             assert sim.grid.cap > cap0      # recapacity actually fired
 
 
-def test_pallas_recapacity_grows_then_replans(tmp_path, monkeypatch):
-    """Pallas overflow recovery stays ON the pallas engine: capacity
-    grows in 32-lane steps to a bounded VMEM tile, and past the bound
-    the grid is REPLANNED at the live box/density.  (The old XLA
-    fallback allocated (C, c, S*c) HBM intermediates that exceed the
+def test_pallas_recapacity_replans_to_aligned_caps(tmp_path, monkeypatch):
+    """Pallas overflow recovery stays ON the pallas engine and NEVER
+    emits a cap that is not 128-lane aligned: Mosaic rejects HBM window
+    slices not aligned to the (8,128) tiling at hardware compile time
+    ("Slice shape along dimension 2 must be aligned to tiling (128), but
+    is 192" -- hit by an NVT bilayer density fluctuation).  recapacity()
+    escalates the planner's density safety and REPLANS; a single call may
+    keep the same plan (the escalated need can still fit), but the
+    first_energy/run overflow ladders call it repeatedly, so the cap must
+    eventually grow -- always in whole 128-lane granules.  (The old XLA
+    fallback is also banned: its (C, c, S*c) HBM intermediates exceed the
     chip at ~100k atoms -- observed 17.5GB on the bilayer.)"""
     monkeypatch.setenv("DDCMD_PALLAS_INTERPRET", "1")
     from ddcmd_tpu.models import lj_fluid, load
@@ -194,12 +200,16 @@ def test_pallas_recapacity_grows_then_replans(tmp_path, monkeypatch):
     assert sim.engine == "pallas"
     sim.first_energy()
     cap0 = sim.grid.cap
-    sim.recapacity()
-    assert sim.engine == "pallas"
-    assert sim.grid.cap > cap0 and sim.grid.cap % 32 == 0
-    # grow to the bound: next recapacity must replan, still pallas
-    sim.grid = sim.grid.with_cap(192)
-    sim.recapacity()
-    assert sim.engine == "pallas"
+    assert cap0 % 128 == 0
+    # the overflow ladder: repeated escalation must grow cap within the
+    # same 10-round headroom first_energy/run give it, staying pallas and
+    # staying 128-aligned at every intermediate plan
+    for _ in range(10):
+        sim.recapacity()
+        assert sim.engine == "pallas"
+        assert sim.grid.cap % 128 == 0
+        if sim.grid.cap > cap0:
+            break
+    assert sim.grid.cap > cap0
     sim.run(10, print_fn=lambda s: None)
     assert np.isfinite(float(sim.ss.energy.eion))
