@@ -85,25 +85,33 @@ def _variant() -> str:
     return v
 
 
-def _pchunk(cap: int) -> int:
+def _pchunk(cap: int, col: bool = False) -> int:
     """Occupancy-trim chunk height (p-side sublane rows per gated chunk;
     see _pair_tile).  Env DDCMD_PALLAS_PCHUNK: 0 disables, N forces N,
     unset picks the default.  Only the bcast variant chunks (the dot
     variant's MXU contractions want the full tile).
 
-    DEFAULT: 16 (when it divides cap; else 8; else off).  Hardware A/B
-    on the waterbox (TPU v5e, rested tunnel, same 3-window protocol):
-    894.6 steps/s vs 750.1 unchunked -- +19% from skipping empty
-    sublane chunks above the per-cell occupancy (mean ~77 of cap 128;
-    roundup(77,16)=80 rows evaluated instead of 128).  16 rather than 8
-    halves the per-tile lax.cond count at the same trim for typical
-    occupancies."""
+    DEFAULT: 16 for the per-cell kernel (when it divides cap; else 8;
+    else off); OFF for the column kernel.  Hardware A/Bs (TPU v5e, same
+    3-window protocol):
+    - per-cell, waterbox, rested tunnel: 894.6 steps/s vs 750.1
+      unchunked -- +19% from skipping empty sublane chunks above the
+      per-cell occupancy (mean ~77 of cap 128; roundup(77,16)=80 rows
+      evaluated instead of 128).  16 rather than 8 halves the per-tile
+      lax.cond count at the same trim for typical occupancies.
+    - column (G=3), 49k box, ~25-min-rested tunnel: 121.8 vs 146.6
+      unchunked.  Ambiguous (could be wear), but the G*cap/pchunk conds
+      per program sit inside a VMEM-tight kernel whose union-stencil DMA
+      pipelining they can break -- stay off until a fresh-tunnel A/B
+      shows a win (explicit env still forces it on)."""
     import os as _os
 
     if _variant() != "bcast":
         return 0
     raw = _os.environ.get("DDCMD_PALLAS_PCHUNK")
     if raw is None:
+        if col:
+            return 0
         for pc in (16, 8):
             if pc < cap and cap % pc == 0:
                 return pc
@@ -968,7 +976,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
     union, member_u = col_plan_grid(grid, G)
     U = len(union)
     T = int(tables["sigma"].shape[0])
-    PC = _pchunk(cap)
+    PC = _pchunk(cap, col=True)
     kernel = functools.partial(
         _kernel_half_col, cap=cap, G=G, n_union=U, member_u=member_u,
         dirs=tuple(_half_dirs()), T=T,
