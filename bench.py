@@ -105,6 +105,9 @@ def main():
                      REFERENCE_WATERBOX)
         base = REFERENCE_WATERBOX
         metric = "waterbox_steps_per_sec"
+    if os.environ.get("BENCH_SHARD"):
+        return _main_shard(db, base, metric)
+
     engine = os.environ.get("BENCH_ENGINE", "auto")
     _log(f"workload={workload} loaded; building Simulation")
     sim = Simulation(db, base, run_dir="/tmp", engine=engine)
@@ -252,6 +255,86 @@ def main():
         "baseline_note": "estimated CPU-ddcMD ~100 steps/s; reference binary unbuildable from mount (missing util/ and recbis/ sources, no MPI)",
         **energy,
         **roofline,
+    }
+    print(json.dumps(out))
+
+
+def _main_shard(db, base, metric):
+    """BENCH_SHARD=1: the workload through ParallelSimulation on a
+    device MESH (BENCH_SHARD_SHAPE=x,y,z; default 1,1,1 -- the one real
+    chip as a 1-device mesh).  Validates that the sharded pallas engine
+    keeps single-chip throughput (round-4 criterion: within ~15% of the
+    unsharded number on a 1-device mesh)."""
+    import re
+
+    import jax
+
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    shape = tuple(int(x) for x in
+                  os.environ.get("BENCH_SHARD_SHAPE", "1,1,1").split(","))
+    psim = ParallelSimulation(db, base, shape=shape)
+    _log(f"shard mode: shape={shape} engine={psim.shard_engine}")
+    psim.first_energy()
+    _log("first_energy done")
+    k = psim.chunk_steps
+    dispatch = max(1, int(os.environ.get("BENCH_DISPATCH", "1600")) // k) * k
+    n_steps = int(os.environ.get("BENCH_STEPS", "4000"))
+    n_windows = max(1, int(os.environ.get("BENCH_WINDOWS", "3")))
+    dt_fs = psim.sysdef.cfg.dt * 1e3
+
+    rows = []
+    pat = re.compile(r"^\s*(\d+)\s+epot/N=\s*([-\d.e+]+)\s+"
+                     r"ekin/N=\s*([-\d.e+]+)")
+
+    def collect(line):
+        m = pat.match(line)
+        if m:
+            rows.append((int(m.group(1)),
+                         float(m.group(2)) + float(m.group(3))))
+
+    _log(f"warmup: {dispatch} steps (superchunk compile; chunk={k})")
+    psim.run(dispatch, print_fn=collect, max_steps_per_dispatch=dispatch)
+    jax.block_until_ready(psim.fields["r"])
+    rows.clear()
+    win = dispatch
+    window_sps = []
+    _log(f"warmup done; measuring {n_windows} windows x {win} steps")
+    for wdx in range(max(n_windows, n_steps // win)):
+        t0 = time.perf_counter()
+        psim.run(win, print_fn=collect, max_steps_per_dispatch=dispatch)
+        jax.block_until_ready(psim.fields["r"])
+        elapsed = time.perf_counter() - t0
+        window_sps.append(win / elapsed)
+        _log(f"window {wdx}: {win / elapsed:.1f} steps/s")
+    steps_per_sec = max(window_sps)
+
+    energy = {}
+    if len(rows) >= 2:
+        import numpy as _np
+
+        loops = _np.asarray([x[0] for x in rows], dtype=_np.float64)
+        etot = _np.asarray([x[1] for x in rows], dtype=_np.float64)
+        t_ns = loops * dt_fs * 1e-6
+        slope = float(_np.polyfit(t_ns, etot, 1)[0]) if len(rows) > 2 \
+            else 0.0
+        energy = {"energy_finite": bool(_np.isfinite(etot).all()),
+                  "energy_drift_per_ns_bead": round(slope, 6)}
+
+    n_particles = int(psim.sysdef.state.n_local)
+    baseline = BASELINE_STEPS_PER_SEC * 6173.0 / max(n_particles, 1)
+    out = {
+        "metric": metric.replace("_steps_per_sec", "_shard_steps_per_sec"),
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 2),
+        "ns_per_day": round(steps_per_sec * dt_fs * 86400.0 / 1e6, 1),
+        "windows_steps_per_sec": [round(x, 2) for x in window_sps],
+        "n_particles": n_particles,
+        "mesh_shape": list(shape),
+        "device": str(jax.devices()[0]),
+        "engine": f"shard-{psim.shard_engine}",
+        **energy,
     }
     print(json.dumps(out))
 

@@ -113,18 +113,28 @@ def _exchange_axis(send_lo, send_hi, axis: str, n: int):
     return recv_from_lo, recv_from_hi
 
 
-def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
+def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan,
+                     with_routing: bool = False):
     """Collect ghost particles from all 26 neighbor bricks via 3 staged
     face exchanges.  fields: (local_cap, ...) per-device arrays with 'r'.
-    Returns (ghost fields (ghost_cap, ...), ghost_mask, overflow)."""
+    Returns (ghost fields (ghost_cap, ...), ghost_mask, overflow)
+    -- or, with_routing=True, (ghosts, gmask, overflow, routing) where
+    routing is the cached send-table set (the ddcSendRecvTables analog,
+    /root/reference/src/ddcSendRecv.c:41-282): per active phase
+    (ax_i, src_lo, n_lo, src_hi, n_hi, ghost_off) with src_* the POOL
+    rows this device selected into its lo/hi windows.  halo_refresh_3d
+    re-ships live values along it; halo_reduce_3d reduces ghost
+    contributions back through it."""
     dtype = fields["r"].dtype
     overflow = jnp.zeros((), bool)
     ghosts = {k: jnp.zeros((0,) + v.shape[1:], v.dtype) for k, v in fields.items()}
     gmask = jnp.zeros((0,), bool)
+    routing = []
 
     frac, per_cart = geom_frac(box_lengths, dtype)
     pool = fields
     pool_mask = valid_mask
+    n_local = valid_mask.shape[0]
     for ax_i, axis in enumerate(AXES):
         n = plan.shape[ax_i]
         if n == 1:
@@ -155,8 +165,14 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
             # count; min-image picks the right periodic image as long as
             # the global box exceeds 2 rcut
             sel_hi = sel_hi & ~sel_lo
-        buf_lo, n_lo, ov1 = compact_rows(pool, sel_lo, plan.halo_cap)
-        buf_hi, n_hi, ov2 = compact_rows(pool, sel_hi, plan.halo_cap)
+        aux = pool
+        if with_routing:
+            aux = dict(pool, __row=jnp.arange(pool_mask.shape[0],
+                                              dtype=jnp.int32))
+        buf_lo, n_lo, ov1 = compact_rows(aux, sel_lo, plan.halo_cap)
+        buf_hi, n_hi, ov2 = compact_rows(aux, sel_hi, plan.halo_cap)
+        src_lo = buf_lo.pop("__row", None)
+        src_hi = buf_hi.pop("__row", None)
         overflow = overflow | ov1 | ov2
 
         recv_from_lo, recv_from_hi = _exchange_axis(buf_lo, buf_hi, axis, n)
@@ -168,6 +184,9 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
                       for k in pool}
         new_mask = jnp.concatenate([idx < cnt_from_lo, idx < cnt_from_hi])
 
+        if with_routing:
+            routing.append((ax_i, src_lo, n_lo, src_hi, n_hi,
+                            gmask.shape[0]))
         ghosts = {k: jnp.concatenate([ghosts[k], new_ghosts[k]]) for k in ghosts}
         gmask = jnp.concatenate([gmask, new_mask])
         # next phase selects from local + all ghosts so far
@@ -180,7 +199,68 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan):
         ghosts = {k: jnp.concatenate(
             [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)]) for k, v in ghosts.items()}
         gmask = jnp.concatenate([gmask, jnp.zeros((pad,), bool)])
+    if with_routing:
+        del n_local
+        return ghosts, gmask, overflow, tuple(routing)
     return ghosts, gmask, overflow
+
+
+def halo_refresh_3d(local_vals, routing, plan: BrickPlan):
+    """Re-ship per-particle values along the FROZEN routing tables: the
+    per-step position halo against cached send lists (ddcUpdate,
+    /root/reference/src/ddcUpdate.c:40-89).  local_vals: (local_cap, C).
+    Returns the full (local_cap + ghost_cap, C) pool with ghost rows
+    refreshed (rows of skipped axes stay zero; their ghost masks were
+    False at table-build time)."""
+    n_local = local_vals.shape[0]
+    tail = local_vals.shape[1:]
+    pool = jnp.concatenate(
+        [local_vals, jnp.zeros((plan.ghost_cap,) + tail, local_vals.dtype)])
+    for (ax_i, src_lo, n_lo, src_hi, n_hi, goff) in routing:
+        axis = AXES[ax_i]
+        n = plan.shape[ax_i]
+        perm_up = [(i, (i + 1) % n) for i in range(n)]
+        perm_dn = [(i, (i - 1) % n) for i in range(n)]
+        buf_lo = pool[src_lo]                      # (halo_cap, C)
+        buf_hi = pool[src_hi]
+        from_lo = jax.lax.ppermute(buf_hi, axis, perm_up)
+        from_hi = jax.lax.ppermute(buf_lo, axis, perm_dn)
+        pool = jax.lax.dynamic_update_slice_in_dim(
+            pool, jnp.concatenate([from_lo, from_hi]),
+            n_local + goff, axis=0)
+    return pool
+
+
+def halo_reduce_3d(pool_vals, routing, plan: BrickPlan, n_local: int):
+    """Reduce ghost-row contributions back to their source rows through
+    the frozen routing, phases in REVERSE (force/energy back-
+    accumulation, ddcUpdateForce /root/reference/src/ddcUpdate.c:140 +
+    forceaccum modes md2ddc.c:170-307).  pool_vals: (local_cap +
+    ghost_cap, C) with ghost rows holding the shares computed here for
+    other devices' atoms.  Returns (local_cap, C)."""
+    idx = jnp.arange(plan.halo_cap)
+    ones = (1,) * (pool_vals.ndim - 1)
+    for (ax_i, src_lo, n_lo, src_hi, n_hi, goff) in reversed(routing):
+        axis = AXES[ax_i]
+        n = plan.shape[ax_i]
+        perm_up = [(i, (i + 1) % n) for i in range(n)]
+        perm_dn = [(i, (i - 1) % n) for i in range(n)]
+        blk = jax.lax.dynamic_slice_in_dim(pool_vals, n_local + goff,
+                                           2 * plan.halo_cap, axis=0)
+        g_lo = blk[: plan.halo_cap]                # ghosts the lo nbr sent
+        g_hi = blk[plan.halo_cap:]
+        back_to_hi_sender = jax.lax.ppermute(g_lo, axis, perm_dn)
+        back_to_lo_sender = jax.lax.ppermute(g_hi, axis, perm_up)
+        # returned buffers correspond to OUR send selections: row i of
+        # back_to_hi_sender is the share for our src_hi[i] (we sent it
+        # "hi"; the hi neighbor saw it as its from_lo ghost)
+        add_hi = jnp.where((idx < n_hi).reshape((-1,) + ones),
+                           back_to_hi_sender, 0)
+        add_lo = jnp.where((idx < n_lo).reshape((-1,) + ones),
+                           back_to_lo_sender, 0)
+        pool_vals = pool_vals.at[src_hi].add(add_hi, mode="drop")
+        pool_vals = pool_vals.at[src_lo].add(add_lo, mode="drop")
+    return pool_vals[:n_local]
 
 
 def _head_positions(cur: dict, mask):

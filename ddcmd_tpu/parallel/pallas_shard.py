@@ -1,0 +1,375 @@
+"""Per-device pallas cell-pair engine for the 3D brick decomposition.
+
+This is the round-4 headline: the flagship pallas kernel (ops/
+pallas_cellpair.py) running INSIDE the shard_map brick step -- the
+reference's architecture of "fastest engine under domain decomposition"
+(device-resident GPU state + MPI halos, /root/reference/src/
+masters.c:389-403; list build nlistGPU.cu:1459-1751), re-done for a
+device mesh.
+
+Geometry: every device owns a brick (uniform walls) and plans an
+EXTENDED cell grid --
+
+  * core cells exactly tile the brick (same ncore on every device, so
+    the union of all core cells is one consistent GLOBAL cell lattice);
+  * on open axes (mesh size > 1) one halo cell is appended per side,
+    with the SAME width as the core cells, so a halo cell coincides
+    exactly with the neighbor brick's boundary core cell;
+  * on periodic axes (mesh size == 1) the core cells span the whole box
+    and the stencil wraps as on a single chip;
+  * one SENTINEL cell (always empty) terminates the slot array: stencil
+    directions that leave the extended grid on an open axis point at it.
+
+Pair ownership (Newton's 3rd law across the mesh): a half-stencil block
+pair (c, c + positive d) is evaluated by the device whose CORE cell c
+is -- kernel programs run over core cells only.  Because the core cells
+form one global lattice, every unordered pair is evaluated exactly once
+across the mesh; the q-side reaction forces that land in halo cells are
+shipped home by the reverse halo reduce (parallel/brick.halo_reduce_3d,
+the ddcUpdateForce analog, /root/reference/src/ddcUpdate.c:140).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas_cellpair import (_half_dirs, _kernel_half, _pchunk,
+                                   _variant, plan_lanes)
+
+
+@dataclass(frozen=True)
+class ShardCellPlan:
+    """Host-side plan of the per-device extended cell grid (identical on
+    every device -- SPMD requires one program)."""
+    shape: tuple[int, int, int]          # device mesh shape
+    ncore: tuple[int, int, int]          # core cells per axis per brick
+    cap: int                             # slots per cell (lane capacity)
+    rlist: float
+    open_axes: tuple[bool, bool, bool]   # mesh size > 1 per axis
+    # derived/static tables (host numpy, baked into the program):
+    next3: tuple[int, int, int] = field(default=None)   # extended dims
+    n_prog: int = 0                      # prod(ncore) = kernel programs
+    n_slot: int = 0                      # cells in the slot array (+sentinel)
+    ext2slot: np.ndarray = None          # (prod(next3),) raveled ext -> slot
+    slot2ext: np.ndarray = None          # (n_slot, 3) ext coords per slot
+    stencil_packed: np.ndarray = None    # (n_prog, 14*4) [slot,dx,dy,dz]
+    alias_groups: tuple = ()
+    center_frac: np.ndarray = None       # (n_slot, 3) brick-frame frac centers
+
+    @property
+    def sentinel_cell(self) -> int:
+        return self.n_slot - 1
+
+    # per-axis fractional cell width OF THE GLOBAL BOX (multiply by the
+    # live box lengths to get Cartesian cell widths -- NPT-safe)
+    @property
+    def w_frac(self) -> np.ndarray:
+        return np.array([1.0 / (self.shape[a] * self.ncore[a])
+                         for a in range(3)])
+
+
+def _build_ext_tables(ncore, open_axes):
+    """Slot ordering (core cells first, halo shell after, sentinel last)
+    + the ext-coordinate <-> slot maps."""
+    off = np.array([1 if o else 0 for o in open_axes])
+    next3 = tuple(int(ncore[a]) + 2 * int(open_axes[a]) for a in range(3))
+    ex, ey, ez = np.meshgrid(np.arange(next3[0]), np.arange(next3[1]),
+                             np.arange(next3[2]), indexing="ij")
+    e3 = np.stack([ex, ey, ez], axis=-1).reshape(-1, 3)     # raveled ext
+    is_core = np.all((e3 >= off) & (e3 < off + np.asarray(ncore)), axis=1)
+    core3 = e3 - off
+    core_ravel = (core3[:, 0] * ncore[1] + core3[:, 1]) * ncore[2] \
+        + core3[:, 2]
+    n_prog = int(np.prod(ncore))
+    slot = np.empty(len(e3), np.int32)
+    slot[is_core] = core_ravel[is_core].astype(np.int32)
+    halo_rows = np.nonzero(~is_core)[0]
+    slot[halo_rows] = n_prog + np.arange(len(halo_rows), dtype=np.int32)
+    n_slot = n_prog + len(halo_rows) + 1                    # + sentinel
+    slot2ext = np.zeros((n_slot, 3), np.int32)
+    slot2ext[slot] = e3
+    return next3, n_prog, n_slot, slot, slot2ext
+
+
+def _pack_stencil_ext(plan_args):
+    """(n_prog, 14*4) int32 [slot_id, dx, dy, dz] per half-stencil dir.
+
+    d stays the UNWRAPPED offset so the kernel's q-shift d * cell_width
+    is exact for plain neighbors, periodic wraps (axis span = box) and
+    (inert, since the sentinel's slots are all invalid) out-of-range
+    entries alike."""
+    ncore, open_axes, next3, ext2slot, n_slot = plan_args
+    off = np.array([1 if o else 0 for o in open_axes])
+    dirs = _half_dirs()
+    n_prog = int(np.prod(ncore))
+    cells = np.arange(n_prog)
+    cx, rem = np.divmod(cells, ncore[1] * ncore[2])
+    cy, cz = np.divmod(rem, ncore[2])
+    c3 = np.stack([cx, cy, cz], axis=1) + off               # ext coords
+    packed = np.zeros((n_prog, len(dirs), 4), np.int32)
+    for s, d in enumerate(dirs):
+        t = c3 + np.asarray(d)
+        oob = np.zeros(n_prog, bool)
+        for a in range(3):
+            if open_axes[a]:
+                oob |= (t[:, a] < 0) | (t[:, a] >= next3[a])
+            else:
+                t[:, a] %= next3[a]
+        tr = np.clip((t[:, 0] * next3[1] + t[:, 1]) * next3[2] + t[:, 2],
+                     0, np.prod(next3) - 1)
+        packed[:, s, 0] = np.where(oob, n_slot - 1, ext2slot[tr])
+        packed[:, s, 1:4] = d
+    return packed.reshape(n_prog, -1)
+
+
+def _alias_groups_ext(ncore, open_axes):
+    """Half-stencil dirs grouped by the neighbor cell they reach: on
+    periodic axes with <= 2 cells two dirs can hit the same cell through
+    different images (merged in-register before the q scatter, see
+    _kernel_half); open-axis offsets are exact and never alias a REAL
+    cell.  Boundary cells' out-of-range dirs can still collide on the
+    SENTINEL row -- those RMWs add exact zeros (the sentinel's slots are
+    invalid, masking every pair) to a row nobody reads, so the unordered
+    accumulation is inert."""
+    groups: dict = {}
+    for s, d in enumerate(_half_dirs()):
+        key = tuple(d[a] if open_axes[a] else d[a] % ncore[a]
+                    for a in range(3))
+        groups.setdefault(key, []).append(s)
+    return tuple(tuple(v) for v in groups.values())
+
+
+def plan_shard_cells(box_lengths, shape, rcut, skin, n_global,
+                     lane_cap=None, plan_margin: float = 1.0
+                     ) -> ShardCellPlan:
+    """Plan the per-device extended grid: fat lane-parallel core cells
+    over the brick span (open axes) / the whole box (periodic axes), at
+    the GLOBAL density (plan_lanes' greedy, ops/pallas_cellpair.py)."""
+    L = np.asarray(box_lengths, dtype=np.float64)
+    shape = tuple(int(s) for s in shape)
+    open_axes = tuple(s > 1 for s in shape)
+    spans = np.array([L[a] / shape[a] for a in range(3)])
+    rlist = rcut + skin
+    for a in range(3):
+        if open_axes[a] and spans[a] < rlist:
+            raise ValueError(
+                f"axis {a}: brick span {spans[a]:.4f} < rlist {rlist:.4f}"
+                " -- 1-hop halos cannot cover the cutoff; use fewer "
+                "devices along this axis")
+    n_brick = max(1, int(math.ceil(n_global / float(np.prod(shape)))))
+    g = plan_lanes(spans, rcut, skin, n_brick, lane_cap=lane_cap,
+                   plan_margin=plan_margin)
+    ncore = g.ncells
+    next3, n_prog, n_slot, ext2slot, slot2ext = _build_ext_tables(
+        ncore, open_axes)
+    stencil = _pack_stencil_ext((ncore, open_axes, next3, ext2slot, n_slot))
+    groups = _alias_groups_ext(ncore, open_axes)
+    # brick-frame fractional cell centers (relative to the brick center;
+    # identical on every device): multiply by the LIVE box for Cartesian
+    off = np.array([1 if o else 0 for o in open_axes])
+    w = np.array([1.0 / (shape[a] * ncore[a]) for a in range(3)])
+    span_f = np.array([1.0 / shape[a] for a in range(3)])
+    centers = (slot2ext - off + 0.5) * w - 0.5 * span_f    # (n_slot, 3)
+    centers[-1] = 0.0                                      # sentinel: inert
+    return ShardCellPlan(
+        shape=shape, ncore=tuple(int(x) for x in ncore), cap=g.cap,
+        rlist=g.rlist, open_axes=open_axes, next3=next3, n_prog=n_prog,
+        n_slot=n_slot, ext2slot=ext2slot, slot2ext=slot2ext,
+        stencil_packed=stencil, alias_groups=groups,
+        center_frac=centers.astype(np.float64))
+
+
+# ---------------------------------------------------------------------------
+# traced per-device geometry (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def brick_frame_frac(r, Lv, plan: ShardCellPlan, dev_idx3):
+    """Fractional positions RELATIVE TO THE BRICK CENTER, ghost images
+    unwrapped onto this brick's side of the box (open axes only --
+    periodic axes keep the raw unwrapped fraction, matching the
+    single-chip invariant that positions stay unwrapped between
+    rebuilds)."""
+    dt = r.dtype
+    s = r / Lv.astype(dt)
+    cols = []
+    for a in range(3):
+        if plan.open_axes[a]:
+            c = (-0.5 + (dev_idx3[a].astype(dt) + 0.5) / plan.shape[a])
+            u = s[:, a] - c
+            u = u - jnp.round(u)
+            cols.append(u)
+        else:
+            cols.append(s[:, a])
+    return jnp.stack(cols, axis=1)
+
+
+def bin_pool_ext(u, pool_mask, plan: ShardCellPlan):
+    """Slot permutation over the extended grid from brick-frame
+    fractions `u` (brick_frame_frac).  Returns (perm (n_slot*cap,) int32
+    slot -> pool row [sentinel n_pool], counts (n_prog,), overflow)."""
+    n_pool = u.shape[0]
+    exi = []
+    for a in range(3):
+        n_c = plan.ncore[a]
+        w = 1.0 / (plan.shape[a] * n_c)
+        if plan.open_axes[a]:
+            # u in ~[-span/2 - w, span/2 + w); halo offset +1
+            ix = jnp.floor(u[:, a] / w + 0.5 * n_c).astype(jnp.int32) + 1
+            ix = jnp.clip(ix, 0, n_c + 1)
+        else:
+            ix = jnp.clip(jnp.floor((u[:, a] + 0.5) * n_c).astype(jnp.int32),
+                          0, n_c - 1)
+        exi.append(ix)
+    ext_ravel = (exi[0] * plan.next3[1] + exi[1]) * plan.next3[2] + exi[2]
+    cell = jnp.asarray(plan.ext2slot)[ext_ravel]
+    cid = jnp.where(pool_mask, cell, plan.n_slot)          # invalid -> drop
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(n_pool, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = rank < plan.cap
+    flat = jnp.where(ok, sorted_cid * plan.cap + rank,
+                     (plan.n_slot + 1) * plan.cap)
+    perm = jnp.full(((plan.n_slot + 2) * plan.cap,), n_pool, jnp.int32)
+    perm = perm.at[flat].set(order.astype(jnp.int32), mode="drop")
+    perm = perm[: plan.n_slot * plan.cap]
+    overflow = jnp.any(~ok & (sorted_cid < plan.n_slot))
+    counts = jnp.sum(
+        (perm[: plan.n_prog * plan.cap].reshape(plan.n_prog, plan.cap)
+         != n_pool).astype(jnp.int32), axis=1)
+    return perm, counts, overflow
+
+
+def pack_slots_ext(u, q, tidx, perm, Lv, plan: ShardCellPlan):
+    """(n_slot, 8, cap) transposed slot records in CELL-CENTERED brick-
+    frame Cartesian coordinates (sublanes [x y z q type valid 0 0])."""
+    dt = jnp.float32
+    n_pool = u.shape[0]
+    n_slot, cap = plan.n_slot, plan.cap
+    Lvd = Lv.astype(dt)
+    centers = jnp.asarray(plan.center_frac, dt) * Lvd       # (n_slot, 3)
+    r_cart = u.astype(dt) * Lvd
+    r_ext = jnp.concatenate([r_cart, jnp.zeros((1, 3), dt)])
+    q_ext = jnp.concatenate([q.astype(dt), jnp.zeros((1,), dt)])
+    t_ext = jnp.concatenate([tidx.astype(dt), jnp.zeros((1,), dt)])
+    v_ext = jnp.concatenate([jnp.ones((n_pool,), dt), jnp.zeros((1,), dt)])
+    P = r_ext[perm].reshape(n_slot, cap, 3) - centers[:, None, :]
+    rec = jnp.concatenate([
+        P,
+        q_ext[perm].reshape(n_slot, cap, 1),
+        t_ext[perm].reshape(n_slot, cap, 1),
+        v_ext[perm].reshape(n_slot, cap, 1),
+        jnp.zeros((n_slot, cap, 2), dt),
+    ], axis=2)
+    return jnp.transpose(rec, (0, 2, 1))                    # (n_slot, 8, cap)
+
+
+# ---------------------------------------------------------------------------
+# kernel factory (core-cell programs over the extended slot array)
+# ---------------------------------------------------------------------------
+
+def make_shard_pallas_kernel(plan: ShardCellPlan, tables,
+                             coulomb: bool = True, interpret: bool = False):
+    """N3L half-stencil kernel with programs over the n_prog CORE cells
+    and slot/DMA space over the n_slot extended cells.  Physics is
+    _kernel_half verbatim (ops/pallas_cellpair.py) -- precision (_HI
+    dots), bcast tile variant and occupancy trim included.  Returns
+    eval(slots, L8, counts) -> (out_slots (n_prog*cap, 4) p-side [f,pe],
+    out_q (n_slot, 8, cap) accumulated reaction, out_cells (n_prog, 8, 8)
+    [e, virial6])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cap = plan.cap
+    assert cap % 32 == 0
+    S = 14
+    T = int(tables["sigma"].shape[0])
+    PC = _pchunk(cap)
+    kernel = functools.partial(
+        _kernel_half, cap=cap, n_stencil=S, T=T,
+        alias_groups=plan.alias_groups,
+        krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
+        keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
+        variant=_variant(), pchunk=PC, counts_off=plan.n_prog * S * 4)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan.n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 8, cap), lambda c, stencil: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cap, 3), lambda c, stencil: (c, 0)),
+            pl.BlockSpec((cap, 1), lambda c, stencil: (c, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda c, stencil: (c, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, S * cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((S,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((plan.n_prog * cap, 3), jnp.float32),
+            jax.ShapeDtypeStruct((plan.n_prog * cap, 1), jnp.float32),
+            jax.ShapeDtypeStruct((plan.n_slot, 8, cap), jnp.float32),
+            jax.ShapeDtypeStruct((plan.n_prog, 8, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    stencil_flat = jnp.asarray(plan.stencil_packed.reshape(-1))
+
+    def eval_fn(slots, L8, counts):
+        tbl = stencil_flat
+        if PC:
+            tbl = jnp.concatenate([tbl, counts.astype(jnp.int32)])
+        out_f, out_pe, out_q, out_cells = call(
+            tbl, L8, slots,
+            slots, tables["sigma"], tables["eps"], tables["shift"])
+        return (jnp.concatenate([out_f, out_pe], axis=1), out_q, out_cells)
+
+    return eval_fn
+
+
+def shard_pallas_eval(u, q, tidx, perm, counts, Lv, plan: ShardCellPlan,
+                      tables, eval_fn):
+    """Per-device pair forces/energy/virial on the POOL (local + ghost)
+    rows.  Each block pair is evaluated once mesh-wide (core-cell
+    ownership); the returned f/pe carry the ghost rows' reaction shares,
+    which the caller must reverse-reduce home (halo_reduce_3d)."""
+    dt = jnp.float32
+    n_pool = u.shape[0]
+    slots = pack_slots_ext(u, q, tidx, perm, Lv, plan)
+    wc = (jnp.asarray(plan.w_frac, dt) * Lv.astype(dt))
+    L8 = jnp.concatenate([wc, jnp.asarray([tables["rcut2"]], dt),
+                          jnp.zeros((4,), dt)]).reshape(1, 8)
+    out_slots, out_q, out_cells = eval_fn(slots, L8, counts)
+
+    back = jnp.transpose(out_q, (0, 2, 1)).reshape(plan.n_slot * plan.cap, 8)
+    npc = plan.n_prog * plan.cap
+    F_slot = back[:, 0:3].at[:npc].add(out_slots[:, 0:3])
+    pe_slot = back[:, 3].at[:npc].add(out_slots[:, 3])
+    f = jnp.zeros((n_pool + 1, 3), dt).at[perm].set(
+        F_slot, mode="drop")[:n_pool]
+    pe = jnp.zeros((n_pool + 1,), dt).at[perm].set(
+        pe_slot, mode="drop")[:n_pool]
+    vir6 = jnp.sum(out_cells[:, 1:7, 0], axis=0)
+    virial = jnp.asarray([[vir6[0], vir6[3], vir6[4]],
+                          [vir6[3], vir6[1], vir6[5]],
+                          [vir6[4], vir6[5], vir6[2]]])
+    return f, virial, pe

@@ -106,7 +106,7 @@ class ParallelSimulation:
             else r_host
 
         from ..parallel.brick import BrickPlan, distribute_bricks
-        from ..parallel.brickstep import make_brick_mesh, make_brick_step
+        from ..parallel.brickstep import make_brick_mesh
 
         # deck-driven load balance (loadBalance LOADBALANCE {type=zRamp}
         # on the DDC object, loadBalance_init /root/reference/src/
@@ -271,16 +271,38 @@ class ParallelSimulation:
         self.barostat = barostat
 
         self.chunk_steps = max(1, int(sd.cfg.ddc_update_rate))
-        (self.step_fn, self.first_fn, self.migrate_fn,
-         self.chunk_fn) = make_brick_step(
-            self.mesh, self.plan, self.grid, self.tables, self.coeffs,
+        # shard engine: the pallas cell-pair kernel per device (the
+        # reference's fastest-engine-under-decomposition architecture,
+        # masters.c:389-403) when the geometry admits one SPMD cell grid;
+        # the (N,K) nlist engine otherwise.  DDCMD_SHARD_ENGINE forces.
+        n_loc0 = sd.state.n_local
+        self._coulomb = bool(np.any(np.asarray(sd.state.q[:n_loc0]) != 0.0))
+        # uniform-LJ-type collapse for the pallas kernel (scalar
+        # parameters, no one-hot lookups -- same fast path as
+        # run/forces.py's single-chip wiring)
+        self._pallas_tables, self._pallas_tmap = self.tables, tmap
+        if self.force_kind == "martini":
+            used = np.unique(np.asarray(tmap)[
+                np.asarray(sd.state.species[:n_loc0])])
+            if len(used) == 1:
+                t0 = int(used[0])
+                self._pallas_tables = dict(
+                    self.tables,
+                    sigma=self.tables["sigma"][t0:t0 + 1, t0:t0 + 1],
+                    eps=self.tables["eps"][t0:t0 + 1, t0:t0 + 1],
+                    shift=self.tables["shift"][t0:t0 + 1, t0:t0 + 1])
+                self._pallas_tmap = np.zeros_like(np.asarray(tmap))
+        self.shard_engine = self._pick_shard_engine(geom, L, rlist)
+
+        self._step_kwargs = dict(
             dt=sd.cfg.dt, box_lengths=geom, species_lj_type=tmap, n_global=n,
             bonded_tables=bonded_gid_tab,
             field_keys=field_keys or ("r", "v", "q", "mass", "species",
                                       "group", "gid"),
-            chunk_steps=max(1, int(sd.cfg.ddc_update_rate)),
+            chunk_steps=self.chunk_steps,
             constraint_tables=cons_tab, barostat=barostat,
             mol_tables=mol_tab, force_kind=self.force_kind)
+        self._build_step_fns(geom)
 
         npdt = np.dtype(jnp.dtype(dtype))
         arrays = dict(
@@ -300,14 +322,6 @@ class ParallelSimulation:
         self._host_arrays = arrays          # gid-ordered template (r/v refreshed on gather)
         self._box_L = geom
         self._lb_L = L                      # per-axis perpendicular spans
-        self._step_kwargs = dict(
-            dt=sd.cfg.dt, box_lengths=geom, species_lj_type=tmap, n_global=n,
-            bonded_tables=bonded_gid_tab,
-            field_keys=field_keys or ("r", "v", "q", "mass", "species",
-                                      "group", "gid"),
-            chunk_steps=self.chunk_steps,
-            constraint_tables=cons_tab, barostat=barostat,
-            mol_tables=mol_tab, force_kind=self.force_kind)
         buf, mask, counts = distribute_bricks(arrays, geom, self.plan)
         shard = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, P(("bx", "by", "bz"))))
@@ -344,12 +358,17 @@ class ParallelSimulation:
                 print_fn(line)
 
     def run(self, n_loops: int, *, migrate_rate: int | None = None,
-            print_fn=None):
+            print_fn=None, max_steps_per_dispatch: int | None = None):
         """Chunked dispatch: ddc_update_rate steps + one migration per
         device round trip (the multi-chip superchunk); leftover loops go
         through the single-step path.  Passing migrate_rate switches to
         the per-step path with migration at that cadence (the pre-chunk
-        semantics)."""
+        semantics).
+
+        max_steps_per_dispatch > chunk_steps batches MANY chunks into one
+        device dispatch when the engine provides a superchunk (the pallas
+        shard engine does) -- the tunnel round trip then amortizes over
+        hundreds of steps exactly like the single-chip bench path."""
         sd = self.sysdef
         if self.f is None:
             self.first_energy()
@@ -383,6 +402,52 @@ class ParallelSimulation:
         next_lb = (self.loop - self.loop % self.lb_rate + self.lb_rate
                    if self.lb_rate else None)
         redis_tries = 0
+        # superchunk batching (pallas shard engine): M chunks/dispatch
+        M = 0
+        if (max_steps_per_dispatch and max_steps_per_dispatch >= 2 * k
+                and hasattr(self.chunk_fn, "make_super")
+                and (next_lb is None)):
+            M = max_steps_per_dispatch // k
+            cache = getattr(self, "_super_cache", {})
+            if cache.get("key") != (M, id(self.chunk_fn)):
+                cache = {"key": (M, id(self.chunk_fn)),
+                         "fn": self.chunk_fn.make_super(M)}
+                self._super_cache = cache
+            super_fn = cache["fn"]
+        while M and done + M * k <= n_loops:
+            prev = (self.fields, self.mask, self.f,
+                    getattr(self, "vird", None), getattr(self, "Lv", None))
+            self.key, sub = jax.random.split(self.key)
+            if self.barostat is not None:
+                (self.fields, self.mask, self.f, self.vird, self.Lv,
+                 scalars, ov) = super_fn(
+                    self.fields, self.mask, self.f, self.vird, self.Lv, sub)
+            else:
+                (self.fields, self.mask, self.f, scalars,
+                 ov) = super_fn(self.fields, self.mask, self.f, sub)
+            if int(ov):
+                redis_tries += 1
+                if redis_tries > 2:
+                    raise RuntimeError(
+                        f"overflow in superchunk at loop {self.loop}")
+                self.fields, self.mask, self.f = prev[:3]
+                if self.barostat is not None:
+                    self.vird, self.Lv = prev[3], prev[4]
+                if redis_tries == 1:
+                    self.redistribute()
+                else:
+                    self.replan()
+                # step/chunk programs changed: rebuild the superchunk
+                self._super_cache = {}
+                cache = {"key": (M, id(self.chunk_fn)),
+                         "fn": self.chunk_fn.make_super(M)}
+                self._super_cache = cache
+                super_fn = cache["fn"]
+                continue
+            redis_tries = 0
+            self._print_scalars(scalars, print_fn, self.loop)
+            self.loop += M * k
+            done += M * k
         while done + k <= n_loops:
             if next_lb is not None and self.loop >= next_lb:
                 self.rebalance()
@@ -429,6 +494,76 @@ class ParallelSimulation:
             done += 1
             self._print_scalars(scalars[None, :], print_fn, self.loop - 1)
         return self
+
+
+def _pick_shard_engine(psim, geom, L, rlist):
+    """'pallas' when the decomposition admits one SPMD per-device cell
+    grid (uniform bricks, orthorhombic box, f32, Martini/PAIR force
+    path), else 'nlist'.  DDCMD_SHARD_ENGINE=pallas|nlist forces."""
+    import os
+
+    forced = os.environ.get("DDCMD_SHARD_ENGINE", "")
+    if forced == "nlist":
+        return "nlist"
+    ok = (psim.force_kind == "martini"
+          and np.asarray(geom).ndim == 1
+          and psim.dtype == jnp.float32
+          and psim.plan.walls is None and psim.plan.voronoi is None)
+    why = "force/box/walls gate"
+    for a in range(3):
+        na = psim.shape[a]
+        span = L[a] / na
+        # open axes need brick >= rlist (1-hop halos span the cutoff);
+        # 2-device axes need brick >= 2 rlist (an atom within rlist of
+        # BOTH faces would have to appear at two ghost images, but the
+        # staged exchange ships it once)
+        if na > 1 and span < rlist * (2.0 if na == 2 else 1.0):
+            ok = False
+            why = f"axis {a}: brick {span:.3f} too narrow for rlist {rlist:.3f}"
+    if forced == "pallas" and not ok:
+        raise ValueError(f"DDCMD_SHARD_ENGINE=pallas infeasible: {why}")
+    return "pallas" if ok else "nlist"
+
+
+ParallelSimulation._pick_shard_engine = _pick_shard_engine
+
+
+def _build_step_fns(psim, geom):
+    """(Re)build the sharded step/first/migrate/chunk programs for the
+    current plan/grid; dispatches to the per-device pallas engine when
+    eligible (re-checked here: rebalance can install non-uniform walls,
+    which demote to the nlist engine)."""
+    import os
+
+    from ..parallel.brickstep import make_brick_step
+
+    kw = dict(psim._step_kwargs, box_lengths=geom)
+    use_pallas = (getattr(psim, "shard_engine", "nlist") == "pallas"
+                  and psim.plan.walls is None and psim.plan.voronoi is None
+                  and np.asarray(geom).ndim == 1)
+    if use_pallas:
+        from ..parallel.brickstep_pallas import make_brick_step_pallas
+        from ..parallel.pallas_shard import plan_shard_cells
+
+        sd = psim.sysdef
+        psim.cplan = plan_shard_cells(
+            np.asarray(geom, dtype=np.float64), psim.shape,
+            sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
+            plan_margin=1.08 if psim._npt_deck else 1.0)
+        interp = (jax.default_backend() == "cpu"
+                  or bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
+        kw.pop("force_kind", None)
+        kw["species_lj_type"] = psim._pallas_tmap
+        out = make_brick_step_pallas(
+            psim.mesh, psim.plan, psim.cplan, psim._pallas_tables,
+            psim.coeffs, coulomb=psim._coulomb, interpret=interp, **kw)
+    else:
+        out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
+                              psim.coeffs, **kw)
+    (psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn) = out
+
+
+ParallelSimulation._build_step_fns = _build_step_fns
 
 
 def _cap(x: int) -> int:
@@ -515,7 +650,6 @@ def parallel_rebalance(psim):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.brick import distribute_bricks
-    from ..parallel.brickstep import make_brick_step
     from ..parallel.loadbalance import clamp_walls, tensor_walls
 
     R, V = _gather_by_gid(psim)
@@ -536,10 +670,7 @@ def parallel_rebalance(psim):
         psim.plan = dataclasses.replace(
             psim.plan, voronoi=dict(centers=centers, margins=margins,
                                     L0=L.copy()))
-        kw = dict(psim._step_kwargs, box_lengths=geom)
-        out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
-                              psim.coeffs, **kw)
-        psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
+        psim._build_step_fns(geom)
         arrays = dict(psim._host_arrays,
                       r=R.astype(psim._host_arrays["r"].dtype),
                       v=V.astype(psim._host_arrays["v"].dtype))
@@ -563,10 +694,7 @@ def parallel_rebalance(psim):
         walls = tuple(tuple(clamp_walls(w, 1.05 * psim.plan.rlist / L[a]))
                       for a, w in enumerate(raw))
     psim.plan = dataclasses.replace(psim.plan, walls=walls)
-    kw = dict(psim._step_kwargs, box_lengths=geom)
-    out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
-                          psim.coeffs, **kw)
-    psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
+    psim._build_step_fns(geom)
 
     arrays = dict(psim._host_arrays,
                   r=R.astype(psim._host_arrays["r"].dtype),
@@ -621,7 +749,6 @@ def parallel_replan(psim):
     infeasible (1-hop halos cannot span the cutoff): raise the actionable
     error instead of retrying forever."""
     from ..nbr.celllist import CellGrid
-    from ..parallel.brickstep import make_brick_step
 
     sd = psim.sysdef
     R, _V = _gather_by_gid(psim)
@@ -645,10 +772,7 @@ def parallel_replan(psim):
         psim.plan.local_cap + psim.plan.ghost_cap,
         positions=r_lb, occupancy_factor=dup,
         plan_margin=1.1 if getattr(psim, "_npt_deck", False) else 1.0)
-    kw = dict(psim._step_kwargs, box_lengths=geom)
-    out = make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
-                          psim.coeffs, **kw)
-    psim.step_fn, psim.first_fn, psim.migrate_fn, psim.chunk_fn = out
+    psim._build_step_fns(geom)
     psim.redistribute()
 
 

@@ -1,0 +1,244 @@
+"""Sharded pallas engine: the flagship kernel under the brick mesh.
+
+Validates the round-4 architecture (parallel/pallas_shard +
+parallel/brickstep_pallas): per-device extended cell grids, core-cell
+pair ownership (each pair evaluated once mesh-wide), frozen halo routing
+with per-step position refresh, and the reverse force/energy reduce --
+against the (N,K) nlist brick engine and the single-device evaluation.
+Kernels run in interpret mode on the 8-device CPU mesh (tests/conftest).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import __graft_entry__ as ge
+from ddcmd_tpu.core.groups import Group, GroupTable
+from ddcmd_tpu.nbr.celllist import CellGrid, build_neighbor_list
+from ddcmd_tpu.parallel.brick import (BrickPlan, distribute_bricks,
+                                      halo_exchange_3d, halo_reduce_3d,
+                                      halo_refresh_3d)
+from ddcmd_tpu.parallel.brickstep import make_brick_mesh
+from ddcmd_tpu.parallel.brickstep_pallas import make_brick_step_pallas
+from ddcmd_tpu.parallel.pallas_shard import plan_shard_cells
+from ddcmd_tpu.potentials.martini import martini_nonbond
+
+SHAPE = (2, 2, 2)
+
+
+def _setup(L=6.4, rcut=0.6, skin=0.15):
+    n = int(np.ceil(L / 0.5)) ** 3
+    arrays, L, rcut, tables = ge._synthetic_system(n=n, L=L, rcut=rcut,
+                                                   sigma0=0.4)
+    gid64 = arrays.pop("gid")
+    arrays["gid"] = np.stack([(gid64 & 0xFFFFFFFF).astype(np.uint32),
+                              (gid64 >> 32).astype(np.uint32)], axis=1)
+    for k in ("r", "v", "q", "mass"):
+        arrays[k] = arrays[k].astype(np.float32)
+    n_dev = int(np.prod(SHAPE))
+    plan = BrickPlan(shape=SHAPE, local_cap=8 * n // n_dev,
+                     halo_cap=4 * n // n_dev, migrate_cap=256,
+                     rlist=rcut + skin)
+    return arrays, L, rcut, skin, tables, plan, n
+
+
+def _shard(mesh, buf):
+    put = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P(("bx", "by", "bz"))))
+    return {k: put(v) for k, v in buf.items()}, put
+
+
+def test_shard_plan_invariants():
+    """Extended-grid geometry: cap granularity, slot ordering (core
+    first), stencil ids in range, per-axis cell widths >= rlist."""
+    for shape in [(1, 1, 1), (2, 2, 2), (4, 1, 1), (2, 2, 1)]:
+        cp = plan_shard_cells([9.4, 9.4, 9.4], shape, 1.1, 0.4, 6173)
+        assert cp.cap % 32 == 0
+        assert cp.n_prog == int(np.prod(cp.ncore))
+        n_halo = int(np.prod(cp.next3)) - cp.n_prog
+        assert cp.n_slot == cp.n_prog + n_halo + 1
+        st = cp.stencil_packed.reshape(cp.n_prog, 14, 4)
+        assert st[:, :, 0].min() >= 0
+        assert st[:, :, 0].max() <= cp.sentinel_cell
+        for a in range(3):
+            w = 9.4 / (shape[a] * cp.ncore[a])
+            assert w >= cp.rlist - 1e-9
+        # slot map is a bijection ext-cells <-> slots[0:n_slot-1]
+        assert len(np.unique(cp.ext2slot)) == int(np.prod(cp.next3))
+        # 1-device mesh: fully periodic, no halo cells, matches the
+        # single-chip plan_lanes geometry
+        if shape == (1, 1, 1):
+            from ddcmd_tpu.ops.pallas_cellpair import plan_lanes
+
+            g = plan_lanes([9.4, 9.4, 9.4], 1.1, 0.4, 6173)
+            assert cp.ncore == g.ncells and cp.cap == g.cap
+            assert cp.n_slot == cp.n_prog + 1
+
+
+def test_halo_routing_refresh_and_reduce():
+    """The frozen-routing position refresh reproduces the rebuild-time
+    exchange, and the reverse reduce lands every ghost contribution on
+    exactly its source atom (ddcUpdate/ddcUpdateForce semantics)."""
+    arrays, L, rcut, skin, tables, plan, n = _setup()
+    mesh = make_brick_mesh(SHAPE)
+    buf, mask, counts = distribute_bricks(arrays, [L] * 3, plan)
+    fields, put = _shard(mesh, buf)
+    maskd = put(mask)
+
+    def go(fields, mask):
+        Lv = jnp.asarray([L] * 3, jnp.float32)
+        ghosts, gmask, ov, routing = halo_exchange_3d(
+            {k: fields[k] for k in ("r", "q")}, mask, Lv, plan,
+            with_routing=True)
+        # per-step refresh must rebuild the same ghost positions
+        pool_r = halo_refresh_3d(fields["r"], routing, plan)
+        same = jnp.where(gmask[:, None],
+                         pool_r[mask.shape[0]:] - ghosts["r"], 0.0)
+        # reverse reduce: charge 1 unit per VALID ghost row; each source
+        # atom must receive exactly the number of ghost copies of itself
+        ship = jnp.concatenate(
+            [jnp.zeros((mask.shape[0], 1), jnp.float32),
+             gmask[:, None].astype(jnp.float32)])
+        copies = halo_reduce_3d(ship, routing, plan, mask.shape[0])
+        return same, copies, gmask, ov
+
+    from jax.sharding import PartitionSpec as P2
+    PS = P2(("bx", "by", "bz"))
+    f = jax.jit(jax.shard_map(
+        go, mesh=mesh, in_specs=({k: PS for k in fields}, PS),
+        out_specs=(PS, PS, PS, P2()), check_vma=False))
+    same, copies, gmask, ov = f(fields, maskd)
+    assert int(ov) == 0
+    assert float(jnp.abs(same).max()) == 0.0
+    # total ghost copies mesh-wide == total received back
+    assert float(jnp.sum(copies)) == float(jnp.sum(gmask))
+    # every valid atom has >= 1 ghost copy only if it sat in some halo
+    # window; no atom receives copies without being valid
+    m = np.asarray(maskd)
+    assert (np.asarray(copies)[~m] == 0).all()
+
+
+def test_pallas_shard_forces_match_single_device():
+    """First forces via the sharded pallas engine == the single-device
+    (N,K) full-list evaluation (multi-LJ-type system exercises the
+    T-select path)."""
+    arrays, L, rcut, skin, tables, plan, n = _setup()
+
+    grid1 = CellGrid.plan([L] * 3, rcut, skin, n, n)
+    rj = jnp.asarray(arrays["r"])
+    fmask = jnp.ones(n, jnp.float32)
+    Lv = jnp.asarray([L] * 3, jnp.float32)
+    nbr, _, ov = build_neighbor_list(rj, fmask, Lv, grid1)
+    assert not bool(ov)
+    f_ref, e_ref, v_ref, pe_ref, _ = martini_nonbond(
+        rj, jnp.asarray(arrays["q"]), jnp.asarray(arrays["species"]),
+        fmask, nbr, Lv, tables)
+
+    mesh = make_brick_mesh(SHAPE)
+    cplan = plan_shard_cells([L] * 3, SHAPE, rcut, skin, n)
+    coeffs = GroupTable.build(
+        [Group(name="free", index=0, type="FREE")]).coefficients(0.0, 0.01)
+    step_fn, first_fn, migrate_fn = make_brick_step_pallas(
+        mesh, plan, cplan, tables, coeffs, dt=0.02, box_lengths=[L] * 3,
+        species_lj_type=np.array([0, 1], dtype=np.int32), n_global=n,
+        coulomb=True, interpret=True)
+
+    buf, mask, counts = distribute_bricks(arrays, [L] * 3, plan)
+    fields, put = _shard(mesh, buf)
+    maskd = put(mask)
+    f, e, virial, ov = first_fn(fields, maskd, jax.random.PRNGKey(0))
+    assert int(ov) == 0
+    assert float(e) == pytest.approx(float(e_ref), rel=2e-5, abs=1e-2)
+    assert np.asarray(virial) == pytest.approx(np.asarray(v_ref),
+                                               rel=1e-3, abs=1.0)
+    m = np.asarray(maskd)
+    gid = np.asarray(fields["gid"])[m][:, 0].astype(np.int64)
+    f_sh = np.asarray(f)[m]
+    order = np.argsort(gid)
+    scale = max(1.0, float(jnp.abs(f_ref).max()))
+    assert np.abs(f_sh[order] - np.asarray(f_ref)).max() / scale < 2e-5
+
+
+def test_pallas_shard_steps_and_migrates():
+    """Chunked NVT dynamics through the pallas brick step: finite
+    scalars, conservation through migration, and step-level agreement
+    with the nlist brick engine over one chunk (identical kick RNG)."""
+    from ddcmd_tpu.parallel.brickstep import make_brick_step
+
+    arrays, L, rcut, skin, tables, plan, n = _setup()
+    mesh = make_brick_mesh(SHAPE)
+    cplan = plan_shard_cells([L] * 3, SHAPE, rcut, skin, n)
+    grid = CellGrid.plan([L] * 3, rcut, skin, n,
+                         plan.local_cap + plan.ghost_cap)
+    coeffs = GroupTable.build(
+        [Group(name="t", index=0, type="LANGEVIN", Teq=lambda t: 300.0,
+               tau=1.0)]).coefficients(0.0, 0.01)
+    tmap = np.array([0, 1], dtype=np.int32)
+    kw = dict(dt=0.02, box_lengths=[L] * 3, species_lj_type=tmap,
+              n_global=n, chunk_steps=5)
+    out_p = make_brick_step_pallas(mesh, plan, cplan, tables, coeffs,
+                                   coulomb=True, interpret=True, **kw)
+    out_n = make_brick_step(mesh, plan, grid, tables, coeffs, **kw)
+
+    buf, mask, counts = distribute_bricks(arrays, [L] * 3, plan)
+    res = {}
+    for name, fns in (("pallas", out_p), ("nlist", out_n)):
+        step_fn, first_fn, migrate_fn, chunk_fn = fns
+        fields, put = _shard(mesh, buf)
+        maskd = put(mask)
+        key = jax.random.PRNGKey(7)
+        f, e0, _, ov = first_fn(fields, maskd, key)
+        assert int(ov) == 0
+        fields, maskd, f, scal, ov = chunk_fn(fields, maskd, f, key)
+        assert int(ov) == 0
+        assert np.isfinite(np.asarray(scal)).all()
+        assert int(np.asarray(maskd).sum()) == n
+        res[name] = (float(e0), np.asarray(scal))
+    # same RNG stream + near-identical forces: scalar rows track closely
+    # over a short chunk (chaos grows later)
+    e0p, sp = res["pallas"]
+    e0n, sn = res["nlist"]
+    assert e0p == pytest.approx(e0n, rel=2e-5, abs=1e-2)
+    assert sp[:, 0] == pytest.approx(sn[:, 0], rel=2e-4, abs=1.0)
+    assert sp[:, 1] == pytest.approx(sn[:, 1], rel=2e-3, abs=1.0)
+
+
+@pytest.mark.slow
+def test_pallas_shard_waterbox_deck(waterbox_dir):
+    """The real waterbox deck (NGLFCONSTRAINT + barostat) through
+    ParallelSimulation's auto-selected pallas shard engine: first energy
+    matches the nlist engine, the NPT chunk runs and moves the box."""
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    def load():
+        return load_db([str(waterbox_dir / "object.data")],
+                       str(waterbox_dir / "snapshot.mem" / "restart"),
+                       str(waterbox_dir))
+
+    os.environ.pop("DDCMD_SHARD_ENGINE", None)
+    ps = ParallelSimulation(load(), str(waterbox_dir), shape=(2, 2, 2))
+    assert ps.shard_engine == "pallas"
+    e_p = ps.first_energy()
+
+    os.environ["DDCMD_SHARD_ENGINE"] = "nlist"
+    try:
+        ps2 = ParallelSimulation(load(), str(waterbox_dir), shape=(2, 2, 2))
+        assert ps2.shard_engine == "nlist"
+        e_n = ps2.first_energy()
+    finally:
+        os.environ.pop("DDCMD_SHARD_ENGINE", None)
+    assert e_p == pytest.approx(e_n, rel=2e-5, abs=0.5)
+
+    v0 = float(jnp.prod(ps.Lv))
+    ps.run(ps.chunk_steps, print_fn=lambda s: None)
+    m = np.asarray(ps.mask)
+    assert int(m.sum()) == ps.sysdef.state.n_local
+    assert np.isfinite(np.asarray(ps.f)[m]).all()
+    v1 = float(jnp.prod(ps.Lv))
+    assert np.isfinite(v1) and v1 != v0
