@@ -455,19 +455,75 @@ class Dsf(Analysis):
                             f"{S[wi, ki]:14.6e}\n")
 
 
+def _knn(r, L, K, tie_desc_d=False):
+    """K nearest neighbors per particle: (idx (n,K), disp (n,K,3)) with
+    disp = r_i - r_j min-imaged.  Small systems take the direct O(N^2)
+    route; large ones go through the framework's cell-list candidate
+    search (nbr/celllist -- the pairFinder-family service the reference
+    analyses share, src/pairFinder.c) and select the K nearest among
+    candidates, so a 94k-atom bilayer evaluates in seconds instead of
+    materializing an (n, n, 3) displacement tensor.
+
+    tie_desc_d: equal-distance ties rank by DESCENDING (dx, dy, dz)
+    (the environment-invariant order quaternion.c:93 relies on);
+    default ties rank by neighbor index."""
+    n = len(r)
+    if n <= 4096:
+        d = r[:, None, :] - r[None, :, :]
+        d -= L * np.round(d / L)
+        dist2 = (d ** 2).sum(axis=-1)
+        np.fill_diagonal(dist2, np.inf)
+        if tie_desc_d:
+            order = np.lexsort((-d[..., 2], -d[..., 1], -d[..., 0], dist2),
+                               axis=1)[:, :K]
+        else:
+            order = np.lexsort((np.broadcast_to(np.arange(n), (n, n)),
+                                dist2), axis=1)[:, :K]
+        disp = np.take_along_axis(d, order[:, :, None], axis=1)
+        return order, disp
+
+    import jax.numpy as jnp
+
+    from ..nbr.celllist import CellGrid, build_neighbor_list
+
+    # candidate radius from density: sphere holding ~K neighbors + margin
+    rho = n / float(np.prod(L))
+    rlist = 1.35 * (3.0 * (K + 1) / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    rw = r - L * np.round(r / L)               # celllist wants wrapped
+    for _ in range(5):
+        grid = CellGrid.plan(L, rlist, 0.0, n, n)
+        nbr, _, ov = build_neighbor_list(
+            jnp.asarray(rw, jnp.float32), jnp.ones(n, jnp.float32),
+            jnp.asarray(L, jnp.float32), grid)
+        nbr = np.asarray(nbr)
+        if not bool(ov) and ((nbr != n).sum(axis=1) >= K).all():
+            break
+        rlist *= 1.3
+    else:
+        raise RuntimeError(f"_knn: {K} neighbors not found within {rlist}")
+    # exact f64 selection among candidates (f32 only prefilters)
+    rows = np.arange(n)[:, None]
+    r_ext = np.concatenate([r, np.zeros((1, 3))])
+    d = r[:, None, :] - r_ext[nbr]
+    d -= L * np.round(d / L)
+    d2 = (d * d).sum(axis=-1)
+    d2[nbr == n] = np.inf
+    if tie_desc_d:
+        sub = np.lexsort((-d[..., 2], -d[..., 1], -d[..., 0], d2),
+                         axis=1)[:, :K]
+    else:
+        sub = np.lexsort((nbr, d2), axis=1)[:, :K]
+    idx = nbr[rows, sub]
+    disp = d[rows, sub]
+    return idx, disp
+
+
 def _nearest_neighbors(sim, n_neighbors):
-    """Indices+displacements of the n nearest neighbors per particle
-    (analysis cadence; O(N^2) on host is fine at this scale)."""
+    """Indices+displacements of the n nearest neighbors per particle."""
     n = sim.sysdef.state.n_local
     r = np.asarray(sim.ss.state.r[:n], dtype=np.float64)
     L = np.asarray(sim.ss.box.lengths, dtype=np.float64)
-    d = r[:, None, :] - r[None, :, :]
-    d -= L * np.round(d / L)
-    dist2 = (d ** 2).sum(axis=-1)
-    np.fill_diagonal(dist2, np.inf)
-    idx = np.argsort(dist2, axis=1)[:, :n_neighbors]
-    disp = np.take_along_axis(d, idx[:, :, None], axis=1)
-    return idx, disp
+    return _knn(r, L, n_neighbors)
 
 
 class Centrosym(Analysis):
@@ -480,17 +536,23 @@ class Centrosym(Analysis):
 
     def eval(self, sim):
         idx, disp = _nearest_neighbors(sim, self.n_neighbors)
-        n = disp.shape[0]
+        n, K = disp.shape[0], self.n_neighbors
+        # greedy antiparallel pairing, vectorized over particles: each
+        # round pairs the first still-active bond with its best partner
+        # (same pick order as the reference's per-atom scan)
         cs = np.zeros(n)
-        for i in range(n):
-            d = list(range(self.n_neighbors))
-            v = disp[i]
-            while len(d) > 1:
-                a = d.pop(0)
-                s = [(np.sum((v[a] + v[b]) ** 2), b) for b in d]
-                val, b = min(s)
-                d.remove(b)
-                cs[i] += val
+        active = np.ones((n, K), bool)
+        rows = np.arange(n)
+        for _ in range(K // 2):
+            a = np.argmax(active, axis=1)               # first active bond
+            va = disp[rows, a]
+            s = ((disp + va[:, None, :]) ** 2).sum(-1)  # (n, K)
+            s[~active] = np.inf
+            s[rows, a] = np.inf
+            b = np.argmin(s, axis=1)                    # ties: smallest b
+            cs += s[rows, b]
+            active[rows, a] = False
+            active[rows, b] = False
         self.state["cs"] = cs
 
     def output(self, sim, run_dir="."):
@@ -515,48 +577,48 @@ class AcklandJones(Analysis):
     def eval(self, sim):
         idx, disp = _nearest_neighbors(sim, 14)
         n = disp.shape[0]
-        kinds = np.zeros(n, dtype=np.int32)
         # chi-bin boundaries from Ackland & Jones (PRB 73, 054104):
         # reference cosines -1 (chi0), -1/3 & -0.577 (chi4), 0 (chi5),
         # 1/3 & 0.5 & 0.577 (chi7); chi8 (>0.795) flags disorder.
-        edges = [-1.001, -0.945, -0.915, -0.755, -0.705, -0.195, 0.195,
-                 0.245, 0.795, 1.001]
-        for i in range(n):
-            v = disp[i]
-            d2 = (v ** 2).sum(axis=1)
-            r2_6 = d2[:6].mean()          # idx sorted by distance already
-            sel = d2 < 1.45 * r2_6        # angular neighbor set
-            vv = v[sel]
-            n1 = len(vv)
-            if n1 < 6:
-                continue
-            u = vv / np.linalg.norm(vv, axis=1)[:, None]
-            cosines = (u @ u.T)[np.triu_indices(n1, 1)]
-            chi, _ = np.histogram(cosines, bins=edges)
-            x0, x1, x2, x3, x4, x5, x6, x7, x8 = (int(c) for c in chi)
-            denom = x5 + x6 + x7 - x4
-            delta_bcc = 0.35 * x4 / denom if denom > 0 else 10.0
-            delta_cp = abs(1.0 - x7 / 24.0)
-            delta_fcc = 0.61 * (abs(x0 + x1 - 6) + x2) / 6.0
-            delta_hcp = (abs(x0 - 3) + abs(x0 + x1 + x2 + x3 - 9)) / 12.0
-            if x0 == 7:
-                delta_bcc = 0.0
-            elif x0 == 6:
-                delta_fcc = 0.0
-            elif x0 <= 3:
-                delta_hcp = 0.0
-            if x8 > 0:
-                kinds[i] = 0              # near-parallel pairs: disordered
-            elif x4 < 3:
-                kinds[i] = 4 if 11 <= n1 <= 13 else 0
-            elif delta_bcc <= delta_cp:
-                kinds[i] = 3 if n1 >= 11 else 0
-            elif n1 > 12 or n1 < 11:
-                kinds[i] = 0
-            elif delta_fcc < delta_hcp:
-                kinds[i] = 1
-            else:
-                kinds[i] = 2
+        edges = np.array([-1.001, -0.945, -0.915, -0.755, -0.705, -0.195,
+                          0.195, 0.245, 0.795, 1.001])
+        d2 = (disp ** 2).sum(axis=-1)                   # (n, 14)
+        r2_6 = d2[:, :6].mean(axis=1)
+        sel = d2 < 1.45 * r2_6[:, None]                 # angular set
+        n1 = sel.sum(axis=1)
+        nrm = np.sqrt(np.where(d2 > 0, d2, 1.0))
+        u = disp / nrm[:, :, None]
+        cos = np.einsum("nkd,nld->nkl", u, u)
+        kk, ll = np.arange(14)[:, None], np.arange(14)[None, :]
+        pmask = sel[:, :, None] & sel[:, None, :] & (kk < ll)[None]
+        chi = np.stack(
+            [((cos >= edges[b]) & (cos < edges[b + 1]) & pmask).sum((1, 2))
+             for b in range(9)], axis=1)                # (n, 9)
+        x0, x1, x2, x3, x4, x5, x6, x7, x8 = (chi[:, b] for b in range(9))
+        denom = x5 + x6 + x7 - x4
+        delta_bcc = np.where(denom > 0,
+                             0.35 * x4 / np.where(denom != 0, denom, 1),
+                             10.0)
+        delta_cp = np.abs(1.0 - x7 / 24.0)
+        delta_fcc = 0.61 * (np.abs(x0 + x1 - 6) + x2) / 6.0
+        delta_hcp = (np.abs(x0 - 3) + np.abs(x0 + x1 + x2 + x3 - 9)) / 12.0
+        delta_bcc = np.where(x0 == 7, 0.0, delta_bcc)
+        delta_fcc = np.where((x0 == 6) & (x0 != 7), 0.0, delta_fcc)
+        delta_hcp = np.where((x0 <= 3), 0.0, delta_hcp)
+        kinds = np.select(
+            [n1 < 6,                                    # too few: UNKNOWN
+             x8 > 0,                                    # near-parallel
+             x4 < 3,
+             delta_bcc <= delta_cp,
+             (n1 > 12) | (n1 < 11),
+             delta_fcc < delta_hcp],
+            [0,
+             0,
+             np.where((n1 >= 11) & (n1 <= 13), 4, 0),
+             np.where(n1 >= 11, 3, 0),
+             0,
+             1],
+            default=2).astype(np.int32)
         self.state["kinds"] = kinds
 
     def output(self, sim, run_dir="."):
@@ -755,18 +817,14 @@ class Quaternion(Analysis):
     def compute(self, r, L):
         n = len(r)
         K = 4 * self.n_pairs
-        d = r[:, None, :] - r[None, :, :]
-        d = d - L * np.round(d / L)
-        r2 = (d * d).sum(-1)
-        np.fill_diagonal(r2, np.inf)
+        rows = np.arange(n)[:, None]
         # environment-invariant neighbor order: (r2, dx, dy, dz) so
         # equivalent atoms scan their bond pairs identically (the
-        # reference relies on its pair-finder order, quaternion.c:93)
-        rows = np.arange(n)[:, None]
-        order = np.lexsort((-d[..., 2], -d[..., 1], -d[..., 0], r2), axis=1)
-        idx = order[:, :K]
-        disp = -d[rows, idx]                       # displacement TO neighbor
-        r2s = r2[rows, idx]                        # (n,K) ascending
+        # reference relies on its pair-finder order, quaternion.c:93);
+        # _knn routes big systems through the cell-list candidate search
+        idx, dnn = _knn(r, L, K, tie_desc_d=True)
+        disp = -dnn                                # displacement TO neighbor
+        r2s = (dnn * dnn).sum(-1)                  # (n,K) ascending
         r2_1 = self.rfcut * r2s[:, :6].mean(axis=1)
         N0 = (r2s < r2_1[:, None]).sum(axis=1)     # prefix count (sorted)
         jj = np.arange(K)

@@ -297,3 +297,116 @@ def test_coarsegrain_fields_and_smearing(tmp_path):
             a.output(sim, str(tmp_path))
             head = (tmp_path / "cgrid").read_text().splitlines()[0]
             assert all(nm in head for nm in names)
+
+
+def test_vectorized_classifiers_match_loop_reference():
+    """The vectorized AcklandJones/Centrosym evals (round-4: the per-
+    particle Python loops were a 94k-scale host bottleneck) reproduce a
+    direct transcription of the reference per-atom loop on a thermally
+    perturbed crystal."""
+    from ddcmd_tpu.analysis.registry import _nearest_neighbors
+
+    rng = np.random.default_rng(3)
+    r, L = fcc(0.36, 4)
+    r = r + rng.normal(scale=0.015, size=r.shape)
+    sim = FakeSim(r, L)
+
+    # -- Centrosym: greedy pairing loop (the pre-vectorization code) --
+    K = 12
+    idx, disp = _nearest_neighbors(sim, K)
+    n = disp.shape[0]
+    cs_loop = np.zeros(n)
+    for i in range(n):
+        d = list(range(K))
+        v = disp[i]
+        while len(d) > 1:
+            a = d.pop(0)
+            s = [(np.sum((v[a] + v[b]) ** 2), b) for b in d]
+            val, b = min(s)
+            d.remove(b)
+            cs_loop[i] += val
+    a_cs = _analysis("cs ANALYSIS { type=CENTROSYM; nNeighbors=12; }", "cs")
+    a_cs.eval(sim)
+    assert np.allclose(a_cs.state["cs"], cs_loop, rtol=0, atol=1e-12)
+
+    # -- AcklandJones: per-atom histogram/decision loop --
+    idx, disp = _nearest_neighbors(sim, 14)
+    edges = [-1.001, -0.945, -0.915, -0.755, -0.705, -0.195, 0.195,
+             0.245, 0.795, 1.001]
+    kinds_loop = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        v = disp[i]
+        d2 = (v ** 2).sum(axis=1)
+        sel = d2 < 1.45 * d2[:6].mean()
+        vv = v[sel]
+        n1 = len(vv)
+        if n1 < 6:
+            continue
+        u = vv / np.linalg.norm(vv, axis=1)[:, None]
+        cosines = (u @ u.T)[np.triu_indices(n1, 1)]
+        chi, _ = np.histogram(cosines, bins=edges)
+        x0, x1, x2, x3, x4, x5, x6, x7, x8 = (int(c) for c in chi)
+        denom = x5 + x6 + x7 - x4
+        delta_bcc = 0.35 * x4 / denom if denom > 0 else 10.0
+        delta_cp = abs(1.0 - x7 / 24.0)
+        delta_fcc = 0.61 * (abs(x0 + x1 - 6) + x2) / 6.0
+        delta_hcp = (abs(x0 - 3) + abs(x0 + x1 + x2 + x3 - 9)) / 12.0
+        if x0 == 7:
+            delta_bcc = 0.0
+        elif x0 == 6:
+            delta_fcc = 0.0
+        elif x0 <= 3:
+            delta_hcp = 0.0
+        if x8 > 0:
+            kinds_loop[i] = 0
+        elif x4 < 3:
+            kinds_loop[i] = 4 if 11 <= n1 <= 13 else 0
+        elif delta_bcc <= delta_cp:
+            kinds_loop[i] = 3 if n1 >= 11 else 0
+        elif n1 > 12 or n1 < 11:
+            kinds_loop[i] = 0
+        elif delta_fcc < delta_hcp:
+            kinds_loop[i] = 1
+        else:
+            kinds_loop[i] = 2
+    a_aj = _analysis("aj ANALYSIS { type=ACKLAND_JONES; }", "aj")
+    a_aj.eval(sim)
+    assert (a_aj.state["kinds"] == kinds_loop).all()
+
+
+def test_knn_celllist_path_matches_direct():
+    """_knn's cell-list candidate route (n > 4096) selects the same
+    neighbors as the direct O(N^2) route, including the quaternion
+    tie-break order."""
+    from ddcmd_tpu.analysis.registry import _knn
+
+    rng = np.random.default_rng(5)
+    r, L = fcc(0.36, 6)
+    r = r + rng.normal(scale=0.01, size=r.shape)
+    base = np.asarray(r)
+    reps = []
+    Lbig = np.array([2 * L, 2 * L, 2 * L])
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                reps.append(base + np.array([ix * L, iy * L, iz * L]))
+    rbig = np.concatenate(reps) - 0.5 * L  # 6912 atoms -> celllist path
+    assert len(rbig) > 4096
+    # direct reference on the big system (memory fine at 6912)
+    d = rbig[:, None, :] - rbig[None, :, :]
+    d -= Lbig * np.round(d / Lbig)
+    dist2 = (d ** 2).sum(axis=-1)
+    np.fill_diagonal(dist2, np.inf)
+    for tie in (False, True):
+        if tie:
+            order = np.lexsort((-d[..., 2], -d[..., 1], -d[..., 0], dist2),
+                               axis=1)[:, :12]
+        else:
+            nbig = len(rbig)
+            order = np.lexsort((np.broadcast_to(np.arange(nbig),
+                                                (nbig, nbig)), dist2),
+                               axis=1)[:, :12]
+        disp_ref = np.take_along_axis(d, order[:, :, None], axis=1)
+        i_big, d_big = _knn(rbig, Lbig, 12, tie_desc_d=tie)
+        assert (i_big == order).all()
+        assert np.abs(d_big - disp_ref).max() < 1e-12
