@@ -64,9 +64,23 @@ def group_from_deck(db: ObjectDB, name: str, index: int) -> Group:
     if gtype == "LANGEVIN":
         from ..objects.eq import eq_parse
 
-        # Teq may be time-dependent: "RAMP(300,500,0,100ps)" etc
-        # (langevin normalParse -> eq_parse, /root/reference/src/langevin.c:80-86)
-        g.Teq = eq_parse(obj.get_literal("Teq", "0.0"), "T", "t")
+        dyn = obj.get_str("Teq_dynamics", "EXPLICIT_TIME").upper()
+        if dyn == "GLOBAL_ENERGY":
+            # energy-feedback target (langevin_getTemperature,
+            # /root/reference/src/langevin.c:31-51): the thermostat acts
+            # as a bath of heat capacity Cp per atom; total_energy pins
+            # at the first energy and Teq = (total - E)/(Cp N) after.
+            # The live Teq flows in through the runtime-coefficient path
+            # (GroupTable.coefficients teq_override), so it never
+            # recompiles the step.
+            Teq0 = obj.get_with_units("Teq", "0.0", "T")
+            g.Teq = lambda t, _T=Teq0: _T
+            g.parms["teq_dynamics"] = "GLOBAL_ENERGY"
+            g.parms["Cp"] = obj.get_with_units("Cp", "1.0", "m*l^2/t^2/T")
+        else:
+            # Teq may be time-dependent: "RAMP(300,500,0,100ps)" etc
+            # (langevin normalParse -> eq_parse, langevin.c:80-86)
+            g.Teq = eq_parse(obj.get_literal("Teq", "0.0"), "T", "t")
         g.tau = obj.get_with_units("tau", "1.0", "t")
     elif gtype == "EXTFORCE":
         fv = obj.get_with_unitsv("force", "0 0 0", "m*l/t^2")
@@ -199,12 +213,17 @@ class GroupTable:
                                   members=g.parms["member_idx"]))
         return tuple(hooks)
 
-    def coefficients(self, time: float, dt: float, dtype=jnp.float32):
+    def coefficients(self, time: float, dt: float, dtype=jnp.float32,
+                     teq_override=None):
         """Per-group (a, c_on, kBTeq_over_tau2, vcm) for the affine kick.
 
         Returns arrays of shape (G,), (G,), (G,), (G,3) to be gathered by
         State.group.  d per particle = sqrt(kBTeq_over_tau2[g] * dt / m).
         kBTeq_over_tau2 = 2*kB*Teq/tau for LANGEVIN else 0.
+
+        teq_override: {group_index: Teq} live targets (energy-feedback
+        GLOBAL_ENERGY thermostats, langevin.c:31-51) taking precedence
+        over the group's Teq(t) schedule.
         """
         G = len(self.groups)
         a = np.ones(G)
@@ -214,7 +233,9 @@ class GroupTable:
         for i, g in enumerate(self.groups):
             if g.type == "LANGEVIN":
                 a[i] = math.exp(-dt / g.tau)
-                noise[i] = 2.0 * U.kB * float(g.Teq(time)) / g.tau
+                Teq_i = (teq_override[i] if teq_override and i in teq_override
+                         else float(g.Teq(time)))
+                noise[i] = 2.0 * U.kB * max(Teq_i, 0.0) / g.tau
             elif g.type == "FROZEN":
                 a[i] = 0.0
                 c_on[i] = 0.0

@@ -149,6 +149,14 @@ class Simulation:
             return isinstance(vz, EqTarget) and vz.kind != "CONSTANT"
 
         self._time_dependent_groups = any(_td(g) for g in sd.groups)
+        # energy-feedback thermostat targets (Teq_dynamics=GLOBAL_ENERGY,
+        # langevin.c:31-51): live Teq recomputed from the last chunk's
+        # potential energy at every coefficient refresh
+        self._ge_groups = {g.index: g for g in sd.group_table.groups
+                           if g.parms.get("teq_dynamics") == "GLOBAL_ENERGY"}
+        self._ge_total = {}
+        if self._ge_groups:
+            self._time_dependent_groups = True
         self._barostat = barostat
         self._mol_virial_fn = mol_virial_fn
         self._rebuild_step_fn()
@@ -209,6 +217,25 @@ class Simulation:
         self._compile()
 
     # ------------------------------------------------------------------
+
+    def _ge_teq_override(self):
+        """Live Teq per GLOBAL_ENERGY Langevin group: pins the conserved
+        bath+system energy at the first real potential energy, then
+        Teq = (total - E)/(Cp N) (langevin_getTemperature,
+        /root/reference/src/langevin.c:31-51)."""
+        if not self._ge_groups:
+            return None
+        e = float(self.ss.energy.eion)
+        if not np.isfinite(e):
+            return None
+        ng = self.sysdef.state.n_local
+        out = {}
+        for i, g in self._ge_groups.items():
+            cp_n = g.parms["Cp"] * ng
+            if i not in self._ge_total:
+                self._ge_total[i] = float(g.Teq(0.0)) * cp_n + e
+            out[i] = (self._ge_total[i] - e) / cp_n
+        return out
 
     def _rebuild_step_fn(self):
         sd = self.sysdef
@@ -739,7 +766,8 @@ class Simulation:
             self.key, sub = jax.random.split(self.key)
             if self._time_dependent_groups:
                 self.coeffs = self.sysdef.group_table.coefficients(
-                    float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype)
+                    float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype,
+                    teq_override=self._ge_teq_override())
             box_lam = self._box_lam(k)
             with PROFILE.phase("loop"):
                 ss_new, scal, overflow, max_disp2 = self._chunk_jit(

@@ -139,3 +139,45 @@ def test_box_rotation_constant(tmp_path):
     h = np.asarray(sim.ss.box.h)
     R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
     np.testing.assert_allclose(h, R @ np.diag([L / 10] * 3), rtol=1e-6)
+
+
+def test_langevin_global_energy_target(tmp_path):
+    """Teq_dynamics=GLOBAL_ENERGY (langevin_getTemperature,
+    /root/reference/src/langevin.c:31-51): the thermostat target tracks
+    the energy-feedback law Teq = (total - E)/(Cp N) with total pinned
+    at the first potential energy, flowing through the runtime
+    coefficient path (no recompile)."""
+    from ddcmd_tpu.objects import units as U
+
+    make_fixture(tmp_path)
+    p = tmp_path / "object.data"
+    cp = 0.05                        # internal energy units per K per atom
+    txt = p.read_text().replace(
+        "free GROUP { type=LANGEVIN; Teq=300K; tau=0.1ps; }",
+        "free GROUP { type=LANGEVIN; Teq=300K; tau=0.1ps; "
+        f"Teq_dynamics=GLOBAL_ENERGY; Cp={cp} kJ*mol^-1*K^-1; }}")
+    assert "GLOBAL_ENERGY" in txt
+    p.write_text(txt)
+    db = load_db([str(p)], None, str(tmp_path))
+    sim = Simulation(db, str(tmp_path), run_dir=str(tmp_path))
+    g = sim.sysdef.group_table.groups[0]
+    assert g.parms.get("teq_dynamics") == "GLOBAL_ENERGY"
+    assert g.parms["Cp"] == pytest.approx(cp)
+    sim.first_energy()
+    n = sim.sysdef.state.n_local
+    e0 = float(sim.ss.energy.eion)
+
+    def applied_teq():
+        noise = np.asarray(sim.coeffs[2])
+        return float(noise[0]) * g.tau / (2.0 * U.kB)
+
+    sim.run(10, print_fn=lambda s: None)     # pins total at e0; Teq=300
+    total = 300.0 * cp * n + e0
+    assert sim._ge_total[0] == pytest.approx(total, rel=1e-12)
+    assert applied_teq() == pytest.approx(300.0, rel=1e-6)
+
+    e1 = float(sim.ss.energy.eion)
+    sim.run(10, print_fn=lambda s: None)     # refresh uses e1
+    expect = (total - e1) / (cp * n)
+    assert expect != pytest.approx(300.0, abs=1e-6)   # energy moved
+    assert applied_teq() == pytest.approx(expect, rel=1e-6)
