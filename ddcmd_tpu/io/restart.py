@@ -22,6 +22,12 @@ def write_snapshot(sim, run_dir: str = ".") -> str:
     restart symlink update."""
     snapdir = write_checkpoint(sim, run_dir, update_symlink=False)
     write_bxyz(sim, snapdir)
+    if any(p[0] == "ORDERSH" for p in sim.sysdef.potentials):
+        # per-L q{L}# shards (+ optional cluster dump) at the snapshot
+        # cadence (writeqlocal, /root/reference/src/masters.c:348)
+        from ..potentials.ordersh import write_qlocal_files
+
+        write_qlocal_files(sim, snapdir)
     return snapdir
 
 

@@ -579,3 +579,103 @@ def test_eam_tabular_fit_rational():
     assert float(e2) == pytest.approx(float(e1), rel=5e-3)
     scale = float(jnp.abs(f1).max())
     assert float(jnp.abs(f2 - f1).max()) / scale < 2e-2
+
+
+def test_ordersh_multi_l_local_and_files(tmp_path):
+    """ORDERSH multi-L (orderSH.c:83 takes up to 16 L values): per-atom
+    local order (orderSHlocal) hits the literature FCC q6/q4, a brute
+    O(N^2) cross-check validates the neighbor machinery, and the q{L}
+    snapshot shards (writeqlocal, orderSH.c:832-886) roundtrip through
+    the FILEHEADER reader with valid CRCs."""
+    from ddcmd_tpu.io.fastio import crc32_rows
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.objects.parser import read_fileheader
+    from ddcmd_tpu.potentials.ordersh import (_order_dot, _ylm_pairs,
+                                              compile_ordersh,
+                                              ordersh_clusters,
+                                              ordersh_local,
+                                              write_qlocal_files)
+
+    db = ObjectDB().compile_string(
+        "osh POTENTIAL { type=ORDERSH; L=6 4; r1o=2.6 Angstrom; "
+        "r2o=3.0 Angstrom; lamda=1.0 kJ/mol; clusterWrite=1; }")
+    p = compile_ordersh(db, "osh")
+    assert p.L_list == (6, 4) and p.L == 6 and p.cluster_write
+
+    # ideal FCC: literature Steinhardt values with the 12-neighbor shell
+    r, L = fcc(0.3615, 3)
+    loc = ordersh_local(r, [L] * 3, p)
+    assert np.allclose(loc["qnorm"][6], 0.57452, atol=2e-4)
+    assert np.allclose(loc["qnorm"][4], 0.19094, atol=2e-4)
+    assert np.allclose(loc["Q"], 1.0, atol=1e-6)     # perfect alignment
+    assert (loc["C"] == 12).all()
+
+    # brute O(N^2) cross-check on a random config (both L values)
+    rng = np.random.default_rng(7)
+    n2 = 96
+    L2 = 1.6
+    r2 = rng.uniform(-L2 / 2, L2 / 2, (n2, 3))
+    p2 = compile_ordersh(ObjectDB().compile_string(
+        "o2 POTENTIAL { type=ORDERSH; L=6 4; r1o=3.5 Angstrom; "
+        "r2o=5.0 Angstrom; }"), "o2")
+    loc2 = ordersh_local(r2, [L2] * 3, p2)
+    L3v = np.array([L2] * 3)
+    for Lval in (6, 4):
+        qb = np.zeros((n2, Lval + 1), complex)
+        Wb = np.zeros(n2)
+        for i in range(n2):
+            for j in range(n2):
+                if i == j:
+                    continue
+                d = r2[i] - r2[j]
+                d -= L3v * np.round(d / L3v)
+                dist = np.linalg.norm(d)
+                if dist >= p2.r2o:
+                    continue
+                t = np.clip((dist - p2.r1o) / (p2.r2o - p2.r1o), 0, 1)
+                w = 0.5 + 0.5 * np.cos(np.pi * t)
+                u = (-d / dist)[None, None, :]
+                qb[i] += w * _ylm_pairs(u, Lval)[0, 0]
+                Wb[i] += w
+        mag = np.sqrt(_order_dot(qb, qb))
+        qhat = qb / mag[:, None]
+        qn = mag * np.sqrt(4 * np.pi / (2 * Lval + 1)) / Wb
+        assert np.abs(loc2["qlocal"][Lval] - qhat).max() < 1e-10
+        assert np.abs(loc2["qnorm"][Lval] - qn).max() < 1e-10
+
+    # q{L} files + cluster dump through a minimal sim shim
+    class _NS:
+        pass
+
+    sim = _NS()
+    sim.sysdef = _NS()
+    sim.sysdef.potentials = [("ORDERSH", "osh", p)]
+    sim.sysdef.state = _NS()
+    sim.sysdef.state.n_local = len(r)
+    sim.sysdef.collection = _NS()
+    sim.sysdef.collection.gid = np.arange(len(r), dtype=np.int64)
+    sim.ss = _NS()
+    sim.ss.state = _NS()
+    sim.ss.state.r = np.asarray(r)
+    sim.ss.box = _NS()
+    sim.ss.box.lengths = np.array([L] * 3)
+    sim.ss.loop = 42
+    write_qlocal_files(sim, str(tmp_path))
+    for Lval in (6, 4):
+        path = tmp_path / f"q{Lval}#000000"
+        hdr, off = read_fileheader(path)
+        assert hdr.get_int("recordLength", 0) == 4 * (1 + 2 * (Lval + 1))
+        assert hdr.get_int("nrecord", 0) == len(r)
+        lrec = hdr.get_int("recordLength", 0)
+        blob = path.read_bytes()[off:]
+        recs = np.frombuffer(blob, np.uint8).reshape(len(r), lrec)
+        crc = recs[:, :4].copy().view("<u4").ravel()
+        assert (crc32_rows(recs, skip=4) == crc).all()
+        flat = recs[:, 4:].copy().view("<f4").reshape(len(r), -1)
+        q = flat[:, 0::2] + 1j * flat[:, 1::2]
+        assert np.abs(q - loc["qlocal"][Lval]).max() < 1e-6
+    # single crystal: one cluster holding every atom
+    rows, clusters = ordersh_clusters(r, [L] * 3, p, loc,
+                                      sim.sysdef.collection.gid)
+    assert len(clusters) == 1 and clusters[0]["size"] == len(r)
+    assert (tmp_path / "cluster.000000").exists()
