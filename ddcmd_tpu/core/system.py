@@ -189,7 +189,11 @@ def build_system(db: ObjectDB, base_dir: str = ".", *, dtype=jnp.float32,
     colobj = db.find(colname, "COLLECTION")
     if colobj is None or not colobj.has("files"):
         raise DeckError("COLLECTION with files= required (restart must be compiled in)")
-    col = read_collection(colobj.get_str("files"), base_dir)
+    # headerLength: deck override of the shard data offset for legacy
+    # snapshots (objectSetup.c:63-73 rewrites the FILEHEADER's value
+    # from the COLLECTION object)
+    col = read_collection(colobj.get_str("files"), base_dir,
+                          header_length=colobj.get_int("headerLength", 0))
     if hvals is None:
         hvals = [v * U.ANG_TO_LENGTH for v in col.header.get_floatv("h")]
     box = Box.from_h(np.asarray(hvals).reshape(3, 3), pbc=pbc, dtype=dtype)

@@ -110,9 +110,22 @@ def _parse_all(bodies: list[bytes], field_names, field_types, nrecord, gid_hex):
 
 
 def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
-                    gid_hex: bool | None = None) -> CollectionData:
+                    gid_hex: bool | None = None,
+                    header_length: int | None = None) -> CollectionData:
+    """header_length: byte offset override for the data start, from the
+    COLLECTION deck's headerLength keyword (the reference rewrites the
+    FILEHEADER's headerLength from it, objectSetup.c:63-73) -- lets old
+    snapshots with nonstandard header framing load."""
     paths = shard_paths(files_value, base_dir)
     header, _ = read_fileheader(paths[0])
+    # legacy FILEHEADER keyword defaults (collection_read,
+    # /root/reference/src/collection.c:171-172): headers from old ddcMD
+    # snapshots may lack the groups/types lists -- default them to the
+    # single group "group" and species type "ATOM"
+    if not header.has("groups"):
+        header.keywords["groups"] = ["group"]
+    if not header.has("types"):
+        header.keywords["types"] = ["ATOM"]
     datatype = header.get_str("datatype", "VARRECORDASCII")
     field_names = header.get_strv("field_names")
     field_types = header.get_strv("field_types")
@@ -132,7 +145,8 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
 
     nrecord = header.get_int("nrecord", -1)
     if datatype == "FIXRECORDBINARY":
-        return _read_binary(paths, header, gid_hex)
+        return _read_binary(paths, header, gid_hex,
+                            header_length=header_length)
     if datatype not in ("VARRECORDASCII", "FIXRECORDASCII", "ASCII"):
         raise NotImplementedError(f"collection datatype {datatype} not supported")
 
@@ -144,6 +158,8 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
         head = blob[:256].decode("utf-8", errors="replace")
         if head.lstrip().split(None, 2)[1:2] == ["FILEHEADER"]:
             _, off = read_fileheader(p)
+        if header_length and header_length > 0:
+            off = header_length        # COLLECTION headerLength override
         bodies.append(blob[off:])
 
     cols = _parse_all(bodies, field_names, field_types, nrecord, gid_hex)
@@ -171,8 +187,12 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
 
     return CollectionData(
         gid=gid,
-        species_names=list(cols.get("type", ["?"] * n)),
-        group_names=list(cols.get("group", ["?"] * n)),
+        # records without type/group columns (old snapshots) fall back
+        # to the header's (possibly legacy-defaulted) lists
+        species_names=list(cols.get("type",
+                                    [header.get_str("types", "ATOM")] * n)),
+        group_names=list(cols.get("group",
+                                  [header.get_str("groups", "group")] * n)),
         class_names=list(cols.get("class", ["ATOM"] * n)),
         r=r,
         v=v,
@@ -181,7 +201,7 @@ def read_collection(files_value: str, base_dir: str | os.PathLike = ".",
     )
 
 
-def _read_binary(paths, header, gid_hex):
+def _read_binary(paths, header, gid_hex, header_length=None):
     """FIXRECORDBINARY shards: little-endian packed records per the
     header's field_types byte codes (u4/b8/b2/f8/f4; reference framing
     collection_write.c:340-410, pinfo codec pinfoEncode)."""
@@ -189,13 +209,17 @@ def _read_binary(paths, header, gid_hex):
     field_types = header.get_strv("field_types")
     lrec = header.get_int("recordLength")
     groups_l = header.get_strv("groups")
-    species_l = header.get_strv("species")
+    # legacy spelling: species list under "types" (collection.c:172)
+    species_l = header.get_strv("species") or header.get_strv("types")
 
     fmt = []
     for ft in field_types:
         kind, size = ft[0], int(ft[1:]) if len(ft) > 1 else 8
         fmt.append((kind, size))
-    body = b"".join(_body_of(p) for p in paths)
+    if header_length and header_length > 0:
+        body = b"".join(open(p, "rb").read()[header_length:] for p in paths)
+    else:
+        body = b"".join(_body_of(p) for p in paths)
     n = len(body) // lrec
     recs = np.frombuffer(body[: n * lrec], dtype=np.uint8).reshape(n, lrec)
 

@@ -129,3 +129,40 @@ def test_brief_checkpoint_precision_roundtrip(tmp_path):
     full = (tmp_path / "FULL" / "atoms#000000").stat().st_size
     brief = (tmp_path / "BRIEF" / "atoms#000000").stat().st_size
     assert brief < full                      # the point of BRIEF
+
+
+def test_legacy_header_aliases_and_header_length(tmp_path):
+    """Old-ddcMD snapshot compatibility (collection_read rewrites,
+    /root/reference/src/collection.c:171-172; objectSetup headerLength
+    override, objectSetup.c:63-73): headers without groups=/types= lists
+    default to group "group" / species "ATOM"; records without
+    type/group columns fall back to those; COLLECTION headerLength=N
+    overrides the data offset for nonstandard header framing."""
+    # (a) legacy ASCII shard: no groups/types keywords, no class/type/
+    # group record columns
+    hdr = ("particle FILEHEADER {type=MULTILINE; datatype=VARRECORDASCII;"
+           " checksum=NONE;\nloop=0; time=0.0;\nnfiles=1; nrecord=2;"
+           " nfields=7;\n"
+           "field_names=id rx ry rz vx vy vz;\n"
+           "field_types=u f f f f f f;\n"
+           "h= 10 0 0 0 10 0 0 0 10 ;\n}\n\n")
+    body = "0 1.0 2.0 3.0 0 0 0\n1 4.0 5.0 6.0 0 0 0\n"
+    p = tmp_path / "atoms#000000"
+    p.write_text(hdr + body)
+    col = read_collection("atoms#", tmp_path)
+    assert col.n == 2
+    assert col.species_names == ["ATOM", "ATOM"]
+    assert col.group_names == ["group", "group"]
+    assert col.header.get_str("types") == "ATOM"
+    assert col.r[1][0] == pytest.approx(4.0 * U.ANG_TO_LENGTH)
+
+    # (b) headerLength override: nonstandard junk before the data that
+    # read_fileheader's brace scan would misjudge
+    junk = "x" * 37
+    blob = hdr + junk + "\n" + body
+    p2 = tmp_path / "old#000000"
+    p2.write_text(blob)
+    off = len((hdr + junk + "\n").encode())
+    col2 = read_collection("old#", tmp_path, header_length=off)
+    assert col2.n == 2
+    assert col2.r[0][1] == pytest.approx(2.0 * U.ANG_TO_LENGTH)
