@@ -71,6 +71,62 @@ class PairCorrelation(Analysis):
         self.state["volume"] = float(ss.box.volume)
         self.state["n"] = n
 
+    def eval_sharded(self, psim):
+        """Per-device partial histogram + psum over the mesh instead of
+        gathering the whole system to host (the scalable remote-data
+        path, /root/reference/src/dataExchange.c:21,107: analyses
+        accumulate where the particles live; only reductions travel).
+        Each ordered pair is counted on its row-atom's owner exactly
+        once, so the result matches the gathered eval bin-for-bin.
+        Requires rmax <= the halo window (plan.rlist)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.brick import AXES, halo_exchange_3d
+
+        rmax = self.rmin + self.n_bins * self.delta_r
+        if rmax > psim.plan.rlist + 1e-12:
+            raise ValueError(
+                f"sharded PAIRCORRELATION needs rmax {rmax:.3f} <= halo "
+                f"rlist {psim.plan.rlist:.3f}; use the gathered path")
+        rmin, dr, nb = self.rmin, self.delta_r, self.n_bins
+        Lv = jnp.asarray(psim.Lv)
+        plan = psim.plan
+
+        if self._jit is None or getattr(self, "_jit_kind", "") != "shard":
+            def local_hist(fields, mask):
+                r = fields["r"]
+                ghosts, gmask, ov = halo_exchange_3d(
+                    {"r": r}, mask, Lv, plan)
+                r_all = jnp.concatenate([r, ghosts["r"]])
+                m_all = jnp.concatenate([mask, gmask]).astype(r.dtype)
+                d = r[:, None, :] - r_all[None, :, :]
+                d = d - Lv * jnp.round(d / Lv)
+                dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+                w = mask.astype(r.dtype)[:, None] * m_all[None, :]
+                # self-pair: local row i is column i of the pool
+                n_loc = r.shape[0]
+                eye = (jnp.arange(n_loc)[:, None]
+                       == jnp.arange(r_all.shape[0])[None, :])
+                w = jnp.where(eye, 0.0, w)
+                b = jnp.floor((dist - rmin) / dr).astype(jnp.int32)
+                b = jnp.where((b >= 0) & (b < nb), b, nb)
+                h = jnp.zeros(nb + 1).at[b.reshape(-1)].add(
+                    w.reshape(-1))[:nb]
+                return jax.lax.psum(h, tuple(AXES))
+
+            PS = P(("bx", "by", "bz"))
+            self._jit = jax.jit(jax.shard_map(
+                local_hist, mesh=psim.mesh,
+                in_specs=({"r": PS}, PS), out_specs=P(),
+                check_vma=False))
+            self._jit_kind = "shard"
+        h = self._jit({"r": psim.fields["r"]}, psim.mask)
+        self.state["hist"] += np.asarray(h, dtype=np.float64)
+        self.state["count"] += 1
+        self.state["volume"] = float(np.prod(np.asarray(psim.Lv)))
+        self.state["n"] = psim.sysdef.state.n_local
+
     def output(self, sim, run_dir="."):
         h = self.state["hist"]
         cnt = max(self.state["count"], 1)
@@ -150,6 +206,38 @@ class ZDensity(Analysis):
         z = np.asarray(st.r[:n, 2])
         Lz = float(sim.ss.box.lengths[2])
         h, _ = np.histogram(z, bins=self.n_bins, range=(-Lz / 2, Lz / 2))
+        if self.state["hist"] is None:
+            self.state["hist"] = np.zeros(self.n_bins)
+        self.state["hist"] += h
+        self.state["count"] += 1
+        self.state["Lz"] = Lz
+
+    def eval_sharded(self, psim):
+        """Per-device z histogram of OWNED rows + psum (dataExchange
+        analog; no host gather)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.brick import AXES
+
+        Lz = float(np.asarray(psim.Lv)[2])
+        nb = self.n_bins
+
+        def local_hist(r, mask):
+            # np.histogram semantics (the gathered eval): out-of-range
+            # dropped, right edge inclusive into the last bin
+            z = r[:, 2]
+            b = jnp.floor((z / Lz + 0.5) * nb).astype(jnp.int32)
+            b = jnp.where((b == nb) & (z <= 0.5 * Lz), nb - 1, b)
+            b = jnp.where((b >= 0) & (b < nb) & mask, b, nb)
+            h = jnp.zeros(nb + 1).at[b].add(1.0)[:nb]
+            return jax.lax.psum(h, tuple(AXES))
+
+        PS = P(("bx", "by", "bz"))
+        fn = jax.jit(jax.shard_map(local_hist, mesh=psim.mesh,
+                                   in_specs=(PS, PS), out_specs=P(),
+                                   check_vma=False))
+        h = np.asarray(fn(psim.fields["r"], psim.mask), dtype=np.float64)
         if self.state["hist"] is None:
             self.state["hist"] = np.zeros(self.n_bins)
         self.state["hist"] += h

@@ -832,7 +832,16 @@ def parallel_run_analyses(psim, run_dir: str = "."):
         except Exception as err:
             warnings.warn(f"analysis {obj.name} skipped: {err}")
             continue
-        a.eval(view)
+        # scalable path: per-device partial accumulation + psum
+        # (dataExchange.c analog) when the analysis supports it and the
+        # geometry allows; gathered evaluation otherwise
+        if hasattr(a, "eval_sharded"):
+            try:
+                a.eval_sharded(psim)
+            except Exception:
+                a.eval(view)
+        else:
+            a.eval(view)
         a.output(view, run_dir)
         done.append(obj.name)
     return done

@@ -242,3 +242,42 @@ def test_pallas_shard_waterbox_deck(waterbox_dir):
     assert np.isfinite(np.asarray(ps.f)[m]).all()
     v1 = float(jnp.prod(ps.Lv))
     assert np.isfinite(v1) and v1 != v0
+
+
+def test_sharded_analysis_matches_gathered(waterbox_dir):
+    """PAIRCORRELATION + ZDENSITY via per-device partial accumulation +
+    psum (the dataExchange.c:21,107 analog) produce bin-for-bin the same
+    histograms as the gathered-state evaluation on the 8-device mesh."""
+    from ddcmd_tpu.analysis.registry import build_analysis
+    from ddcmd_tpu.objects import ObjectDB
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    db = load_db([str(waterbox_dir / "object.data")],
+                 str(waterbox_dir / "snapshot.mem" / "restart"),
+                 str(waterbox_dir))
+    ps = ParallelSimulation(db, str(waterbox_dir), shape=(2, 2, 2))
+    ps.first_energy()
+    view = ps.view()
+
+    adb = ObjectDB().compile_string(
+        "pc ANALYSIS { type=PAIRCORRELATION; delta_r=0.3 Angstrom; "
+        "length=40; rmin=2.0 Angstrom; }\n"
+        "zd ANALYSIS { type=ZDENSITY; nBins=32; }\n")
+    for name in ("pc", "zd"):
+        a_sh = build_analysis(name, adb.get(name, "ANALYSIS"))
+        a_ga = build_analysis(name, adb.get(name, "ANALYSIS"))
+        a_sh.eval_sharded(ps)
+        a_ga.eval(view)
+        hs = np.asarray(a_sh.state["hist"])
+        hg = np.asarray(a_ga.state["hist"])
+        assert hs.shape == hg.shape
+        assert np.abs(hs - hg).max() <= 1e-6 * max(1.0, hg.max()), name
+
+    # infeasible radius (rmax > halo rlist) must raise, not silently
+    # truncate -- run_analyses falls back to the gathered path then
+    bad = build_analysis("pc", ObjectDB().compile_string(
+        "pc ANALYSIS { type=PAIRCORRELATION; delta_r=1.0 Angstrom; "
+        "length=40; }").get("pc", "ANALYSIS"))
+    with pytest.raises(ValueError):
+        bad.eval_sharded(ps)
