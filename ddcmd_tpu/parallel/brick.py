@@ -134,7 +134,6 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan,
     frac, per_cart = geom_frac(box_lengths, dtype)
     pool = fields
     pool_mask = valid_mask
-    n_local = valid_mask.shape[0]
     for ax_i, axis in enumerate(AXES):
         n = plan.shape[ax_i]
         if n == 1:
@@ -200,7 +199,6 @@ def halo_exchange_3d(fields: dict, valid_mask, box_lengths, plan: BrickPlan,
             [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)]) for k, v in ghosts.items()}
         gmask = jnp.concatenate([gmask, jnp.zeros((pad,), bool)])
     if with_routing:
-        del n_local
         return ghosts, gmask, overflow, tuple(routing)
     return ghosts, gmask, overflow
 

@@ -64,7 +64,6 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
     half = 0.5 * dt
     full_axes = tuple(AXES)
     halo_keys = ("r", "q", "species") + (("gid",) if bonded_tables else ())
-    n_loc = None  # bound at trace time from fields shapes
 
     eval_fn = make_shard_pallas_kernel(cplan, tables, coulomb=coulomb,
                                        interpret=interpret)
