@@ -96,7 +96,38 @@ def main():
         d = tempfile.mkdtemp()
         nx = int(os.environ.get("BENCH_NX", "48"))
         martini_bilayer(d, nx=nx, ny=nx)
-        db, base = load(d)
+        # staged equilibration: under NPT the synthetic start compresses
+        # ~29% in volume within ~10 ps; at the production dt (20 fs) the
+        # crunch stochastically catapults beads and can exhaust the
+        # rollback ladder (r4 forensics: healthy pre-chunk states, blowup
+        # develops in <60 steps, different atoms each retry).  Settle the
+        # crunch at a small dt first, then measure the PRODUCTION-dt
+        # steady state from the checkpoint -- the reference benches from
+        # equilibrated restarts too.  BENCH_EQUIL=steps,dt_fs; =0 disables.
+        eq = os.environ.get("BENCH_EQUIL", "3000,5")
+        restart = None
+        if eq not in ("", "0"):
+            eq_steps, eq_dt = (float(x) for x in eq.split(","))
+            eq_steps = int(eq_steps)
+            d_eq = tempfile.mkdtemp()
+            martini_bilayer(d_eq, nx=nx, ny=nx, dt_fs=eq_dt)
+            from ddcmd_tpu.io.restart import write_checkpoint
+            from ddcmd_tpu.run.simulate import Simulation as _Sim
+
+            db_eq, base_eq = load(d_eq)
+            _log(f"equilibrating {eq_steps} steps at dt={eq_dt} fs")
+            sim_eq = _Sim(db_eq, base_eq, run_dir=d,
+                          engine=os.environ.get("BENCH_ENGINE", "auto"))
+            sim_eq.first_energy()
+            sim_eq.run(eq_steps, print_fn=lambda s: None,
+                       max_steps_per_dispatch=min(500, eq_steps))
+            # checkpoint into the MEASURED deck's dir so the restart's
+            # relative files= path resolves against it
+            write_checkpoint(sim_eq, d)
+            restart = os.path.join(d, "restart")
+            _log("equilibration done (checkpointed)")
+            del sim_eq
+        db, base = load(d, restart=restart)
         metric = "bilayer_steps_per_sec"
     else:
         db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],

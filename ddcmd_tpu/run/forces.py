@@ -371,4 +371,7 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
         # totals first loses ~7 digits of the reported energy
         return f, jnp.sum(pe), virial, pe
 
+    # expose the term list for per-term phase attribution
+    # (Simulation.profile_phases detail mode; ptiming.h per-object timers)
+    force_fn.terms = terms
     return force_fn

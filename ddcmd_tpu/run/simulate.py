@@ -253,6 +253,7 @@ class Simulation:
                 sd.bonded.cons_atoms, sd.bonded.cons_pairs,
                 sd.bonded.cons_dist, sd.state.n_pad, self.dtype,
                 box_lengths=np.asarray(sd.box.lengths, dtype=np.float64))
+        self.constraint_fn = constraint_fn
         wrap = self.engine not in ("cellblock", "pallas")
         itype = sd.integrator_type
         if itype == "NPTGLF":
@@ -548,7 +549,7 @@ class Simulation:
             "neighbor overflow persists in first_energy after repeated "
             "recapacity/replan")
 
-    def profile_phases(self, n_iter: int = 10) -> dict:
+    def profile_phases(self, n_iter: int = 10, detail: bool = False) -> dict:
         """Per-phase time attribution (the ptiming.h per-phase timers,
         /root/reference/src/ptiming.h:10-36, profile.c:468).
 
@@ -602,8 +603,30 @@ class Simulation:
             "phase.group_kick": lambda: kick_j(ss, f, key),
             "phase.step_fused": lambda: step_j(ss, nbr, key),
         }
+        if detail:
+            # per-force-term + constraint attribution (ptiming.h's
+            # per-object timers); each is ONE extra compile, so detail
+            # mode is opt-in -- the tunnel wedges under compile sweeps
+            for term in getattr(self.force_fn, "terms", []):
+                tname = term.__name__.replace("_term", "")
+                term_j = jax.jit(
+                    lambda ss, nbr, term=term: term(ss.state, ss.box, nbr)[0])
+                phases[f"phase.term.{tname}"] = (
+                    lambda ss=ss, nbr=nbr, term_j=term_j: term_j(ss, nbr))
+            cfn = getattr(self, "constraint_fn", None)
+            if cfn is not None:
+                geom = ss.box.lengths
+                cons_j = jax.jit(lambda ss: cfn(
+                    ss.state, self.sysdef.cfg.dt, "front",
+                    box_lengths=geom).v)
+                phases["phase.constraint"] = lambda: cons_j(ss)
         out = {}
         errors = {}
+        # a single tunneled dispatch costs ~30 ms round-trip (CLAUDE.md),
+        # which swamps per-phase compute if every call is host-blocked.
+        # Queue n_iter async dispatches and block ONCE: the device stream
+        # executes in order, so readying the last output retires them all
+        # and elapsed/n_iter is device time + one RTT/n_iter.
         for name, fn in phases.items():
             try:
                 jax.block_until_ready(fn())       # warmup/compile
@@ -616,11 +639,23 @@ class Simulation:
                               "phase skipped")
                 continue
             t = PROFILE.timer(name)
+            t.start()
+            last = None
             for _ in range(n_iter):
-                t.start()
-                jax.block_until_ready(fn())
-                t.stop()
-            out[name] = t.total / max(t.calls, 1)
+                last = fn()
+            jax.block_until_ready(last)
+            t.stop()
+            out[name] = t.total / max(n_iter, 1)
+        # the RTT floor itself, for reading the table (per-call blocked
+        # dispatch of a trivial program)
+        import jax.numpy as _jnp
+
+        tiny_j = jax.jit(lambda x: x + 1)
+        jax.block_until_ready(tiny_j(_jnp.zeros((8, 128), self.dtype)))
+        t0 = _time.perf_counter()
+        for _ in range(5):
+            jax.block_until_ready(tiny_j(_jnp.zeros((8, 128), self.dtype)))
+        out["phase.rtt"] = (_time.perf_counter() - t0) / 5
         if errors:
             out["errors"] = errors
         return out

@@ -23,6 +23,10 @@ REFERENCE_WATERBOX = "/root/reference/examples/waterbox"
 def main():
     import jax
 
+    if os.environ.get("BENCH_PLATFORM"):
+        # e.g. BENCH_PLATFORM=cpu smoke-runs the script off the tunnel
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     from ddcmd_tpu.run.cli import load_db
     from ddcmd_tpu.run.simulate import Simulation
 
@@ -32,12 +36,34 @@ def main():
     jax.block_until_ready(x @ x.T)
     print("probe ok:", jax.devices()[0], flush=True)
 
-    db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
-                 os.path.join(REFERENCE_WATERBOX, "snapshot.mem", "restart"),
-                 REFERENCE_WATERBOX)
-    sim = Simulation(db, REFERENCE_WATERBOX, run_dir="/tmp",
+    workload = os.environ.get("BENCH_WORKLOAD", "waterbox")
+    rep = 1
+    if workload == "bilayer":
+        import tempfile
+
+        from ddcmd_tpu.models import load, martini_bilayer
+
+        d = tempfile.mkdtemp()
+        nx = int(os.environ.get("BENCH_NX", "48"))
+        martini_bilayer(d, nx=nx, ny=nx)
+        db, base = load(d)
+    elif workload == "eam":
+        import tempfile
+
+        from ddcmd_tpu.models import eam_crystal, load
+
+        d = tempfile.mkdtemp()
+        eam_crystal(d, nc=int(os.environ.get("BENCH_NC", "12")))
+        db, base = load(d)
+    else:
+        db = load_db(
+            [os.path.join(REFERENCE_WATERBOX, "object.data")],
+            os.path.join(REFERENCE_WATERBOX, "snapshot.mem", "restart"),
+            REFERENCE_WATERBOX)
+        base = REFERENCE_WATERBOX
+        rep = int(os.environ.get("BENCH_REPLICATE", "2"))
+    sim = Simulation(db, base, run_dir="/tmp",
                      engine=os.environ.get("BENCH_ENGINE", "auto"))
-    rep = int(os.environ.get("BENCH_REPLICATE", "2"))
     if rep > 1:
         from ddcmd_tpu.objects.parser import DeckObject
         sim.apply_transform(DeckObject(
@@ -51,10 +77,14 @@ def main():
 
     sim.first_energy()
     t0 = time.perf_counter()
-    phases = sim.profile_phases(n_iter=30)
+    phases = sim.profile_phases(
+        n_iter=30, detail=bool(int(os.environ.get("BENCH_DETAIL", "1"))))
     print("phase profile:", flush=True)
     for k, v in sorted(phases.items()):
-        print(f"  {k:<24} {v * 1e6:10.1f} us", flush=True)
+        if isinstance(v, float):
+            print(f"  {k:<24} {v * 1e6:10.1f} us", flush=True)
+        else:
+            print(f"  {k:<24} {v}", flush=True)
 
     # production fused-loop rate (one more compile: the dispatch program)
     steps = int(os.environ.get("BENCH_STEPS", "2000"))
@@ -67,7 +97,8 @@ def main():
     el = time.perf_counter() - t0
     out = dict(n=n, steps_per_sec=round(steps / el, 2),
                us_per_step=round(el / steps * 1e6, 1),
-               **{k: round(v * 1e6, 1) for k, v in phases.items()})
+               **{k: round(v * 1e6, 1) for k, v in phases.items()
+                  if isinstance(v, float)})
     print(json.dumps(out), flush=True)
 
 
