@@ -136,7 +136,11 @@ def test_parallel_waterbox_deck(waterbox_dir):
     # exercises the NPT chunk (carried box lengths + virial diagonal)
     assert psim.barostat is not None
     v0 = float(jnp.prod(psim.Lv))
-    psim.run(2 * psim.chunk_steps, print_fn=lambda s: None)
+    loop0 = psim.loop
+    # +3 loops: NPT advances through a compiled remainder chunk (r4:
+    # partial-chunk advance replaced the whole-chunk NotImplementedError)
+    psim.run(2 * psim.chunk_steps + 3, print_fn=lambda s: None)
+    assert psim.loop == loop0 + 2 * psim.chunk_steps + 3
     m2 = np.asarray(psim.mask)
     assert int(m2.sum()) == sim.sysdef.state.n_local
     assert np.isfinite(np.asarray(psim.f)[m2]).all()
@@ -145,6 +149,13 @@ def test_parallel_waterbox_deck(waterbox_dir):
     # the single-chip run compresses ~3.5% over the same 40 steps (the
     # restart sits above 1 bar); sharded must match that scale
     assert 0.005 < abs(v1 - v0) / v0 < 0.06
+
+    # custom migration cadence under NPT: migrate_rate becomes the chunk
+    # length (r4; was NotImplementedError)
+    half = max(1, psim.chunk_steps // 2)
+    psim.run(2 * half, migrate_rate=half, print_fn=lambda s: None)
+    assert psim.loop == loop0 + 2 * psim.chunk_steps + 3 + 2 * half
+    assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
 
     # sharded checkpoint: gathered snapshot restartable by Simulation
     import tempfile
