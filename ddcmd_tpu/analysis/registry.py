@@ -158,6 +158,28 @@ class VcmWrite(Analysis):
         vcm = (m[:, None] * v).sum(axis=0) / m.sum()
         self.state["rows"].append((int(sim.ss.loop), *vcm))
 
+    def eval_sharded(self, psim):
+        """Owned-row momentum partial sums + psum (dataExchange.c
+        analog: only the reduction travels, never the particles)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.brick import AXES
+
+        def local(v, m, mask):
+            w = m * mask.astype(m.dtype)
+            p = jax.lax.psum(jnp.sum(w[:, None] * v, axis=0), tuple(AXES))
+            msum = jax.lax.psum(jnp.sum(w), tuple(AXES))
+            return p / msum
+
+        PS = P(("bx", "by", "bz"))
+        fn = jax.jit(jax.shard_map(local, mesh=psim.mesh,
+                                   in_specs=(PS, PS, PS), out_specs=P(),
+                                   check_vma=False))
+        vcm = np.asarray(fn(psim.fields["v"], psim.fields["mass"],
+                            psim.mask), dtype=np.float64)
+        self.state["rows"].append((int(psim.loop), *vcm))
+
     def output(self, sim, run_dir="."):
         with open(os.path.join(run_dir, self.filename), "a") as f:
             for row in self.state["rows"]:
@@ -181,6 +203,32 @@ class KineticEnergyDistn(Analysis):
         v = np.asarray(st.v[:n])
         ke = 0.5 * m * (v ** 2).sum(axis=1)
         h, _ = np.histogram(ke, bins=self.n_bins, range=(0, self.emax))
+        self.state["hist"] += h
+
+    def eval_sharded(self, psim):
+        """Per-device KE histogram of owned rows + psum."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.brick import AXES
+
+        nb, emax = self.n_bins, float(self.emax)
+
+        def local(v, m, mask):
+            ke = 0.5 * m * jnp.sum(v * v, axis=1)
+            b = jnp.floor(ke / emax * nb).astype(jnp.int32)
+            # np.histogram semantics: right edge inclusive into last bin
+            b = jnp.where((b == nb) & (ke <= emax), nb - 1, b)
+            b = jnp.where((b >= 0) & (b < nb) & mask, b, nb)
+            h = jnp.zeros(nb + 1).at[b].add(1.0)[:nb]
+            return jax.lax.psum(h, tuple(AXES))
+
+        PS = P(("bx", "by", "bz"))
+        fn = jax.jit(jax.shard_map(local, mesh=psim.mesh,
+                                   in_specs=(PS, PS, PS), out_specs=P(),
+                                   check_vma=False))
+        h = np.asarray(fn(psim.fields["v"], psim.fields["mass"],
+                          psim.mask), dtype=np.float64)
         self.state["hist"] += h
 
     def output(self, sim, run_dir="."):
@@ -266,10 +314,7 @@ class Ssf(Analysis):
         self.state["cnt"] = np.zeros(self.n_shells)
         self._kvecs = None
 
-    def eval(self, sim):
-        ss = sim.ss
-        n = sim.sysdef.state.n_local
-        L = np.asarray(ss.box.lengths, dtype=np.float64)
+    def _kvectors(self, L):
         if self._kvecs is None:
             mmax = int(np.floor(self.kmax * L.min() / (2 * np.pi)))
             mmax = max(1, min(mmax, 12))
@@ -283,15 +328,55 @@ class Ssf(Analysis):
                         if np.linalg.norm(k) <= self.kmax:
                             ks.append(k)
             self._kvecs = np.asarray(ks)
-        r = np.asarray(ss.state.r[:n])
-        phase = r @ self._kvecs.T
-        rho_k = np.exp(1j * phase).sum(axis=0)
-        s = (rho_k * rho_k.conj()).real / n
+        return self._kvecs
+
+    def _bin_shells(self, s):
         kn = np.linalg.norm(self._kvecs, axis=1)
         shell = np.minimum((kn / self.kmax * self.n_shells).astype(int),
                            self.n_shells - 1)
         np.add.at(self.state["acc"], shell, s)
         np.add.at(self.state["cnt"], shell, 1.0)
+
+    def eval(self, sim):
+        ss = sim.ss
+        n = sim.sysdef.state.n_local
+        L = np.asarray(ss.box.lengths, dtype=np.float64)
+        kv = self._kvectors(L)
+        r = np.asarray(ss.state.r[:n])
+        phase = r @ kv.T
+        rho_k = np.exp(1j * phase).sum(axis=0)
+        s = (rho_k * rho_k.conj()).real / n
+        self._bin_shells(s)
+
+    def eval_sharded(self, psim):
+        """Per-device partial rho_k = sum_owned exp(i k.r) + psum; the
+        |rho_k|^2 shell binning runs on the tiny k-grid host-side.  The
+        k-space sum is the textbook shardable reduction -- no particle
+        ever leaves its owner (ssf.c under MPI does the same allreduce)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.brick import AXES
+
+        L = np.asarray(psim.Lv, dtype=np.float64)
+        kv = jnp.asarray(self._kvectors(L), psim.fields["r"].dtype)
+
+        def local(r, mask):
+            ph = r @ kv.T
+            w = mask.astype(r.dtype)[:, None]
+            c = jax.lax.psum(jnp.sum(w * jnp.cos(ph), axis=0), tuple(AXES))
+            s = jax.lax.psum(jnp.sum(w * jnp.sin(ph), axis=0), tuple(AXES))
+            return c, s
+
+        PS = P(("bx", "by", "bz"))
+        fn = jax.jit(jax.shard_map(local, mesh=psim.mesh,
+                                   in_specs=(PS, PS), out_specs=P(),
+                                   check_vma=False))
+        c, s = fn(psim.fields["r"], psim.mask)
+        n = psim.sysdef.state.n_local
+        sk = (np.asarray(c, np.float64) ** 2
+              + np.asarray(s, np.float64) ** 2) / n
+        self._bin_shells(sk)
 
     def output(self, sim, run_dir="."):
         with open(os.path.join(run_dir, self.filename), "w") as f:

@@ -263,8 +263,10 @@ def test_sharded_analysis_matches_gathered(waterbox_dir):
     adb = ObjectDB().compile_string(
         "pc ANALYSIS { type=PAIRCORRELATION; delta_r=0.3 Angstrom; "
         "length=40; rmin=2.0 Angstrom; }\n"
-        "zd ANALYSIS { type=ZDENSITY; nBins=32; }\n")
-    for name in ("pc", "zd"):
+        "zd ANALYSIS { type=ZDENSITY; nBins=32; }\n"
+        "ke ANALYSIS { type=KINETICENERGYDISTN; nBins=24; "
+        "max=12.0 kJ*mol^-1; }\n")
+    for name in ("pc", "zd", "ke"):
         a_sh = build_analysis(name, adb.get(name, "ANALYSIS"))
         a_ga = build_analysis(name, adb.get(name, "ANALYSIS"))
         a_sh.eval_sharded(ps)
@@ -273,6 +275,28 @@ def test_sharded_analysis_matches_gathered(waterbox_dir):
         hg = np.asarray(a_ga.state["hist"])
         assert hs.shape == hg.shape
         assert np.abs(hs - hg).max() <= 1e-6 * max(1.0, hg.max()), name
+
+    # VCMWRITE: momentum reduction over owned rows
+    vdb = ObjectDB().compile_string("vc ANALYSIS { type=VCMWRITE; }")
+    v_sh = build_analysis("vc", vdb.get("vc", "ANALYSIS"))
+    v_ga = build_analysis("vc", vdb.get("vc", "ANALYSIS"))
+    v_sh.eval_sharded(ps)
+    v_ga.eval(view)
+    np.testing.assert_allclose(np.asarray(v_sh.state["rows"][0][1:]),
+                               np.asarray(v_ga.state["rows"][0][1:]),
+                               rtol=1e-5, atol=1e-9)
+
+    # SSF: sharded partial rho_k sums match the gathered k-space sum
+    sdb = ObjectDB().compile_string(
+        "sf ANALYSIS { type=SSF; nShells=16; kmax=0.8 Angstrom^-1; }")
+    s_sh = build_analysis("sf", sdb.get("sf", "ANALYSIS"))
+    s_ga = build_analysis("sf", sdb.get("sf", "ANALYSIS"))
+    s_sh.eval_sharded(ps)
+    s_ga.eval(view)
+    acc_g = np.asarray(s_ga.state["acc"])
+    np.testing.assert_allclose(np.asarray(s_sh.state["acc"]), acc_g,
+                               rtol=5e-4, atol=1e-6 * max(1.0, acc_g.max()))
+    np.testing.assert_array_equal(s_sh.state["cnt"], s_ga.state["cnt"])
 
     # infeasible radius (rmax > halo rlist) must raise, not silently
     # truncate -- run_analyses falls back to the gathered path then
