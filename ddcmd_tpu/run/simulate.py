@@ -880,6 +880,30 @@ class Simulation:
                     f"(chunk {loop0}+{k}, in-chunk index {bad}; last good "
                     f"row e={last_ok[0]:.4g} rk={last_ok[1]:.4g} "
                     f"vol={last_ok[3]:.4g}){hot}; rollback retry {retries}/3")
+                if os.environ.get("DDCMD_BLOWUP_DUMP") \
+                        and not getattr(self, "_blowup_dumped", False):
+                    # forensic capture: pre-chunk checkpoint + the chunk
+                    # noise key make the blowup EXACTLY replayable (noise
+                    # is fold_in(key, step_index), so a shorter chunk
+                    # with the same key reproduces the prefix bit-exact)
+                    # -- scripts/forensic_blowup.py drives the replay
+                    self._blowup_dumped = True
+                    try:
+                        from ..io.restart import write_checkpoint
+
+                        snap = write_checkpoint(self, self.run_dir,
+                                                update_symlink=False)
+                        np.savez(os.environ["DDCMD_BLOWUP_DUMP"],
+                                 key=np.asarray(sub), n_rebuilds=n_rebuilds,
+                                 spr=spr, bad=bad,
+                                 hot_step=int(j0 if hot else bad),
+                                 hot_row=int(scal[j0, 12]) if hot else -1,
+                                 snapdir=snap, vmax2=scal[:bad + 1, 11],
+                                 vrow=scal[:bad + 1, 12])
+                        print(f"blowup forensic dump: {snap} + "
+                              f"{os.environ['DDCMD_BLOWUP_DUMP']}")
+                    except Exception as err:
+                        print(f"blowup dump failed: {err}")
                 if retries > 3:
                     # forensic dump: the pre-chunk state reproduces the
                     # blowup in ~bad steps (write_checkpoint restores it)
