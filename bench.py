@@ -106,6 +106,12 @@ def main():
         # equilibrated restarts too.  BENCH_EQUIL=steps,dt_fs; =0 disables.
         eq = os.environ.get("BENCH_EQUIL", "3000,5")
         restart = None
+        if os.environ.get("BENCH_RESTART_DIR"):
+            # reuse a previously equilibrated deck+checkpoint dir (saves
+            # one big compile + the equil steps on the tunnel)
+            d = os.environ["BENCH_RESTART_DIR"]
+            restart = os.path.join(d, "restart")
+            eq = "0"
         if eq not in ("", "0"):
             eq_steps, eq_dt = (float(x) for x in eq.split(","))
             eq_steps = int(eq_steps)
