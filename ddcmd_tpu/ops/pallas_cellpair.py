@@ -125,7 +125,8 @@ def _pchunk(cap: int, col: bool = False) -> int:
 def _pair_tile(variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
                sigma_ref, eps_ref, shift_ref,
                Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
-               T, krf, crf, keR, coulomb, nocc=None, pchunk=0):
+               T, krf, crf, keR, coulomb, nocc=None, pchunk=0,
+               pex=None, qex=None):
     """Shared (cap, W) N3L pair-tile math for _kernel_half and
     _kernel_half_col (keep the two kernels' physics in ONE place).
 
@@ -165,15 +166,17 @@ def _pair_tile(variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
             k0 = k * pchunk
             sig_k = None if sig_p is None else tuple(
                 t[k0:k0 + pchunk] for t in sig_p)
+            pex_k = None if pex is None else tuple(
+                t[k0:k0 + pchunk] for t in pex)
 
-            def live(_, k0=k0, sig_k=sig_k):
+            def live(_, k0=k0, sig_k=sig_k, pex_k=pex_k):
                 return _pair_tile(
                     variant, None, pxT[k0:k0 + pchunk], None,
                     pqc[k0:k0 + pchunk], pvc[k0:k0 + pchunk], sig_k,
                     sigma_ref, eps_ref, shift_ref,
                     Qxyz, qq_row, qt_row, qv_row,
                     dup_pair[k0:k0 + pchunk], rcut2,
-                    T, krf, crf, keR, coulomb)
+                    T, krf, crf, keR, coulomb, pex=pex_k, qex=qex)
 
             out = jax.lax.cond(nocc > k0, live, lambda _: zero, 0)
             fp_parts.append(out[0])
@@ -199,6 +202,24 @@ def _pair_tile(variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
     valid = (pvc * qv_row > 0.0)
     valid = jnp.logical_and(valid, d2 < rcut2)
     valid = jnp.logical_and(valid, jnp.logical_not(dup_pair))
+    if pex is not None:
+        # in-kernel bonded-pair exclusion (GROMACS exclude-from-list
+        # discipline): pair (p, q) is masked when p's exclusion bitmask
+        # has q's intra-molecule bit.  Channels ride the two spare
+        # record rows -- row6 = component id, row7 = B + 2^-intra with
+        # B < 2^12 and intra <= 11, all EXACT in f32 (see run/forces.
+        # _excl_channels).  Without this, compute-then-subtract leaves
+        # an O(|F| * 5e-6) residual force on excluded pairs that turns
+        # a rare deep bond compression (~11 kT, harmlessly recoverable
+        # in real Martini) into an energy-injecting catapult -- the 94k
+        # bilayer NaN events traced to exactly this (r4 forensics).
+        pmc, pbc = pex
+        qm_row, qw_row = qex
+        # record fraction is 2^-(intra+1); doubling restores 2^-intra
+        t_bit = jnp.floor(pbc * (qw_row + qw_row))       # B_p / 2^intra_q
+        bit = t_bit - 2.0 * jnp.floor(t_bit * 0.5)       # exact parity
+        valid = jnp.logical_and(valid, jnp.logical_not(
+            jnp.logical_and(pmc == qm_row, bit > 0.5)))
     w = valid.astype(jnp.float32)
 
     d2s = jnp.where(valid, d2, 1.0)
@@ -548,7 +569,8 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
                  q_scratch, sem,
                  *, cap: int, n_stencil: int, T: int, alias_groups,
                  krf: float, crf: float, keR: float, coulomb: bool,
-                 variant: str = "dot", pchunk: int = 0, counts_off: int = 0):
+                 variant: str = "dot", pchunk: int = 0, counts_off: int = 0,
+                 excl: bool = False):
     """Newton's-3rd-law variant of _kernel: the self block (index 0) is
     deduplicated with a triangular mask, only the 13 positive stencil
     directions are evaluated, and the reaction forces on the q side are
@@ -652,12 +674,21 @@ def _kernel_half(stencil_ref,   # (ncell*S*4,) int32 scalar-prefetch (SMEM)
     qt_row = Q[4:5, :]
     qv_row = Q[5:6, :]
 
+    pex = qex = None
+    if excl:
+        # exclusion channels in the spare record rows (see _pair_tile)
+        pwc = col(P[7:8, :])
+        pex = (col(P[6:7, :]), jnp.floor(pwc))
+        qw7 = Q[7:8, :]
+        qex = (Q[6:7, :], qw7 - jnp.floor(qw7))
+
     nocc = stencil_ref[counts_off + c] if pchunk else None
     Fp, pe_p, Fq, peq, e_sum, vir = _pair_tile(
         variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
         sigma_ref, eps_ref, shift_ref,
         Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
-        T, krf, crf, keR, coulomb, nocc=nocc, pchunk=pchunk)
+        T, krf, crf, keR, coulomb, nocc=nocc, pchunk=pchunk,
+        pex=pex, qex=qex)
     out_f_ref[:] = Fp
     out_pe_ref[:] = pe_p
     zero4 = jnp.zeros((4, W), jnp.float32)
@@ -819,7 +850,7 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
                      member_u, dirs, T: int,
                      krf: float, crf: float, keR: float, coulomb: bool,
                      variant: str = "dot", pchunk: int = 0,
-                     counts_off: int = 0):
+                     counts_off: int = 0, excl: bool = False):
     """Multi-cell (column) variant of _kernel_half: one program owns G
     z-contiguous cells and DMAs the UNION of their stencil blocks once
     (5G+9 blocks instead of 14G -- ~half the HBM traffic at G=4).  Each
@@ -926,12 +957,21 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
         qt_row = Q[4:5, :]
         qv_row = Q[5:6, :]
 
+        pex = qex = None
+        if excl:
+            # exclusion channels in the spare record rows (_pair_tile)
+            pwc = col(P[7:8, :])
+            pex = (col(P[6:7, :]), jnp.floor(pwc))
+            qw7 = Q[7:8, :]
+            qex = (Q[6:7, :], qw7 - jnp.floor(qw7))
+
         nocc = stencil_ref[counts_off + c * G + g] if pchunk else None
         Fp, pe_p, Fq, peq, e_sum, vir = _pair_tile(
             variant, Pxyz, pxT, p2c, pqc, pvc, sig_p,
             sigma_ref, eps_ref, shift_ref,
             Qxyz, qq_row, qt_row, qv_row, dup_pair, rcut2,
-            T, krf, crf, keR, coulomb, nocc=nocc, pchunk=pchunk)
+            T, krf, crf, keR, coulomb, nocc=nocc, pchunk=pchunk,
+            pex=pex, qex=qex)
         out_f_ref[g * cap:(g + 1) * cap, :] = Fp
         out_pe_ref[g * cap:(g + 1) * cap, :] = pe_p
 
@@ -962,7 +1002,8 @@ def _kernel_half_col(stencil_ref,   # (ncol*U,) int32 scalar-prefetch (SMEM)
 
 def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
                                   coulomb: bool = True,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  excl: bool = False):
     """Column (multi-cell-per-program) N3L kernel; same eval signature as
     make_pallas_cellpair_half but stencil_packed must come from
     pack_stencil_col(grid, G).  Returns eval(slots, stencil_col, L8) ->
@@ -982,7 +1023,7 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
         dirs=tuple(_half_dirs()), T=T,
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
         keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
-        variant=_variant(), pchunk=PC, counts_off=ncol * U)
+        variant=_variant(), pchunk=PC, counts_off=ncol * U, excl=excl)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1035,7 +1076,8 @@ def make_pallas_cellpair_half_col(grid: CellBlockGrid, tables, G: int,
 
 
 def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
-                              coulomb: bool = True, interpret: bool = False):
+                              coulomb: bool = True, interpret: bool = False,
+                              excl: bool = False):
     """Half-stencil (N3L) kernel; `grid` must come from half_grid().
     Returns eval(slots, stencil_packed, L8) ->
     (per-slot (ncell*cap, 8) p-side [f, pe], q-side (ncell, 8, S*cap),
@@ -1051,7 +1093,7 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
         alias_groups=_alias_groups_half(grid.ncells),
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
         keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
-        variant=_variant(), pchunk=PC, counts_off=ncell * S * 4)
+        variant=_variant(), pchunk=PC, counts_off=ncell * S * 4, excl=excl)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1102,14 +1144,15 @@ def make_pallas_cellpair_half(grid: CellBlockGrid, tables,
 
 def pallas_cellpair_eval_half(r, q, tidx, perm, box_lengths,
                               grid: CellBlockGrid, tables, stencil_packed,
-                              eval_fn):
+                              eval_fn, excl_vals=None):
     """Drop-in replacement for cellpair_eval using the N3L kernel; the
     q-side reaction forces arrive pre-accumulated per target cell."""
     n_pad = r.shape[0]
     dt = jnp.float32
     ncell, cap, S = grid.ncell, grid.cap, grid.n_stencil
     L = jnp.asarray(box_lengths, dt)
-    slots, _ = pack_slots(r, q, tidx, perm, box_lengths, grid)
+    slots, _ = pack_slots(r, q, tidx, perm, box_lengths, grid,
+                          excl_vals=excl_vals)
     Ln = L / jnp.asarray(grid.ncells, dt)
     L8 = jnp.concatenate([Ln, jnp.asarray([tables["rcut2"]], dt),
                           jnp.zeros((4,), dt)]).reshape(1, 8)
@@ -1223,9 +1266,12 @@ def pack_stencil(grid: CellBlockGrid) -> np.ndarray:
     return packed.reshape(grid.ncell, -1)
 
 
-def pack_slots(r, q, tidx, perm, box_lengths, grid: CellBlockGrid):
+def pack_slots(r, q, tidx, perm, box_lengths, grid: CellBlockGrid,
+               excl_vals=None):
     """(ncell, 8, cap) f32 transposed slot records in cell-centered
-    coordinates: sublane rows [x, y, z, q, type, valid, 0, 0]."""
+    coordinates: sublane rows [x, y, z, q, type, valid, ex6, ex7] --
+    ex6/ex7 are the in-kernel exclusion channels (run/forces.
+    _excl_channels; zeros when exclusions are off)."""
     n_pad = r.shape[0]
     dt = jnp.float32
     ncell, cap = grid.ncell, grid.cap
@@ -1243,12 +1289,18 @@ def pack_slots(r, q, tidx, perm, box_lengths, grid: CellBlockGrid):
     v_ext = jnp.concatenate([jnp.ones((n_pad,), dt), jnp.zeros((1,), dt)])
 
     P = r_ext[perm].reshape(ncell, cap, 3) - centers[:, None, :]
+    if excl_vals is None:
+        ex = jnp.zeros((ncell, cap, 2), dt)
+    else:
+        e_ext = jnp.concatenate([excl_vals.astype(dt),
+                                 jnp.zeros((1, 2), dt)])
+        ex = e_ext[perm].reshape(ncell, cap, 2)
     rec = jnp.concatenate([
         P,
         q_ext[perm].reshape(ncell, cap, 1),
         t_ext[perm].reshape(ncell, cap, 1),
         v_ext[perm].reshape(ncell, cap, 1),
-        jnp.zeros((ncell, cap, 2), dt),
+        ex,
     ], axis=2)                                          # (ncell, cap, 8)
     return jnp.transpose(rec, (0, 2, 1)), centers        # (ncell, 8, cap)
 

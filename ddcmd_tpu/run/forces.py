@@ -22,12 +22,77 @@ from ..potentials.pair import pair_device_tables, pair_lj
 
 
 def _inlist_excl(sysdef, engine) -> bool:
-    """True when the (N,K)-list engine should mask excluded pairs
-    in-list (and the bonded block add back only the kept RF term)."""
-    return (engine == "nlist"
-            and sysdef.bonded is not None
-            and sysdef.bonded.exclusions is not None
-            and os.environ.get("DDCMD_INLIST_EXCL", "1") != "0")
+    """True when the pair engine masks excluded pairs IN-ENGINE (and the
+    bonded block adds back only the kept RF term): the (N,K)-list engine
+    masks in-list; the pallas engine masks in-kernel via the exclusion
+    record channels (when the topology fits the exact-f32 encoding)."""
+    if (sysdef.bonded is None or sysdef.bonded.exclusions is None
+            or os.environ.get("DDCMD_INLIST_EXCL", "1") == "0"):
+        return False
+    if engine == "nlist":
+        return True
+    if engine == "pallas":
+        # only the MARTINI nonbond term masks in-kernel; a PAIR-potential
+        # deck with exclusions keeps compute-then-subtract
+        return (any(p[0] == "MARTINI" for p in sysdef.potentials)
+                and _excl_channels(sysdef.bonded.exclusions,
+                                   sysdef.state.n_pad) is not None)
+    return False
+
+
+def _excl_channels(exclusions, n_pad: int):
+    """Per-particle in-kernel exclusion channels (n_pad, 2) f32:
+    [component_id, B + 2^-intra] with B the exclusion bitmask over the
+    particle's connected component of the exclusion graph.  All values
+    are EXACT in f32 when every component has <= 12 members (B < 2^12,
+    2^-intra >= 2^-11 spans 23 mantissa bits); returns None otherwise
+    and the caller falls back to compute-then-subtract.  Why in-kernel:
+    the subtract residual is O(|F_LJ| * 5e-6) -- harmless at bond rest
+    length, but a rare ~11 kT bond compression makes |F_LJ| ~ 1e9 and
+    the residual becomes a catapult (the 94k-bilayer NaN forensics, r4).
+    The reference prunes excluded pairs from the list for the same
+    reason (nlistGPU.cu exclusion filtering)."""
+    ex = np.asarray(exclusions)
+    if len(ex) == 0:
+        return None
+    parent = np.arange(n_pad)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for i, j in ex:
+        parent[find(int(i))] = find(int(j))
+    from collections import defaultdict
+
+    comps = defaultdict(list)
+    for i, j in ex:
+        comps[find(int(i))].append(int(i))
+        comps[find(int(j))].append(int(j))
+    vals = np.zeros((n_pad, 2), np.float32)
+    intra = {}
+    for cid, (root, members) in enumerate(comps.items()):
+        members = sorted(set(members))
+        if len(members) > 12:
+            return None
+        for k, m in enumerate(members):
+            intra[m] = k
+            vals[m, 0] = float(cid + 1)
+    B = np.zeros(n_pad, np.int64)
+    for i, j in ex:
+        B[int(i)] |= 1 << intra[int(j)]
+        B[int(j)] |= 1 << intra[int(i)]
+    rows = np.asarray(sorted(intra.keys()))
+    # fraction stores 2^-(intra+1) (intra=0 must stay fractional); the
+    # kernel doubles it back -- both steps exact powers of two
+    vals[rows, 1] = (B[rows] + np.exp2(
+        -np.asarray([intra[m] for m in rows], np.float64) - 1.0)
+    ).astype(np.float32)
+    return vals
 
 
 def _excl_table(exclusions, n_pad: int) -> np.ndarray:
@@ -94,23 +159,32 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
 
                 hg = half_grid(grid)
                 interp = bool(os.environ.get("DDCMD_PALLAS_INTERPRET"))
+                # in-kernel bonded-pair exclusions (exclude-from-list
+                # discipline) when the topology fits the exact-f32
+                # record encoding -- see _excl_channels
+                excl_vals = None
+                if _inlist_excl(sysdef, engine):
+                    excl_vals = jnp.asarray(_excl_channels(
+                        sysdef.bonded.exclusions, sysdef.state.n_pad))
                 G = choose_col_group(hg)
                 if G > 1:
                     eval_fn = make_pallas_cellpair_half_col(
-                        hg, tables, G, coulomb=coul, interpret=interp)
+                        hg, tables, G, coulomb=coul, interpret=interp,
+                        excl=excl_vals is not None)
                     stencil = jnp.asarray(pack_stencil_col(hg, G))
                 else:
                     eval_fn = make_pallas_cellpair_half(
-                        hg, tables, coulomb=coul, interpret=interp)
+                        hg, tables, coulomb=coul, interpret=interp,
+                        excl=excl_vals is not None)
                     stencil = jnp.asarray(pack_stencil(hg))
 
                 def martini_term(state, box, handle, tables=tables, tmap=tmap,
                                  eval_fn=eval_fn, stencil=stencil, hg=hg,
-                                 coul=coul):
+                                 coul=coul, excl_vals=excl_vals):
                     tidx = tmap[state.species]
                     f, e, virial, pe = pallas_cellpair_eval_half(
                         state.r, state.q, tidx, handle, box.lengths, hg,
-                        tables, stencil, eval_fn)
+                        tables, stencil, eval_fn, excl_vals=excl_vals)
                     if not coul:
                         return f, e, virial, pe
                     e_self_i = (-0.5 * state.q * state.q * state.fmask

@@ -84,6 +84,9 @@ def main():
             d2 = jnp.sum(dw * dw, axis=-1)
             d2 = jnp.where((jnp.arange(st.n_pad) == watch)
                            | (st.fmask < 0.5), 1e9, d2)
+            # foreign = different molecule (same-molecule bonded partners
+            # sit at ~b0 and mask the approaching intruder)
+            d2f = jnp.where(mol_id == mol_id[watch], 1e9, d2)
             scal = jnp.stack([
                 ss.energy.eion, ss.energy.rk, ss.box.volume,
                 jnp.max(v2), jnp.argmax(v2).astype(jnp.float32),
@@ -91,12 +94,28 @@ def main():
                 jnp.sqrt(jnp.min(d2)), jnp.argmin(d2).astype(jnp.float32),
                 jnp.sqrt(f2[watch]),
                 jnp.asarray(stale, jnp.float32),
+                jnp.sqrt(jnp.min(d2f)), jnp.argmin(d2f).astype(jnp.float32),
+                v2[watch],
             ])
             return (ss, nbr, r0, h0, ov | ov_i), scal
 
         (ss, _, _, _, ov), scal = jax.lax.scan(
             live, (ss, nbr, r0, h0, ov0), jnp.arange(n_steps))
         return ss, scal, ov
+
+    # molecule id per row (lipids: 12 beads in builder order; waters: own)
+    gid64 = sim.sysdef.collection.gid.astype(np.int64)
+    n_lip = int(os.environ.get("WATCH_NLIPID_BEADS", "0"))
+    if not n_lip:
+        # builder layout: lipid beads first (12/molecule), waters after;
+        # infer the lipid block from the first W species row
+        names = sim.sysdef.collection.species_names
+        n_lip = next((i for i, s in enumerate(names) if s.startswith("Wx")),
+                     len(names))
+    mol_host = np.where(np.arange(sim.sysdef.state.n_pad) < n_lip,
+                        np.arange(sim.sysdef.state.n_pad) // 12,
+                        np.arange(sim.sysdef.state.n_pad) + 10 ** 7)
+    mol_id = jnp.asarray(mol_host, jnp.int32)
 
     chunk_j = jax.jit(chunk)
     key = jax.random.PRNGKey(int(os.environ.get("WATCH_SEED", "7")))
@@ -115,19 +134,28 @@ def main():
         if len(hot) or not fin.all():
             j0 = int(hot[0]) if len(hot) else int(np.argmax(~fin))
             row = int(scal[max(0, j0), 4])
+            primary = int(scal[max(0, j0 - 2), 4])
             print(f"EVENT in chunk {c} at step {j0}, row {row} "
                   f"(v2 {v2[max(0, j0 - 1)]:.3g} -> {v2[j0]:.3g}); "
-                  "re-running bit-exact with watch", flush=True)
-            _, scal2, _ = chunk_j(ss, sub, jnp.asarray(row, jnp.int32))
-            scal2 = np.asarray(scal2, dtype=np.float64)
-            a, b = max(0, j0 - 40), min(n_steps, j0 + 4)
-            print("step |  dmin   nbr_row | |f(watch)| | vmax2 row | "
-                  "rebuilt | e", flush=True)
-            for s in range(a, b):
-                print(f"{s:4d} | {scal2[s, 7]:7.4f} {int(scal2[s, 8]):7d} |"
-                      f" {scal2[s, 9]:10.3g} | {scal2[s, 3]:9.3g}"
-                      f" {int(scal2[s, 4]):7d} | {int(scal2[s, 10])} |"
-                      f" {scal2[s, 0]:.6g}", flush=True)
+                  f"primary suspect row {primary}; re-running bit-exact",
+                  flush=True)
+            for tag, wrow in (("primary", primary), ("event", row)):
+                if wrow < 0:
+                    continue
+                _, scal2, _ = chunk_j(ss, sub, jnp.asarray(wrow, jnp.int32))
+                scal2 = np.asarray(scal2, dtype=np.float64)
+                a, b = max(0, j0 - 60), min(n_steps, j0 + 4)
+                print(f"--- watch {tag} row {wrow} ---", flush=True)
+                print("step |  dmin   nbr_row | dforeign frn_row |"
+                      " |f(watch)| v2(watch) | vmax2 row | rb | e",
+                      flush=True)
+                for s in range(a, b):
+                    print(f"{s:4d} | {scal2[s, 7]:7.4f} {int(scal2[s, 8]):7d}"
+                          f" | {scal2[s, 11]:7.4f} {int(scal2[s, 12]):7d} |"
+                          f" {scal2[s, 9]:9.3g} {scal2[s, 13]:9.3g} |"
+                          f" {scal2[s, 3]:9.3g} {int(scal2[s, 4]):7d} |"
+                          f" {int(scal2[s, 10])} | {scal2[s, 0]:.6g}",
+                          flush=True)
             return
         ss = ss_new
     print(f"no event in {max_chunks} chunks x {n_steps} steps", flush=True)

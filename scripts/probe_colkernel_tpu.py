@@ -53,13 +53,16 @@ tables = dict(
     keR=jnp.asarray(keR, jnp.float32))
 
 
-def brute(r, q, tidx, L):
+def brute(r, q, tidx, L, excl_pairs=None):
     """f64 min-image brute force: returns (e, f)."""
     d = r[:, None, :] - r[None, :, :]
     d -= np.round(d / L) * L
     d2 = np.einsum("ijk,ijk->ij", d, d)
     np.fill_diagonal(d2, np.inf)
     m = d2 < rcut ** 2
+    if excl_pairs is not None:
+        for i, j in excl_pairs:
+            m[i, j] = m[j, i] = False
     sg = sigma[tidx][:, tidx]
     ep = eps[tidx][:, tidx]
     sh = shift[tidx][:, tidx]
@@ -76,7 +79,7 @@ def brute(r, q, tidx, L):
     return 0.5 * (e_lj + e_c).sum(), f
 
 
-def run_case(name, L3, density, seed):
+def run_case(name, L3, density, seed, excl=False):
     rng = np.random.default_rng(seed)
     L = np.array(L3, float)
     n = int(np.prod(L) * density)
@@ -88,8 +91,23 @@ def run_case(name, L3, density, seed):
     q = rng.choice([-1.0, 0.0, 1.0], size=n) * 0.3
     tidx = rng.integers(0, 2, size=n)
 
+    excl_pairs = excl_vals = None
+    if excl:
+        # diatomic exclusions (i, i+1), every partner pulled to an
+        # OVERLAPPING 0.14-0.30 nm separation: the excluded-pair mask
+        # must kill these ~1e6-scale LJ terms EXACTLY in compiled mode
+        # (the f32 bit-extraction math is what this case probes)
+        from ddcmd_tpu.run.forces import _excl_channels
+
+        excl_pairs = [(i, i + 1) for i in range(0, n - 1, 2)]
+        for i, j in excl_pairs:
+            dv = rng.standard_normal(3)
+            dv *= (0.14 + 0.16 * rng.random()) / np.linalg.norm(dv)
+            r[j] = r[i] + dv
+        excl_vals = jnp.asarray(_excl_channels(excl_pairs, n))
+
     if n <= 6000:
-        e_ref, f_ref = brute(r, q, tidx, L)
+        e_ref, f_ref = brute(r, q, tidx, L, excl_pairs=excl_pairs)
     else:
         # big-grid cases: the O(N^2) f64 oracle is too slow; use the
         # hardware-proven XLA cell-block engine as reference instead
@@ -128,7 +146,7 @@ def run_case(name, L3, density, seed):
               f"{'OK' if df < 1e-4 and de < 1e-4 else '** MISMATCH **'}",
               flush=True)
 
-    if not KERNEL or KERNEL == "xla":
+    if (not KERNEL or KERNEL == "xla") and not excl:
         f0, e0, v0, pe0 = jax.jit(
             lambda *a: cellpair_eval(*a, grid=grid, tables=tables,
                                      coulomb=True))(rj, qj, tj, perm, Lv)
@@ -137,19 +155,19 @@ def run_case(name, L3, density, seed):
     hgrid = half_grid(grid)
     if not KERNEL or KERNEL == "percell":
         ev1 = make_pallas_cellpair_half(hgrid, tables, coulomb=True,
-                                        interpret=INTERPRET)
+                                        interpret=INTERPRET, excl=excl)
         f1, e1, _, _ = pallas_cellpair_eval_half(
             rj, qj, tj, perm, Lv, hgrid, tables,
-            jnp.asarray(pack_stencil(hgrid)), ev1)
+            jnp.asarray(pack_stencil(hgrid)), ev1, excl_vals=excl_vals)
         report("pallas-percell", f1, e1)
 
     if not KERNEL or KERNEL == "col":
         G = nz
         evc = make_pallas_cellpair_half_col(hgrid, tables, G, coulomb=True,
-                                            interpret=INTERPRET)
+                                            interpret=INTERPRET, excl=excl)
         fc, ec, _, _ = pallas_cellpair_eval_half(
             rj, qj, tj, perm, Lv, hgrid, tables,
-            jnp.asarray(pack_stencil_col(hgrid, G)), evc)
+            jnp.asarray(pack_stencil_col(hgrid, G)), evc, excl_vals=excl_vals)
         report(f"pallas-col G={G}", fc, ec)
 
 
@@ -169,3 +187,14 @@ if CASE == "biggrid":
     # (per-cell hardware probes never exercised ncell >= ~100 before the
     # flat-SMEM fix unlocked these grids)
     run_case("biggrid", (34.0, 34.0, 11.0), 7.0, 3)
+if (INTERPRET and not CASE) or CASE == "excl":
+    # in-kernel bonded-pair exclusions at OVERLAPPING separations: the
+    # f32 bitmask extraction (floor/parity on the spare record rows)
+    # must mask the ~1e6-scale LJ terms exactly in COMPILED mode (the
+    # catapult-fix path; interpret parity proved the math, this probes
+    # the Mosaic lowering)
+    # density 1.6: lattice spacing ~0.85 nm so the ONLY overlapping
+    # neighbor of each bead is its excluded partner -- an unmasked pair
+    # then dominates e/f outright instead of hiding under accidental
+    # nonbonded overlaps
+    run_case("excl", (6.0, 6.0, 9.9), 1.6, 5, excl=True)

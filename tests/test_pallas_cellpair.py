@@ -707,3 +707,121 @@ def test_pallas_eam_bcast_variant_matches_xla(monkeypatch):
                                     rho_c, force_c)
     assert float(e3) == pytest.approx(float(e1), rel=2e-5)
     assert float(jnp.abs(f3 - f1).max()) / scale < 5e-5
+
+
+# ---------------------------------------------------------------------------
+# in-kernel bonded-pair exclusions (r4: the 94k-bilayer catapult fix)
+# ---------------------------------------------------------------------------
+
+def _bilayer_sims(tmp_path, engines=("pallas", "nlist")):
+    import os
+
+    from ddcmd_tpu.models import load, martini_bilayer
+    from ddcmd_tpu.run.simulate import Simulation
+
+    d = str(tmp_path)
+    martini_bilayer(d, nx=4, ny=4, water_nm=1.2)
+    sims = []
+    os.environ["DDCMD_PALLAS_INTERPRET"] = "1"
+    try:
+        for eng in engines:
+            db, base = load(d)
+            sims.append(Simulation(db, base, run_dir=d, engine=eng))
+    finally:
+        os.environ.pop("DDCMD_PALLAS_INTERPRET", None)
+    return sims
+
+
+def test_excl_channels_encoding():
+    """The (mol, B + 2^-intra) record encoding reproduces the exclusion
+    matrix exactly through the kernel's f32 bit-extraction math."""
+    from ddcmd_tpu.run.forces import _excl_channels
+
+    # a DPPC-like 12-bead chain + a 3-bead branch component
+    ex = [(i, i + 1) for i in range(11)] + [(20, 21), (21, 22), (20, 22)]
+    vals = _excl_channels(ex, 32)
+    assert vals is not None
+    v = np.asarray(vals, np.float32)
+    excl_set = {(a, b) for a, b in ex} | {(b, a) for a, b in ex}
+    for i in range(32):
+        for j in range(32):
+            if i == j:
+                continue
+            # kernel math, all in f32
+            same = v[i, 0] == v[j, 0] and v[i, 0] != 0.0
+            B_i = np.float32(np.floor(v[i, 1]))
+            w_j = np.float32(v[j, 1] - np.floor(v[j, 1]))
+            t = np.float32(np.floor(B_i * (w_j + w_j)))
+            bit = t - 2.0 * np.float32(np.floor(t * np.float32(0.5)))
+            kernel_excl = bool(same and bit > 0.5)
+            assert kernel_excl == ((i, j) in excl_set), (i, j)
+    # oversized component falls back (returns None)
+    assert _excl_channels([(i, i + 1) for i in range(13)], 20) is None
+
+
+@pytest.mark.slow
+def test_inkernel_exclusion_parity_bilayer(tmp_path):
+    """Martini bilayer deck: the pallas engine's in-kernel exclusion
+    masking matches the nlist engine's in-list masking (the gold path)
+    in both energy and forces -- on the per-cell AND the column kernel
+    (the 94k production grid runs the G=5 column kernel)."""
+    import os
+
+    sp, sn = _bilayer_sims(tmp_path)
+    sn.first_energy()
+    n = sp.sysdef.state.n_local
+    fn_ = np.asarray(sn.ss.state.f[:n])
+    en = float(sn.ss.energy.eion)
+    scale = np.abs(fn_).max()
+
+    nz = int(sp.grid.ncells[2])
+    G = max(g for g in range(1, min(nz, 8) + 1) if nz % g == 0)
+    for cols in ("0",) + (() if G == 1 else (str(G),)):
+        os.environ["DDCMD_PALLAS_INTERPRET"] = "1"
+        os.environ["DDCMD_PALLAS_COLS"] = cols
+        try:
+            from ddcmd_tpu.models import load
+
+            db, base = load(str(tmp_path))
+            from ddcmd_tpu.run.simulate import Simulation
+
+            s = Simulation(db, base, run_dir=str(tmp_path), engine="pallas")
+            s.first_energy()
+        finally:
+            os.environ.pop("DDCMD_PALLAS_INTERPRET", None)
+            os.environ.pop("DDCMD_PALLAS_COLS", None)
+        fp = np.asarray(s.ss.state.f[:n])
+        assert float(s.ss.energy.eion) == pytest.approx(en, rel=1e-5), cols
+        assert np.abs(fp - fn_).max() / scale < 2e-5, cols
+
+
+@pytest.mark.slow
+def test_inkernel_exclusion_deep_compression(tmp_path):
+    """A bonded pair compressed to 0.12 nm (the rare ~11 kT fluctuation
+    that detonated the 94k bilayer) produces NO nonbond force at all --
+    masked in-kernel, not computed-then-subtracted.  With subtract mode
+    the pair term alone would carry ~1e9-scale LJ forces whose f32
+    residual catapults the beads."""
+    import jax.numpy as jnp
+
+    sp, sn = _bilayer_sims(tmp_path)
+    # GL1-GL2 of the first lipid are rows 2, 3 (builder bead order)
+    n = sp.sysdef.state.n_local
+    r = np.asarray(sp.ss.state.r[:n], np.float64)
+    d = r[3] - r[2]
+    r3 = r[2] + d / np.linalg.norm(d) * 0.12
+    for s in (sp, sn):
+        rr = np.asarray(s.ss.state.r).copy()
+        rr[3] = r3
+        s.ss = s.ss.replace(state=s.ss.state.replace(
+            r=jnp.asarray(rr, s.dtype)))
+        s.first_energy()
+    fp = np.asarray(sp.ss.state.f[:n])
+    fn_ = np.asarray(sn.ss.state.f[:n])
+    # total forces on the compressed pair: bond + angle only, O(1e3) --
+    # NOT the O(1e9) LJ wall
+    assert np.abs(fp[2:4]).max() < 1e5
+    assert np.isfinite(fp).all()
+    # and the two engines agree at the pathological geometry
+    scale = max(1.0, np.abs(fn_).max())
+    assert np.abs(fp - fn_).max() / scale < 2e-4
