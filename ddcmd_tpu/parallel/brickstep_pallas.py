@@ -51,7 +51,7 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
                            chunk_steps: int | None = None,
                            constraint_tables=None, barostat=None,
                            mol_tables=None, coulomb: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False, excl: bool = False):
     """Build (step, first, migrate[, chunk]) sharded functions running
     the pallas engine per device.  Orthorhombic boxes, uniform brick
     walls only (the per-device cell grid must be identical across
@@ -64,9 +64,15 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
     half = 0.5 * dt
     full_axes = tuple(AXES)
     halo_keys = ("r", "q", "species") + (("gid",) if bonded_tables else ())
+    if excl:
+        # in-kernel exclusion channels (run/forces._excl_channels) ride
+        # a migrating (n, 2) field and the halo exchange -- ghosts carry
+        # their channels so excluded pairs mask on every owner
+        halo_keys = halo_keys + ("excl",)
+        assert "excl" in field_keys, "excl=True needs the 'excl' field"
 
     eval_fn = make_shard_pallas_kernel(cplan, tables, coulomb=coulomb,
-                                       interpret=interpret)
+                                       interpret=interpret, excl=excl)
 
     if constraint_tables is not None:
         from ..integrators.constraints import make_constraint_project
@@ -112,9 +118,12 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
             g64l = pack_gid(fields["gid"])
             mol = resolve_constraints(mol_gids, g64l, mask,
                                       fields["r"].shape[0])
+        ex_pool = None
+        if excl:
+            ex_pool = jnp.concatenate([fields["excl"], ghosts["excl"]])
         rb = dict(routing=routing, perm=perm, counts=counts,
                   q_pool=q_pool, tidx=tidx, pool_mask=pool_mask,
-                  bterms=bterms, cons=cons, mol=mol)
+                  bterms=bterms, cons=cons, mol=mol, ex_pool=ex_pool)
         return fields, rb, ov | ov_b
 
     # -- per-step pieces -----------------------------------------------
@@ -166,7 +175,7 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         u = brick_frame_frac(r_pool, Lv, cplan, _dev_idx3())
         f_pool, virial, pe_pool = shard_pallas_eval(
             u, rb["q_pool"], rb["tidx"], rb["perm"], rb["counts"], Lv,
-            cplan, tables, eval_fn)
+            cplan, tables, eval_fn, ex_pool=rb["ex_pool"])
         if rb["bterms"] is not None:
             fb, eb, vb, peb = bonded_eval(r_pool, Lv, rb["bterms"],
                                           r_pool.shape[0], jnp.float32)

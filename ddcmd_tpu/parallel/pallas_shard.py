@@ -247,9 +247,10 @@ def bin_pool_ext(u, pool_mask, plan: ShardCellPlan):
     return perm, counts, overflow
 
 
-def pack_slots_ext(u, q, tidx, perm, Lv, plan: ShardCellPlan):
+def pack_slots_ext(u, q, tidx, perm, Lv, plan: ShardCellPlan, ex_pool=None):
     """(n_slot, 8, cap) transposed slot records in CELL-CENTERED brick-
-    frame Cartesian coordinates (sublanes [x y z q type valid 0 0])."""
+    frame Cartesian coordinates (sublanes [x y z q type valid ex6 ex7];
+    ex6/ex7 are the in-kernel exclusion channels, zeros when off)."""
     dt = jnp.float32
     n_pool = u.shape[0]
     n_slot, cap = plan.n_slot, plan.cap
@@ -260,13 +261,18 @@ def pack_slots_ext(u, q, tidx, perm, Lv, plan: ShardCellPlan):
     q_ext = jnp.concatenate([q.astype(dt), jnp.zeros((1,), dt)])
     t_ext = jnp.concatenate([tidx.astype(dt), jnp.zeros((1,), dt)])
     v_ext = jnp.concatenate([jnp.ones((n_pool,), dt), jnp.zeros((1,), dt)])
+    if ex_pool is None:
+        ex = jnp.zeros((n_slot, cap, 2), dt)
+    else:
+        e_ext = jnp.concatenate([ex_pool.astype(dt), jnp.zeros((1, 2), dt)])
+        ex = e_ext[perm].reshape(n_slot, cap, 2)
     P = r_ext[perm].reshape(n_slot, cap, 3) - centers[:, None, :]
     rec = jnp.concatenate([
         P,
         q_ext[perm].reshape(n_slot, cap, 1),
         t_ext[perm].reshape(n_slot, cap, 1),
         v_ext[perm].reshape(n_slot, cap, 1),
-        jnp.zeros((n_slot, cap, 2), dt),
+        ex,
     ], axis=2)
     return jnp.transpose(rec, (0, 2, 1))                    # (n_slot, 8, cap)
 
@@ -276,7 +282,8 @@ def pack_slots_ext(u, q, tidx, perm, Lv, plan: ShardCellPlan):
 # ---------------------------------------------------------------------------
 
 def make_shard_pallas_kernel(plan: ShardCellPlan, tables,
-                             coulomb: bool = True, interpret: bool = False):
+                             coulomb: bool = True, interpret: bool = False,
+                             excl: bool = False):
     """N3L half-stencil kernel with programs over the n_prog CORE cells
     and slot/DMA space over the n_slot extended cells.  Physics is
     _kernel_half verbatim (ops/pallas_cellpair.py) -- precision (_HI
@@ -297,7 +304,8 @@ def make_shard_pallas_kernel(plan: ShardCellPlan, tables,
         alias_groups=plan.alias_groups,
         krf=float(tables.get("krf", 0.0)), crf=float(tables.get("crf", 0.0)),
         keR=float(tables.get("keR", 0.0)), coulomb=coulomb,
-        variant=_variant(), pchunk=PC, counts_off=plan.n_prog * S * 4)
+        variant=_variant(), pchunk=PC, counts_off=plan.n_prog * S * 4,
+        excl=excl)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -347,14 +355,14 @@ def make_shard_pallas_kernel(plan: ShardCellPlan, tables,
 
 
 def shard_pallas_eval(u, q, tidx, perm, counts, Lv, plan: ShardCellPlan,
-                      tables, eval_fn):
+                      tables, eval_fn, ex_pool=None):
     """Per-device pair forces/energy/virial on the POOL (local + ghost)
     rows.  Each block pair is evaluated once mesh-wide (core-cell
     ownership); the returned f/pe carry the ghost rows' reaction shares,
     which the caller must reverse-reduce home (halo_reduce_3d)."""
     dt = jnp.float32
     n_pool = u.shape[0]
-    slots = pack_slots_ext(u, q, tidx, perm, Lv, plan)
+    slots = pack_slots_ext(u, q, tidx, perm, Lv, plan, ex_pool=ex_pool)
     wc = (jnp.asarray(plan.w_frac, dt) * Lv.astype(dt))
     L8 = jnp.concatenate([wc, jnp.asarray([tables["rcut2"]], dt),
                           jnp.zeros((4,), dt)]).reshape(1, 8)

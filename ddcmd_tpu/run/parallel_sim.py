@@ -18,6 +18,8 @@ general h as well.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -294,6 +296,34 @@ class ParallelSimulation:
                 self._pallas_tmap = np.zeros_like(np.asarray(tmap))
         self.shard_engine = self._pick_shard_engine(geom, L, rlist)
 
+        # in-kernel bonded-pair exclusions under the pallas shard engine
+        # (run/forces._excl_channels; the catapult fix): rebuild the
+        # bonded tables in rf_add mode (the kept-RF convention the
+        # in-engine masking pairs with) and ship the exclusion channels
+        # as a migrating (n, 2) field
+        excl_vals = None
+        if (self.shard_engine == "pallas" and bt is not None
+                and bt.exclusions is not None and self.force_kind == "martini"
+                and os.environ.get("DDCMD_INLIST_EXCL", "1") != "0"):
+            from ..run.forces import _excl_channels
+
+            excl_vals = _excl_channels(bt.exclusions, n)
+            if excl_vals is not None:
+                from ..parallel.bonded_shard import bonded_gid_tables
+                from ..potentials.bonded import device_bonded_tables
+
+                dtab = device_bonded_tables(
+                    bt, dtype, lj_sigma=parms.sigma, lj_eps=parms.eps,
+                    lj_shift=parms.shift, rcut=parms.rcut,
+                    keR=U.ke / parms.epsilon_r,
+                    charges=np.asarray(sd.state.q),
+                    species_lj_type=parms.species_lj_type,
+                    species_per_particle=np.asarray(sd.state.species),
+                    excl_mode="rf_add", krf=parms.krf, crf=parms.crf)
+                bonded_gid_tab = bonded_gid_tables(bt, gid64, dtab)
+                field_keys = tuple(field_keys) + ("excl",)
+        self._excl_vals = excl_vals
+
         self._step_kwargs = dict(
             dt=sd.cfg.dt, box_lengths=geom, species_lj_type=tmap, n_global=n,
             bonded_tables=bonded_gid_tab,
@@ -301,7 +331,8 @@ class ParallelSimulation:
                                       "group", "gid"),
             chunk_steps=self.chunk_steps,
             constraint_tables=cons_tab, barostat=barostat,
-            mol_tables=mol_tab, force_kind=self.force_kind)
+            mol_tables=mol_tab, force_kind=self.force_kind,
+            excl=excl_vals is not None)
         self._build_step_fns(geom)
 
         npdt = np.dtype(jnp.dtype(dtype))
@@ -319,6 +350,8 @@ class ParallelSimulation:
             arrays["hgid"] = np.stack(
                 [(hgid64 & 0xFFFFFFFF).astype(np.uint32),
                  (hgid64 >> 32).astype(np.uint32)], axis=1)
+        if excl_vals is not None:
+            arrays["excl"] = np.asarray(excl_vals[:n], dtype=np.float32)
         self._host_arrays = arrays          # gid-ordered template (r/v refreshed on gather)
         self._box_L = geom
         self._lb_L = L                      # per-axis perpendicular spans
@@ -587,6 +620,14 @@ def _make_step_fns(psim, geom, chunk_steps=None):
         return make_brick_step_pallas(
             psim.mesh, psim.plan, psim.cplan, psim._pallas_tables,
             psim.coeffs, coulomb=psim._coulomb, interpret=interp, **kw)
+    if kw.pop("excl", False):
+        # the bonded tables were built in rf_add mode for the in-kernel
+        # masking pallas engine; the nlist brick step has no in-engine
+        # masking, so silently continuing would drop the exclusion terms
+        raise RuntimeError(
+            "sharded engine demoted to nlist with in-kernel exclusions "
+            "active; rerun with DDCMD_SHARD_ENGINE=pallas (uniform "
+            "bricks) or DDCMD_INLIST_EXCL=0")
     return make_brick_step(psim.mesh, psim.plan, psim.grid, psim.tables,
                            psim.coeffs, **kw)
 

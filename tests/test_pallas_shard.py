@@ -305,3 +305,31 @@ def test_sharded_analysis_matches_gathered(waterbox_dir):
         "length=40; }").get("pc", "ANALYSIS"))
     with pytest.raises(ValueError):
         bad.eval_sharded(ps)
+
+
+@pytest.mark.slow
+def test_pallas_shard_inkernel_exclusions(tmp_path):
+    """Bilayer deck over the brick mesh: the sharded pallas engine's
+    in-kernel exclusion masking (channels ride a migrating field +
+    halo exchange) matches the single-chip nlist gold path, and the
+    rf_add bonded tables pair with it (r4 catapult fix, sharded side)."""
+    import tempfile
+
+    from ddcmd_tpu.models import load, martini_bilayer
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+    from ddcmd_tpu.run.simulate import Simulation
+
+    d = str(tmp_path)
+    martini_bilayer(d, nx=8, ny=8, water_nm=1.2)
+    db, base = load(d)
+    psim = ParallelSimulation(db, base, shape=(2, 2, 2))
+    assert psim.shard_engine == "pallas"
+    assert psim._excl_vals is not None
+    e_par = psim.first_energy()
+    db1, _ = load(d)
+    s1 = Simulation(db1, base, run_dir=d, engine="nlist")
+    s1.first_energy()
+    e1 = float(s1.ss.energy.eion)
+    assert e_par == pytest.approx(e1, rel=1e-5)
+    psim.run(psim.chunk_steps, print_fn=lambda s: None)
+    assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
