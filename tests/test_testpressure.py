@@ -57,8 +57,13 @@ def test_sweep_molecular_bilayer(tmp_path):
     charges; molecularPressure.c:22-67)."""
     martini_bilayer(str(tmp_path), nx=4, ny=4, water_nm=1.0)
     db, base = load(str(tmp_path))
+    # n_halvings=14: the bilayer fixture's rcut-crossing kink spacing in
+    # lambda is ~4e-5 (fine-scan second differences, r4), so the sweep
+    # must reach deltas well below it before windows go kink-free and
+    # the error plummets (criterion (b) in _check_quadratic); 8 halvings
+    # bottomed out INSIDE the kink-noise floor at rel ~1.4e-5
     res = run_sweep(db, base, dtype=jnp.float64, delta0=5e-3,
-                              n_halvings=8, out_dir=str(tmp_path),
+                              n_halvings=14, out_dir=str(tmp_path),
                               verbose=False)
     assert res["molecular"] is not None
     for ax, p_vir, rows in res["molecular"]:
