@@ -65,8 +65,11 @@ class BrickPlan:
 
     @property
     def ghost_cap(self) -> int:
-        # phase a: 2*halo; phase b: 2*halo; phase c: 2*halo
-        return 6 * self.halo_cap
+        # 2*halo per OPEN-axis phase (closed axes are skipped by the
+        # staged exchange and contribute zero ghost rows; a (1,1,1)
+        # mesh previously padded 6*halo of dead zeros into every pooled
+        # per-step array -- r4 shard-profile finding)
+        return 2 * self.halo_cap * sum(1 for s in self.shape if s > 1)
 
 
 def geom_frac(box_geom, dtype):

@@ -174,7 +174,8 @@ class ParallelSimulation:
         halo_est = int(per_dev * (1 + 2 * frac) ** 2 * frac * 1.8) + 64
         self.plan = BrickPlan(
             shape=self.shape,
-            local_cap=_cap(4 * n // n_dev),
+            # one device owns exactly n forever (no migration imbalance)
+            local_cap=_cap(n) if n_dev == 1 else _cap(4 * n // n_dev),
             halo_cap=_cap(max(3 * n // n_dev // 2, halo_est)),
             migrate_cap=_cap(max(256, n // (4 * n_dev))),
             rlist=rlist, walls=walls, voronoi=voronoi)

@@ -485,6 +485,12 @@ class Simulation:
                 np.asarray(box.lengths, dtype=np.float64), sd.rcut_max,
                 sd.neighbor_deltaR, sd.state.n_local, sd.state.n_pad,
                 max_neighbors=g.max_neighbors, plan_margin=margin)
+            if self.grid.cell_capacity < g.cell_capacity:
+                # same no-shrink rule as the cap below: a density-based
+                # replan must not undo recapacity growth (the retry loop
+                # alternates the two)
+                self.grid = dataclasses.replace(
+                    self.grid, cell_capacity=g.cell_capacity)
         # never shrink capacity on a replan: the retry loop alternates
         # replan_grid/recapacity, and a fresh density-based plan that
         # resets a previously-grown cap would make the two undo each
@@ -782,7 +788,8 @@ class Simulation:
         ov_retries = 0
         t0 = _time.monotonic()
         while done < n_loops:
-            k = min(n_loops - done, max_steps_per_dispatch)
+            k = min(n_loops - done, max_steps_per_dispatch,
+                    getattr(self, "_forced_dispatch", 10 ** 9))
             if on_checkpoint and cfg.checkpointrate:
                 loop_now = int(self.ss.loop)
                 to_ckpt = cfg.checkpointrate - (loop_now % cfg.checkpointrate)
@@ -836,6 +843,16 @@ class Simulation:
                     # overflow-freeze in superchunk already guarantees no
                     # corrupted steps escape either way).
                     self._forced_spr = max(100, spr // 2)
+                if self._dyn_box and ov_retries >= 3:
+                    # deterministic decks (no thermostat noise) replay
+                    # the SAME mid-chunk box collapse on every retry;
+                    # capacity growth cannot fix a cell edge dropping
+                    # below rlist inside the dispatch.  Halve the
+                    # DISPATCH so the host advances through intermediate
+                    # boxes and replans along the compression (r4: the
+                    # nx=4 bilayer NVE fixture crunches ~8% of the
+                    # z-cell margin inside one 108-step dispatch)
+                    self._forced_dispatch = max(eff_rate, k // 2)
                 if self.engine == "pallas":
                     # replan-FIRST: plan_lanes at the live box/density
                     # produces the slot-optimal grid (steps/s tracks
@@ -845,9 +862,12 @@ class Simulation:
                     self.replan_grid()
                     if (self.grid.ncells, self.grid.cap) == old:
                         self.recapacity()
-                elif self._grid_stale(slack=1.05) or ov_retries >= 4:
-                    # box compression, not density: replan cells, don't
-                    # just grow capacity
+                elif self._grid_stale(slack=1.05) or ov_retries == 4:
+                    # box compression, not density: replan cells once at
+                    # retry 4 (capacities survive the replan); later
+                    # retries keep GROWING capacity -- "always replan
+                    # past 4" starved capacity growth and the ladder
+                    # spun to the give-up limit (r4: nx=4 bilayer NVE)
                     self.replan_grid()
                 else:
                     self.recapacity()
