@@ -378,6 +378,11 @@ class ParallelSimulation:
         sd = self.sysdef
         if not (print_fn and sd.cfg.printrate):
             return
+        # ONE host transfer for the whole dispatch: per-row float() on a
+        # device array is a separate ~30 ms tunnel round trip, and a
+        # 1600-step dispatch has hundreds of print rows -- this single
+        # line was a 90x throughput collapse of the sharded bench (r4)
+        scalars = np.asarray(scalars)
         n = sd.state.n_local
         k = scalars.shape[0]
         for j in range(k):
