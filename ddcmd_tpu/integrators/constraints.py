@@ -49,6 +49,70 @@ def make_constraint_project(cons_pairs, cons_dist, dtype, m: int,
     dist2 = jnp.asarray(cons_dist ** 2, dtype=dtype)
     pair_valid = jnp.asarray((cons_dist > 0).astype(np.float64), dtype=dtype)
 
+    if n == 1:
+        # SINGLE-distance groups (every Martini constraint: one rigid
+        # bond per molecule): the RATTLE projection has a CLOSED FORM --
+        # |a t + b|^2 = d^2 is one quadratic in t = 1 + dt lam mu -- so
+        # the 8-iteration Newton loop with per-group 1x1 linalg.solve
+        # (the dominant non-pair phase of the 94k bilayer: ~20% of the
+        # step, r4 phase profile) collapses to a few vector ops over G.
+        gi = pairs[:, 0, 0]
+        gj = pairs[:, 0, 1]
+        d2v = dist2[:, 0]
+        pv = pair_valid[:, 0]
+        Lv0 = None if box_lengths is None else jnp.asarray(box_lengths,
+                                                          dtype=dtype)
+
+        def project_all(r_ext, v_ext, rmass_ext, atoms, group_w, dt,
+                        mode_front, L=None):
+            Lv = Lv0 if L is None else jnp.asarray(L, dtype=dtype)
+            r_g = r_ext[atoms]                       # (G, m, 3)
+            v_g = v_ext[atoms]
+            rm_g = rmass_ext[atoms]                  # (G, m)
+            gidx = jnp.arange(G)
+            rI, rJ = r_g[gidx, gi], r_g[gidx, gj]    # (G, 3)
+            vI, vJ = v_g[gidx, gi], v_g[gidx, gj]
+            rmI, rmJ = rm_g[gidx, gi], rm_g[gidx, gj]
+            a = rI - rJ
+            if Lv is not None:
+                if Lv.ndim == 1:
+                    a = a - Lv * jnp.round(a / Lv)
+                else:
+                    from ..core.box import inv3x3
+
+                    a = a - jnp.round(a @ inv3x3(Lv).T) @ Lv.T
+            w = pv * group_w
+            mu = rmI + rmJ
+            A = jnp.sum(a * a, axis=-1)
+            vab = vI - vJ
+            safe = (w > 0) & (mu > 0) & (A > 0)
+            denom = jnp.where(safe, dt * mu, 1.0)
+            b = dt * vab
+            # solve A s^2 + 2 B' s + C' = 0 for s = dt lam mu, where
+            # p = a + b is the unconstrained end-of-step separation;
+            # Muller's form picks the SMALL-|s| root (the one Newton
+            # from lam=0 converges to) without cancellation
+            p = a + b
+            Bp = jnp.sum(a * p, axis=-1)
+            Cp = jnp.sum(p * p, axis=-1) - d2v
+            disc = jnp.maximum(Bp * Bp - A * Cp, 0.0)
+            sq = jnp.sqrt(disc)
+            den = Bp + jnp.where(Bp >= 0, sq, -sq)
+            den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+            s = -Cp / den
+            lam_front = s / denom
+            lam_back = -jnp.sum(a * vab, axis=-1) / jnp.where(
+                safe, A * mu, 1.0)
+            lam = jnp.where(mode_front, lam_front, lam_back)
+            lam = jnp.where(safe, lam, 0.0)
+            dv = lam[:, None] * a                    # (G, 3)
+            v_new = v_g
+            v_new = v_new.at[gidx, gi].add(rmI[:, None] * dv)
+            v_new = v_new.at[gidx, gj].add(-rmJ[:, None] * dv)
+            return v_new
+
+        return project_all
+
     # selection tensors: sel[p, a] = (pair p has atom a as I) - (as J)
     selI = jax.nn.one_hot(pairs[:, :, 0], m, dtype=dtype)   # (G,n,m)
     selJ = jax.nn.one_hot(pairs[:, :, 1], m, dtype=dtype)

@@ -176,3 +176,52 @@ def test_restart_rng_continuity(waterbox_dir, tmp_path):
     # positions pass through ASCII checkpoint text (~1e-13 nm rounding);
     # identical noise keeps the trajectories locked together
     assert np.abs(dr).max() < 1e-4
+
+
+def test_single_constraint_closed_form_matches_general():
+    """The n=1 closed-form RATTLE projection (r4 fast path; every
+    Martini constraint) matches the general iterated solver -- exercised
+    by padding each group to n=2 with an invalid second pair, which
+    routes through the general path on identical physics."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddcmd_tpu.integrators.constraints import make_constraint_project
+
+    rng = np.random.default_rng(3)
+    G, m = 64, 2
+    L = 5.0
+    r = rng.uniform(-L / 2, L / 2, (G * m + 1, 3))
+    v = rng.standard_normal((G * m + 1, 3)) * 0.5
+    rmass = 1.0 / rng.uniform(40.0, 90.0, G * m + 1)
+    r[-1] = v[-1] = 0.0
+    rmass[-1] = 0.0
+    atoms = np.arange(G * m, dtype=np.int32).reshape(G, m)
+    # target = current MIN-IMAGED distance +- a small violation (the
+    # solver min-images; a raw-distance target can be infeasible)
+    dmi = r[atoms[:, 0]] - r[atoms[:, 1]]
+    dmi -= L * np.round(dmi / L)
+    d = np.linalg.norm(dmi, axis=1)
+    dist = (d * rng.uniform(0.96, 1.04, G)).astype(np.float64)
+
+    pairs1 = np.tile(np.array([[[0, 1]]], np.int32), (G, 1, 1))
+    proj1 = make_constraint_project(pairs1, dist[:, None], jnp.float64, m,
+                                    box_lengths=[L, L, L])
+    pairs2 = np.tile(np.array([[[0, 1], [0, 1]]], np.int32), (G, 1, 1))
+    dist2 = np.stack([dist, np.zeros(G)], axis=1)   # second pair invalid
+    proj2 = make_constraint_project(pairs2, dist2, jnp.float64, m,
+                                    box_lengths=[L, L, L])
+
+    args = (jnp.asarray(r), jnp.asarray(v), jnp.asarray(rmass),
+            jnp.asarray(atoms), jnp.ones(G), 0.02)
+    for mode in (True, False):
+        v1 = np.asarray(proj1(*args, jnp.asarray(mode)))
+        v2 = np.asarray(proj2(*args, jnp.asarray(mode)))
+        np.testing.assert_allclose(v1, v2, rtol=1e-9, atol=1e-11,
+                                   err_msg=f"mode_front={mode}")
+        # and the projected state satisfies the constraint (front mode)
+        if mode:
+            vI, vJ = v1[:, 0], v1[:, 1]
+            p = dmi + 0.02 * (vI - vJ)
+            np.testing.assert_allclose(np.linalg.norm(p, axis=1), dist,
+                                       rtol=1e-9)
