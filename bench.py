@@ -175,7 +175,10 @@ def main():
     dt_fs = sim.sysdef.cfg.dt * 1e3
 
     n_steps = int(os.environ.get("BENCH_STEPS", "4000"))
-    dispatch = int(os.environ.get("BENCH_DISPATCH", "1600"))
+    # bilayer default: short dispatches keep rollback retries cheap while
+    # the NPT start settles (CLAUDE.md: BENCH_DISPATCH<=400 there)
+    disp_default = "400" if workload == "bilayer" else "1600"
+    dispatch = int(os.environ.get("BENCH_DISPATCH", disp_default))
 
     # warmup: compile the dispatch-sized program + run one of them
     _log(f"warmup: {dispatch} steps (includes superchunk compile)")
