@@ -33,6 +33,18 @@ class Analysis:
     def output(self, sim, run_dir="."):
         raise NotImplementedError
 
+    def _shard_jit(self, psim, build, key=()):
+        """Per-instance cache for jit(shard_map(...)) programs: building
+        the closure fresh on every eval retraces AND recompiles each
+        time -- on the tunneled TPU repeated compiles are the documented
+        wedge hazard.  Keyed on the mesh + any closure-captured values
+        that can change."""
+        k = (id(psim.mesh),) + tuple(key)
+        if getattr(self, "_sjit_key", None) != k:
+            self._sjit = build()
+            self._sjit_key = k
+        return self._sjit
+
 
 # ---------------------------------------------------------------------------
 
@@ -173,9 +185,9 @@ class VcmWrite(Analysis):
             return p / msum
 
         PS = P(("bx", "by", "bz"))
-        fn = jax.jit(jax.shard_map(local, mesh=psim.mesh,
-                                   in_specs=(PS, PS, PS), out_specs=P(),
-                                   check_vma=False))
+        fn = self._shard_jit(psim, lambda: jax.jit(jax.shard_map(
+            local, mesh=psim.mesh, in_specs=(PS, PS, PS), out_specs=P(),
+            check_vma=False)))
         vcm = np.asarray(fn(psim.fields["v"], psim.fields["mass"],
                             psim.mask), dtype=np.float64)
         self.state["rows"].append((int(psim.loop), *vcm))
@@ -224,9 +236,9 @@ class KineticEnergyDistn(Analysis):
             return jax.lax.psum(h, tuple(AXES))
 
         PS = P(("bx", "by", "bz"))
-        fn = jax.jit(jax.shard_map(local, mesh=psim.mesh,
-                                   in_specs=(PS, PS, PS), out_specs=P(),
-                                   check_vma=False))
+        fn = self._shard_jit(psim, lambda: jax.jit(jax.shard_map(
+            local, mesh=psim.mesh, in_specs=(PS, PS, PS), out_specs=P(),
+            check_vma=False)))
         h = np.asarray(fn(psim.fields["v"], psim.fields["mass"],
                           psim.mask), dtype=np.float64)
         self.state["hist"] += h
@@ -271,9 +283,10 @@ class ZDensity(Analysis):
         Lz = float(np.asarray(psim.Lv)[2])
         nb = self.n_bins
 
-        def local_hist(r, mask):
+        def local_hist(r, mask, Lz):
             # np.histogram semantics (the gathered eval): out-of-range
-            # dropped, right edge inclusive into the last bin
+            # dropped, right edge inclusive into the last bin.  Lz is a
+            # runtime arg so NPT box changes don't retrace.
             z = r[:, 2]
             b = jnp.floor((z / Lz + 0.5) * nb).astype(jnp.int32)
             b = jnp.where((b == nb) & (z <= 0.5 * Lz), nb - 1, b)
@@ -282,10 +295,12 @@ class ZDensity(Analysis):
             return jax.lax.psum(h, tuple(AXES))
 
         PS = P(("bx", "by", "bz"))
-        fn = jax.jit(jax.shard_map(local_hist, mesh=psim.mesh,
-                                   in_specs=(PS, PS), out_specs=P(),
-                                   check_vma=False))
-        h = np.asarray(fn(psim.fields["r"], psim.mask), dtype=np.float64)
+        fn = self._shard_jit(psim, lambda: jax.jit(jax.shard_map(
+            local_hist, mesh=psim.mesh, in_specs=(PS, PS, P()),
+            out_specs=P(), check_vma=False)))
+        h = np.asarray(fn(psim.fields["r"], psim.mask,
+                          jnp.asarray(Lz, psim.fields["r"].dtype)),
+                       dtype=np.float64)
         if self.state["hist"] is None:
             self.state["hist"] = np.zeros(self.n_bins)
         self.state["hist"] += h
@@ -369,9 +384,9 @@ class Ssf(Analysis):
             return c, s
 
         PS = P(("bx", "by", "bz"))
-        fn = jax.jit(jax.shard_map(local, mesh=psim.mesh,
-                                   in_specs=(PS, PS), out_specs=P(),
-                                   check_vma=False))
+        fn = self._shard_jit(psim, lambda: jax.jit(jax.shard_map(
+            local, mesh=psim.mesh, in_specs=(PS, PS), out_specs=P(),
+            check_vma=False)), key=(kv.shape,))
         c, s = fn(psim.fields["r"], psim.mask)
         n = psim.sysdef.state.n_local
         sk = (np.asarray(c, np.float64) ** 2

@@ -158,6 +158,27 @@ class ParallelSimulation:
                 self._lb_eta = lbobj.get_float("eta", 0.5)
                 self.lb_rate = lbobj.get_int("rate", 0)
 
+        # decomposition restart (readPXYZ.c): when the snapshot dir this
+        # run restarts from carries a pxyz with matching mesh shape and
+        # balancer family, resume the SAVED walls/centers instead of the
+        # freshly computed decomposition (DDCMD_PXYZ_RESTART=0 disables)
+        if (self._lb_kind is not None
+                and os.environ.get("DDCMD_PXYZ_RESTART", "1") != "0"):
+            colobjs = db.by_class("COLLECTION")
+            files_v = colobjs[0].get_str("files", "") if colobjs else ""
+            pxyz_path = os.path.join(base_dir, os.path.dirname(files_v),
+                                     "pxyz")
+            from ..io.pxyz import restore_plan_lb
+
+            w_saved, v_saved = restore_plan_lb(pxyz_path, self.shape,
+                                               self._lb_kind)
+            if w_saved is not None:
+                walls = tuple(
+                    tuple(w) if np.asarray(w).ndim == 1 else np.asarray(w)
+                    for w in w_saved)
+            if v_saved is not None:
+                voronoi = v_saved
+
         # halo windows scale with rlist / brick width: dense short-cutoff
         # systems (EAM metals) can need windows holding most of a brick's
         # pool, so size per-phase ghost buffers from the geometry
@@ -310,19 +331,28 @@ class ParallelSimulation:
 
             excl_vals = _excl_channels(bt.exclusions, n)
             if excl_vals is not None:
-                from ..parallel.bonded_shard import bonded_gid_tables
-                from ..potentials.bonded import device_bonded_tables
+                if bonded_gid_tab is not None:
+                    # bonded terms exist: rebuild their tables in rf_add
+                    # mode so the in-engine mask pairs with the kept-RF
+                    # convention
+                    from ..parallel.bonded_shard import bonded_gid_tables
+                    from ..potentials.bonded import device_bonded_tables
 
-                dtab = device_bonded_tables(
-                    bt, dtype, lj_sigma=parms.sigma, lj_eps=parms.eps,
-                    lj_shift=parms.shift, rcut=parms.rcut,
-                    keR=U.ke / parms.epsilon_r,
-                    charges=np.asarray(sd.state.q),
-                    species_lj_type=parms.species_lj_type,
-                    species_per_particle=np.asarray(sd.state.species),
-                    excl_mode="rf_add", krf=parms.krf, crf=parms.crf)
-                bonded_gid_tab = bonded_gid_tables(bt, gid64, dtab)
-                field_keys = tuple(field_keys) + ("excl",)
+                    dtab = device_bonded_tables(
+                        bt, dtype, lj_sigma=parms.sigma, lj_eps=parms.eps,
+                        lj_shift=parms.shift, rcut=parms.rcut,
+                        keR=U.ke / parms.epsilon_r,
+                        charges=np.asarray(sd.state.q),
+                        species_lj_type=parms.species_lj_type,
+                        species_per_particle=np.asarray(sd.state.species),
+                        excl_mode="rf_add", krf=parms.krf, crf=parms.crf)
+                    bonded_gid_tab = bonded_gid_tables(bt, gid64, dtab)
+                # exclusion-only topologies (e.g. constraints without
+                # bonds/angles) still take the in-kernel path: field_keys
+                # is None then, so start from the base key set
+                from ..parallel.brickstep import FIELD_KEYS as _FK
+
+                field_keys = tuple(field_keys or _FK) + ("excl",)
         self._excl_vals = excl_vals
 
         self._step_kwargs = dict(
@@ -432,8 +462,9 @@ class ParallelSimulation:
                 and (next_lb is None)):
             M = max_steps_per_dispatch // k
             cache = getattr(self, "_super_cache", {})
-            if cache.get("key") != (M, id(cf)):
-                cache = {"key": (M, id(cf)),
+            gen = getattr(self, "_prog_gen", 0)
+            if cache.get("key") != (M, gen):
+                cache = {"key": (M, gen),
                          "fn": cf.make_super(M)}
                 self._super_cache = cache
             super_fn = cache["fn"]
@@ -462,7 +493,8 @@ class ParallelSimulation:
                     self.replan()
                 # step/chunk programs changed: rebuild the superchunk
                 cf = self._chunk_for(k)
-                cache = {"key": (M, id(cf)), "fn": cf.make_super(M)}
+                cache = {"key": (M, getattr(self, "_prog_gen", 0)),
+                         "fn": cf.make_super(M)}
                 self._super_cache = cache
                 super_fn = cache["fn"]
                 continue
@@ -653,6 +685,9 @@ def _build_step_fns(psim, geom):
             plan_margin=1.08 if psim._npt_deck else 1.0)
     (psim.step_fn, psim.first_fn, psim.migrate_fn,
      psim.chunk_fn) = _make_step_fns(psim, geom)
+    # generation counter: caches keyed on it (NOT id(chunk_fn), which
+    # CPython can reuse after the old program is collected) die on replan
+    psim._prog_gen = getattr(psim, "_prog_gen", 0) + 1
     psim._box_L = geom
 
 
@@ -661,17 +696,18 @@ def _chunk_for(psim, k2):
     returns the production program; other lengths (the NPT remainder
     chunk, a custom migrate_rate) compile once and are invalidated
     whenever replan/rebalance rebuilds the production programs (the
-    cache key carries the live chunk_fn's identity)."""
+    cache key carries the program generation -- NOT id(chunk_fn), which
+    CPython can reuse after the old program is collected)."""
     if k2 == psim.chunk_steps:
         return psim.chunk_fn
     cache = getattr(psim, "_alt_chunk_cache", {})
-    key = (k2, id(psim.chunk_fn))
+    gen = getattr(psim, "_prog_gen", 0)
+    key = (k2, gen)
     fn = cache.get(key)
     if fn is None:
         fn = _make_step_fns(psim, psim._box_L, chunk_steps=k2)[3]
-        # key on the live production program: stale variants die with it
-        cache = {kk: v for kk, v in cache.items()
-                 if kk[1] == id(psim.chunk_fn)}
+        # key on the program generation: stale variants die on replan
+        cache = {kk: v for kk, v in cache.items() if kk[1] == gen}
         cache[key] = fn
         psim._alt_chunk_cache = cache
     return fn
@@ -737,7 +773,11 @@ def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
                    loop=jnp.asarray(psim.loop, jnp.int32),
                    time=jnp.asarray((psim.loop - sd.cfg.loop) * sd.cfg.dt
                                     + sd.cfg.time))
-    return _wc(_CheckpointShim(sd, ss, np.asarray(psim.key)), run_dir)
+    shim = _CheckpointShim(sd, ss, np.asarray(psim.key))
+    # pxyz records the LIVE decomposition (walls/Voronoi centers) so a
+    # restart resumes the balanced domains (ddc_writePXYZ analog)
+    shim.parallel_plan = psim.plan
+    return _wc(shim, run_dir)
 
 
 ParallelSimulation.write_checkpoint = parallel_write_checkpoint

@@ -789,7 +789,7 @@ class Simulation:
         t0 = _time.monotonic()
         while done < n_loops:
             k = min(n_loops - done, max_steps_per_dispatch,
-                    getattr(self, "_forced_dispatch", 10 ** 9))
+                    getattr(self, "_forced_dispatch", None) or 10 ** 9)
             if on_checkpoint and cfg.checkpointrate:
                 loop_now = int(self.ss.loop)
                 to_ckpt = cfg.checkpointrate - (loop_now % cfg.checkpointrate)
@@ -797,7 +797,8 @@ class Simulation:
             if on_checkpoint and cfg.snapshotrate:
                 loop_now = int(self.ss.loop)
                 k = min(k, cfg.snapshotrate - (loop_now % cfg.snapshotrate))
-            eff_rate = min(update_rate, getattr(self, "_forced_spr", update_rate))
+            eff_rate = min(update_rate,
+                           getattr(self, "_forced_spr", None) or update_rate)
             if k >= eff_rate:
                 spr = eff_rate
                 n_rebuilds = k // eff_rate
@@ -823,6 +824,7 @@ class Simulation:
                 # means dropping to the slower XLA engine for good);
                 # deterministic NVE overflows repeat and fall through
                 ov_retries += 1
+                self._clean_disp = 0
                 if ov_retries <= 1:
                     continue
                 if ov_retries > 8:
@@ -873,6 +875,25 @@ class Simulation:
                     self.recapacity()
                 continue  # redo this chunk with the new plan/capacity
             ov_retries = 0
+            # decay the overflow-ladder clamps once dispatches run clean:
+            # the NPT crunch that forced them settles, and a permanently
+            # halved dispatch/spr pays the ~30 ms tunnel RTT twice as
+            # often for the rest of the run (mirrors the ov_retries reset)
+            if (getattr(self, "_forced_dispatch", None) is not None
+                    or getattr(self, "_forced_spr", None) is not None):
+                self._clean_disp = getattr(self, "_clean_disp", 0) + 1
+                if self._clean_disp >= 8:
+                    self._clean_disp = 0
+                    fd = getattr(self, "_forced_dispatch", None)
+                    if fd is not None:
+                        fd *= 2
+                        self._forced_dispatch = (
+                            None if fd >= max_steps_per_dispatch else fd)
+                    fs = getattr(self, "_forced_spr", None)
+                    if fs is not None:
+                        fs *= 2
+                        self._forced_spr = (
+                            None if fs >= update_rate else fs)
             if not np.isfinite(scal[:, 0] + scal[:, 1]).all():
                 # parity-style in-memory rollback (saveState/restoreState,
                 # /root/reference/src/saveState.c:45,117; masters.c:461-466):
