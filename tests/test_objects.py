@@ -197,3 +197,56 @@ def test_pxyz_roundtrip(tmp_path):
     write_pxyz(str(tmp_path / "pxyz2"), [9.0, 9.0, 9.0], plan)
     shape, centers = read_pxyz(str(tmp_path / "pxyz2"))
     assert shape == (2, 2, 1) and len(centers) == 4
+
+
+def test_pxyz_balanced_roundtrip(tmp_path):
+    """Load-balanced decompositions persist: walls (tensor + hierarchical
+    ORCB) and Voronoi centers survive the pxyz round trip and are
+    restorable into a restarted plan (readPXYZ.c analog)."""
+    import numpy as np
+
+    from ddcmd_tpu.io.pxyz import (read_pxyz_full, restore_plan_lb,
+                                   write_pxyz)
+    from ddcmd_tpu.parallel.brick import BrickPlan
+
+    # tensor walls (1-D fractions per axis)
+    tw = (np.array([0.0, 0.4, 1.0]), np.array([0.0, 0.55, 1.0]),
+          np.array([0.0, 1.0]))
+    plan = BrickPlan(shape=(2, 2, 1), local_cap=8, halo_cap=8,
+                     migrate_cap=8, rlist=1.0, walls=tw)
+    p = str(tmp_path / "pxyz_t")
+    write_pxyz(p, [9.0, 9.0, 9.0], plan)
+    full = read_pxyz_full(p)
+    assert full["lb"] == "walls"
+    for a in range(3):
+        assert np.allclose(full["walls"][a], tw[a])
+    w, v = restore_plan_lb(p, (2, 2, 1), "tensor")
+    assert v is None and np.allclose(w[1], tw[1])
+    # wrong shape / wrong family -> no restore
+    assert restore_plan_lb(p, (2, 1, 2), "tensor") == (None, None)
+    assert restore_plan_lb(p, (2, 2, 1), "bisection") == (None, None)
+
+    # hierarchical ORCB walls (y per x-slab, z per (x,y) column)
+    hw = (np.array([0.0, 0.45, 1.0]),
+          np.array([[0.0, 0.5, 1.0], [0.0, 0.62, 1.0]]),
+          np.array([[[0.0, 1.0], [0.0, 1.0]], [[0.0, 1.0], [0.0, 1.0]]]))
+    plan = BrickPlan(shape=(2, 2, 1), local_cap=8, halo_cap=8,
+                     migrate_cap=8, rlist=1.0, walls=hw)
+    p2 = str(tmp_path / "pxyz_h")
+    write_pxyz(p2, [9.0, 9.0, 9.0], plan)
+    w2, _ = restore_plan_lb(p2, (2, 2, 1), "bisection")
+    for a in range(3):
+        assert np.allclose(w2[a], hw[a]), a
+
+    # voronoi centers in the lb frame
+    vor = dict(centers=np.arange(2 * 2 * 1 * 3, dtype=np.float64)
+               .reshape(2, 2, 1, 3) * 0.1,
+               margins=np.array([0.1, 0.2, 0.3]), L0=np.array([9., 9., 9.]))
+    plan = BrickPlan(shape=(2, 2, 1), local_cap=8, halo_cap=8,
+                     migrate_cap=8, rlist=1.0, voronoi=vor)
+    p3 = str(tmp_path / "pxyz_v")
+    write_pxyz(p3, [9.0, 9.0, 9.0], plan)
+    _, v3 = restore_plan_lb(p3, (2, 2, 1), "voronoi")
+    assert np.allclose(v3["centers"], vor["centers"], atol=1e-9)
+    assert np.allclose(v3["margins"], vor["margins"])
+    assert np.allclose(v3["L0"], vor["L0"])
