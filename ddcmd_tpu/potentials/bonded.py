@@ -330,6 +330,29 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
     e = jnp.zeros((), dtype=dtype)
     virial = jnp.zeros((3, 3), dtype=dtype)
 
+    # static-incidence "ledger" mode (single-chip path, topology fixed):
+    # per-(term, role) force/pe contributions are appended to flat
+    # buffers in LEDGER_FAMILIES order and summed into per-atom rows by
+    # ONE gather at the end -- TPU scatter-add (`.at[].add`) is the
+    # dominant bonded cost at 100k terms, gathers are near-free.  The
+    # sharded path (dynamic per-device rows + _w weights) keeps scatter.
+    ledger = terms.get("ledger")
+    contrib_f: list = []
+    contrib_pe: list = []
+
+    def emit(idx, fvecs, pevals):
+        """idx (T, R) atom rows; fvecs/pevals: R per-role (T,3)/(T,)
+        contributions in COLUMN order (slot = t*R + r, matching
+        build_bonded_ledger)."""
+        nonlocal f, pe
+        if ledger is not None:
+            contrib_f.append(jnp.stack(fvecs, axis=1).reshape(-1, 3))
+            contrib_pe.append(jnp.stack(pevals, axis=1).reshape(-1))
+        else:
+            for rr in range(len(fvecs)):
+                f = f.at[idx[:, rr]].add(fvecs[rr])
+                pe = pe.at[idx[:, rr]].add(pevals[rr])
+
     if "bonds" in terms:
         idx, parm = terms["bonds"], terms["bond_parms"]
         ri, rj = r[idx[:, 0]], r[idx[:, 1]]
@@ -338,10 +361,9 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         db = b - parm[:, 1]
         eb = famw("bonds", parm[:, 0] * db * db)      # kb (b-b0)^2, no 1/2
         fi = famw("bonds", -2.0 * parm[:, 0] * db / b)[:, None] * dr
-        f = f.at[idx[:, 0]].add(fi).at[idx[:, 1]].add(-fi)
+        emit(idx, [fi, -fi], [0.5 * eb, 0.5 * eb])
         virial = virial + jnp.einsum("ba,bc->ac", fi, dr)
         e = e + jnp.sum(eb)
-        pe = pe.at[idx[:, 0]].add(0.5 * eb).at[idx[:, 1]].add(0.5 * eb)
 
     if "angles" in terms:
         idx, parm, kind = terms["angles"], terms["angle_parms"], terms["angle_kind"]
@@ -380,13 +402,11 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
                                [coef_h, coef_c, coef_r]))
         fi = (coef / bij)[:, None] * (ukj - uij * cosA[:, None])
         fk = (coef / bkj)[:, None] * (uij - ukj * cosA[:, None])
-        f = (f.at[idx[:, 0]].add(fi)
-              .at[idx[:, 2]].add(fk)
-              .at[idx[:, 1]].add(-(fi + fk)))
+        zA = jnp.zeros_like(e_a)
+        emit(idx, [fi, -(fi + fk), fk], [zA, e_a, zA])
         virial = virial + jnp.einsum("ba,bc->ac", fi, rij) \
             + jnp.einsum("ba,bc->ac", fk, rkj)
         e = e + jnp.sum(e_a)
-        pe = pe.at[idx[:, 1]].add(e_a)
 
     for key, harmonic in (("torsions", False), ("impropers", True)):
         if key not in terms:
@@ -434,10 +454,9 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         fk = -g2
         fl = -g3
         fj = -(fi + fk + fl)            # momentum conservation
-        f = (f.at[idx[:, 0]].add(fi).at[idx[:, 1]].add(fj)
-              .at[idx[:, 2]].add(fk).at[idx[:, 3]].add(fl))
+        zT = jnp.zeros_like(e_terms)
+        emit(idx, [fi, fj, fk, fl], [zT, e_terms, zT, zT])
         e = e + e_t
-        pe = pe.at[idx[:, 1]].add(e_terms)
         virial = virial + jnp.einsum("ba,bc->ac", fi, d0) \
             + jnp.einsum("ba,bc->ac", fk, d2_) \
             + jnp.einsum("ba,bc->ac", fl, d3)
@@ -521,11 +540,9 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         e_terms = cmap_energy(dP, dCA, dC, dN2) * wvec
         fP, fCA, fC, fN2 = -gP, -gCA, -gC, -gN2
         fN = -(fP + fCA + fC + fN2)
-        f = (f.at[idx[:, 0]].add(fP).at[idx[:, 1]].add(fN)
-              .at[idx[:, 2]].add(fCA).at[idx[:, 3]].add(fC)
-              .at[idx[:, 4]].add(fN2))
+        zC = jnp.zeros_like(e_terms)
+        emit(idx, [fP, fN, fCA, fC, fN2], [zC, e_terms, zC, zC, zC])
         e = e + e_t
-        pe = pe.at[idx[:, 1]].add(e_terms)
         virial = virial + jnp.einsum("ba,bc->ac", fP, dP) \
             + jnp.einsum("ba,bc->ac", fCA, dCA) \
             + jnp.einsum("ba,bc->ac", fC, dC) \
@@ -544,10 +561,9 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
         e_p = (4.0 * parm[:, 1] * (s12 - s6) + parm[:, 2]) * within
         dvdr = 24.0 * parm[:, 1] * (s6 - 2.0 * s12) * ir2 * within
         fi = -dvdr[:, None] * dr
-        f = f.at[idx[:, 0]].add(fi).at[idx[:, 1]].add(-fi)
+        emit(idx, [fi, -fi], [0.5 * e_p, 0.5 * e_p])
         virial = virial + jnp.einsum("ba,bc->ac", fi, dr)
         e = e + jnp.sum(e_p)
-        pe = pe.at[idx[:, 0]].add(0.5 * e_p).at[idx[:, 1]].add(0.5 * e_p)
 
     if "exclusions" in terms:
         idx = terms["exclusions"]
@@ -582,12 +598,61 @@ def bonded_eval(r, box_lengths, terms: dict, n_pad: int, dtype):
             e_x = -(4.0 * eps * (s12 - s6) + shf + qq * ir) * w
             dvdr = -(24.0 * eps * (s6 - 2.0 * s12) * ir2 - qq * ir2 * ir) * w
         fi = -dvdr[:, None] * dr
-        f = f.at[idx[:, 0]].add(fi).at[idx[:, 1]].add(-fi)
+        emit(idx, [fi, -fi], [0.5 * e_x, 0.5 * e_x])
         virial = virial + jnp.einsum("ba,bc->ac", fi, dr)
         e = e + jnp.sum(e_x)
-        pe = pe.at[idx[:, 0]].add(0.5 * e_x).at[idx[:, 1]].add(0.5 * e_x)
+
+    if ledger is not None and contrib_f:
+        F = jnp.concatenate(contrib_f + [jnp.zeros((1, 3), dtype=dtype)])
+        PE = jnp.concatenate(contrib_pe + [jnp.zeros((1,), dtype=dtype)])
+        f = f + jnp.sum(F[ledger], axis=1)
+        pe = pe + jnp.sum(PE[ledger], axis=1)
 
     return f, e, virial, pe
+
+
+# family -> role arity, in the fixed slot order build_bonded_ledger and
+# bonded_eval's emit() share (slot of term t, role r = offset + t*R + r)
+LEDGER_FAMILIES = (("bonds", 2), ("angles", 3), ("torsions", 4),
+                   ("impropers", 4), ("cmap_atoms", 5), ("bpairs", 2),
+                   ("exclusions", 2))
+
+
+def build_bonded_ledger(terms: dict, n_pad: int) -> np.ndarray | None:
+    """Per-atom incidence table (n_pad, D) int32 of contribution-slot
+    indices (sentinel = C, a zero pad row) for bonded_eval's gather-sum
+    force/pe assembly.  Only valid for STATIC topologies (single-chip
+    path): the sharded path resolves term rows dynamically per device
+    and must keep scatter-add."""
+    assert not any(k.endswith("_w") for k in terms), \
+        "ledger mode is incompatible with sharded per-family weights"
+    cols_all = []
+    slots_all = []
+    off = 0
+    for key, R in LEDGER_FAMILIES:
+        if key not in terms:
+            continue
+        idx = np.asarray(terms[key])
+        T = idx.shape[0]
+        t_ids = np.arange(T, dtype=np.int64) * R
+        for rr in range(R):
+            cols_all.append(idx[:, rr].astype(np.int64))
+            slots_all.append(off + t_ids + rr)
+        off += T * R
+    if not cols_all:
+        return None
+    cols = np.concatenate(cols_all)
+    slots = np.concatenate(slots_all)
+    order = np.argsort(cols, kind="stable")
+    cols = cols[order]
+    slots = slots[order]
+    counts = np.bincount(cols, minlength=n_pad)
+    D = int(counts.max())
+    led = np.full((n_pad, D), off, dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(cols)) - starts[cols]
+    led[cols, pos] = slots
+    return led
 
 
 def device_bonded_tables(bt: BondedTerms, dtype, *, lj_sigma=None, lj_eps=None,

@@ -406,9 +406,53 @@ def build_force_fn(sysdef: SystemDef, dtype=jnp.float32, engine: str = "cellbloc
             excl_mode="rf_add" if _inlist_excl(sysdef, engine) else "subtract",
             krf=mparms.krf, crf=mparms.crf)
         n_pad = sysdef.state.n_pad
+        # incidence-ledger assembly (gather instead of scatter-add):
+        # a measured NEGATIVE on TPU (r5 micro A/B: 8.5 vs 6.6 ms at
+        # 180k terms -- the (n_pad, D) gather pads D to the max degree
+        # and row-gathers n_pad*D rows vs the scatter's 2T) -- default
+        # OFF, kept for A/Bs; the production fix is the residue-template
+        # batched evaluator below
+        if os.environ.get("DDCMD_BONDED_LEDGER", "0") == "1":
+            from ..potentials.bonded import build_bonded_ledger
 
-        def bonded_term(state, box, nbr_idx, btab=btab, n_pad=n_pad):
-            return bonded_eval(state.r, _geom(box), btab, n_pad, dtype)
+            led = build_bonded_ledger(btab, n_pad)
+            if led is not None:
+                btab = dict(btab, ledger=jnp.asarray(led))
+
+        # residue-template batched evaluation (potentials/bonded_batch):
+        # intra-residue terms run as lane-dense per-type batches with
+        # MXU one-hot accumulation -- no per-term gather/scatter; terms
+        # crossing instances (CHARMM junctions, CMAP) stay on the
+        # generic path via the leftover dict.  DDCMD_BONDED_BATCH=0
+        # opts back into the generic evaluator.
+        bplan = None
+        if (os.environ.get("DDCMD_BONDED_BATCH", "1") != "0"
+                and sysdef.residue_instances):
+            from ..potentials.bonded_batch import build_batched_bonded
+
+            bplan, btab_left = build_batched_bonded(
+                btab, sysdef.residue_instances, n_pad, dtype)
+
+        if bplan is not None:
+            from ..potentials.bonded_batch import batched_bonded_eval
+
+            has_left = any(k in btab_left for k in
+                           ("bonds", "angles", "torsions", "impropers",
+                            "bpairs", "exclusions", "cmap_atoms"))
+
+            def bonded_term(state, box, nbr_idx, bplan=bplan,
+                            btab_left=btab_left, n_pad=n_pad,
+                            has_left=has_left):
+                f, e, virial, pe = batched_bonded_eval(
+                    state.r, _geom(box), bplan, n_pad, dtype)
+                if has_left:
+                    f2, e2, v2, pe2 = bonded_eval(
+                        state.r, _geom(box), btab_left, n_pad, dtype)
+                    f, e, virial, pe = f + f2, e + e2, virial + v2, pe + pe2
+                return f, e, virial, pe
+        else:
+            def bonded_term(state, box, nbr_idx, btab=btab, n_pad=n_pad):
+                return bonded_eval(state.r, _geom(box), btab, n_pad, dtype)
 
         terms.append(bonded_term)
 
