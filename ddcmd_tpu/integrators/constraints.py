@@ -208,6 +208,144 @@ def build_constraint_fn(cons_atoms, cons_pairs, cons_dist, n_pad: int,
     return constraint_fn
 
 
+def build_constraint_fn_batched(cons_atoms, cons_pairs, cons_dist,
+                                n_pad: int, dtype, residue_instances,
+                                box_lengths=None):
+    """Residue-template batched single-bond RATTLE (TPU fast path).
+
+    The generic n==1 closed form still pays (G, m, 3)-shaped math (the
+    minor (2, 3) dims tile-pad to (8, 128): ~170x lane waste), two
+    extended-buffer concats and a gather+set writeback per projection --
+    ~1.85 ms/projection at the 100k bilayer (r5 fresh-tunnel profile).
+    Here constraint groups are batched per residue TYPE like the bonded
+    terms (potentials/bonded_batch.py): one contiguous slice (or row
+    gather) of the type's atoms, all closed-form math on lane-dense
+    (M,) arrays with STATIC local indices, one slice writeback.
+
+    Returns constraint_fn(state, dt, mode, box_lengths=None) or None
+    when the topology is not template-regular (any group with >1 pair,
+    atoms crossing instances, or uneven instantiation) -- callers fall
+    back to build_constraint_fn."""
+    if cons_pairs.shape[1] != 1:
+        return None
+    if not residue_instances:
+        return None
+    G = cons_atoms.shape[0]
+    ca = np.asarray(cons_atoms)
+    cp = np.asarray(cons_pairs)
+    row_i = ca[np.arange(G), cp[:, 0, 0]]
+    row_j = ca[np.arange(G), cp[:, 0, 1]]
+    dist = np.asarray(cons_dist)[:, 0]
+
+    inst_of = np.full(n_pad, -1, np.int64)
+    local_of = np.full(n_pad, -1, np.int64)
+    type_names: list[str] = []
+    type_id: dict[str, int] = {}
+    inst_type = []
+    inst_rows: dict[int, list] = {}
+    for i, (name, rows) in enumerate(residue_instances):
+        rows = np.asarray(rows, np.int64)
+        inst_of[rows] = i
+        local_of[rows] = np.arange(len(rows))
+        if name not in type_id:
+            type_id[name] = len(type_names)
+            type_names.append(name)
+            inst_rows[type_id[name]] = []
+        inst_type.append(type_id[name])
+        inst_rows[type_id[name]].append(rows)
+    inst_type = np.asarray(inst_type)
+
+    inst = inst_of[row_i]
+    if (inst < 0).any() or (inst_of[row_j] != inst).any():
+        return None
+    types = []
+    for t in range(len(type_names)):
+        sel = inst_type[inst] == t
+        gids = np.nonzero(sel)[0]
+        if len(gids) == 0:
+            continue
+        order = np.argsort(inst[gids], kind="stable")
+        gids = gids[order]
+        uinst, counts = np.unique(inst[gids], return_counts=True)
+        M = int(np.sum(inst_type == t))
+        if len(uinst) != M or counts.min() != counts.max():
+            return None
+        K = int(counts[0])
+        li = local_of[row_i[gids]].reshape(M, K)
+        lj = local_of[row_j[gids]].reshape(M, K)
+        if not ((li == li[0]).all() and (lj == lj[0]).all()):
+            return None
+        rows = np.stack(inst_rows[t])                    # (M, A)
+        Mr, A = rows.shape
+        flat = rows.reshape(-1)
+        start = int(flat[0])
+        contiguous = bool((flat == start + np.arange(Mr * A)).all())
+        types.append(dict(
+            M=M, A=A, li=li[0], lj=lj[0],
+            d2=jnp.asarray(dist[gids].reshape(M, K).T ** 2, dtype),  # (K, M)
+            rows=None if contiguous else jnp.asarray(flat, jnp.int32),
+            start=start if contiguous else None))
+    if not types:
+        return None
+    Lv0 = None if box_lengths is None else jnp.asarray(box_lengths,
+                                                       dtype=dtype)
+
+    def constraint_fn(state, dt, mode, box_lengths=None):
+        mode_front = mode == "front"
+        Lv = Lv0 if box_lengths is None else jnp.asarray(box_lengths,
+                                                         dtype=dtype)
+        v = state.v
+        for tp in types:
+            M, A = tp["M"], tp["A"]
+            if tp["start"] is not None:
+                rblk = jax.lax.dynamic_slice(
+                    state.r, (tp["start"], 0), (M * A, 3))
+                vblk = jax.lax.dynamic_slice(v, (tp["start"], 0), (M * A, 3))
+                mblk = jax.lax.dynamic_slice(state.mass, (tp["start"],),
+                                             (M * A,))
+            else:
+                rblk = state.r[tp["rows"]]
+                vblk = v[tp["rows"]]
+                mblk = state.mass[tp["rows"]]
+            rb = rblk.reshape(M, A, 3).transpose(2, 1, 0)   # (3, A, M)
+            vb = vblk.reshape(M, A, 3).transpose(2, 1, 0)
+            rm = (1.0 / mblk).reshape(M, A).T               # (A, M)
+            for k in range(len(tp["li"])):
+                li = int(tp["li"][k])
+                lj = int(tp["lj"][k])
+                a = rb[:, li] - rb[:, lj]                   # (3, M)
+                if Lv is not None:
+                    a = a - Lv[:, None] * jnp.round(a / Lv[:, None])
+                vab = vb[:, li] - vb[:, lj]
+                rmI = rm[li]
+                rmJ = rm[lj]
+                mu = rmI + rmJ
+                Aq = jnp.sum(a * a, axis=0)
+                if mode_front:
+                    b = dt * vab
+                    p = a + b
+                    Bp = jnp.sum(a * p, axis=0)
+                    Cp = jnp.sum(p * p, axis=0) - tp["d2"][k]
+                    disc = jnp.maximum(Bp * Bp - Aq * Cp, 0.0)
+                    sq = jnp.sqrt(disc)
+                    den = Bp + jnp.where(Bp >= 0, sq, -sq)
+                    den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+                    lam = (-Cp / den) / (dt * mu)
+                else:
+                    lam = -jnp.sum(a * vab, axis=0) / (Aq * mu)
+                dv = lam[None, :] * a                       # (3, M)
+                vb = vb.at[:, li].add(rmI[None, :] * dv)
+                vb = vb.at[:, lj].add(-rmJ[None, :] * dv)
+            vout = vb.transpose(2, 1, 0).reshape(M * A, 3)
+            if tp["start"] is not None:
+                v = jax.lax.dynamic_update_slice(v, vout, (tp["start"], 0))
+            else:
+                v = v.at[tp["rows"]].set(vout)
+        return state.replace(v=v)
+
+    return constraint_fn
+
+
 def constraint_residual(state, cons_atoms, cons_pairs, cons_dist, dt=None):
     """Max |(|r_ab| - d)/d| over all constraints (diagnostic/tests)."""
     r = np.asarray(state.r)

@@ -247,12 +247,26 @@ class Simulation:
                             or sd.integrator_type == "NGLFNEW")
         if (sd.bonded is not None and sd.bonded.n_constraints > 0
                 and uses_constraints):
-            from ..integrators.constraints import build_constraint_fn
+            from ..integrators.constraints import (build_constraint_fn,
+                                                   build_constraint_fn_batched)
 
-            constraint_fn = build_constraint_fn(
-                sd.bonded.cons_atoms, sd.bonded.cons_pairs,
-                sd.bonded.cons_dist, sd.state.n_pad, self.dtype,
-                box_lengths=np.asarray(sd.box.lengths, dtype=np.float64))
+            # residue-template batched single-bond RATTLE when the
+            # topology is template-regular (every Martini deck);
+            # DDCMD_CONS_BATCH=0 opts back into the generic projector
+            constraint_fn = None
+            if (sd.box.ortho
+                    and os.environ.get("DDCMD_CONS_BATCH", "1") != "0"):
+                constraint_fn = build_constraint_fn_batched(
+                    sd.bonded.cons_atoms, sd.bonded.cons_pairs,
+                    sd.bonded.cons_dist, sd.state.n_pad, self.dtype,
+                    sd.residue_instances,
+                    box_lengths=np.asarray(sd.box.lengths,
+                                           dtype=np.float64))
+            if constraint_fn is None:
+                constraint_fn = build_constraint_fn(
+                    sd.bonded.cons_atoms, sd.bonded.cons_pairs,
+                    sd.bonded.cons_dist, sd.state.n_pad, self.dtype,
+                    box_lengths=np.asarray(sd.box.lengths, dtype=np.float64))
         self.constraint_fn = constraint_fn
         wrap = self.engine not in ("cellblock", "pallas")
         itype = sd.integrator_type

@@ -112,3 +112,48 @@ def test_batched_eval_junction_total(tmp_path):
     assert abs(float(ebt + el - eg)) < 1e-3
     assert np.allclose(np.asarray(vb + vl), np.asarray(vg), atol=1e-3)
     assert np.allclose(np.asarray(peb + pel), np.asarray(peg), atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["front", "back"])
+def test_batched_constraints_match_generic(tmp_path, monkeypatch, mode):
+    """Template-batched single-bond RATTLE == generic closed form on the
+    real bilayer deck (both projections), and the projected state
+    satisfies the constraints after a drift."""
+    from ddcmd_tpu.integrators.constraints import (
+        build_constraint_fn, build_constraint_fn_batched,
+        constraint_residual)
+    from ddcmd_tpu.models import load, martini_bilayer
+    from ddcmd_tpu.run.simulate import Simulation
+
+    d = str(tmp_path)
+    martini_bilayer(d, nx=4, ny=4, water_nm=1.2)
+    db, base = load(d)
+    sim = Simulation(db, base, run_dir=d, engine="cellblock")
+    sd = sim.sysdef
+    L = np.asarray(sd.box.lengths, dtype=np.float64)
+    fb = build_constraint_fn_batched(
+        sd.bonded.cons_atoms, sd.bonded.cons_pairs, sd.bonded.cons_dist,
+        sd.state.n_pad, jnp.float32, sd.residue_instances, box_lengths=L)
+    assert fb is not None, "bilayer must be template-regular"
+    fg = build_constraint_fn(
+        sd.bonded.cons_atoms, sd.bonded.cons_pairs, sd.bonded.cons_dist,
+        sd.state.n_pad, jnp.float32, box_lengths=L)
+
+    st = sim.ss.state
+    # give it something to project: random velocities
+    rng = np.random.default_rng(1)
+    st = st.replace(v=jnp.asarray(
+        rng.standard_normal(st.v.shape) * 0.3, jnp.float32))
+    dt = sd.cfg.dt
+    vb = np.asarray(fb(st, dt, mode).v)
+    vg = np.asarray(fg(st, dt, mode).v)
+    scale = max(np.abs(vg).max(), 1e-9)
+    assert np.abs(vb - vg).max() / scale < 5e-6
+
+    if mode == "front":
+        # post-drift distances must satisfy the constraints
+        st2 = st.replace(v=jnp.asarray(vb))
+        st2 = st2.replace(r=st2.r + dt * st2.v)
+        res = constraint_residual(st2, sd.bonded.cons_atoms,
+                                  sd.bonded.cons_pairs, sd.bonded.cons_dist)
+        assert res < 5e-4, res
