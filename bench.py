@@ -131,7 +131,8 @@ def main():
             # relative files= path resolves against it
             write_checkpoint(sim_eq, d)
             restart = os.path.join(d, "restart")
-            _log("equilibration done (checkpointed)")
+            _log(f"equilibration done (checkpointed; "
+                 f"BENCH_RESTART_DIR={d} reuses it)")
             del sim_eq
         db, base = load(d, restart=restart)
         metric = "bilayer_steps_per_sec"

@@ -41,7 +41,9 @@ from .brick import (AXES, BrickPlan, halo_exchange_3d, halo_reduce_3d,
                     halo_refresh_3d, migrate_3d)
 from .brickstep import FIELD_KEYS, _perp_widths, _volume, _wrap
 from .pallas_shard import (ShardCellPlan, bin_pool_ext, brick_frame_frac,
-                           make_shard_pallas_kernel, shard_pallas_eval)
+                           dev_geom, make_shard_eam_kernels,
+                           make_shard_pallas_kernel, shard_eam_force,
+                           shard_eam_rho, shard_pallas_eval)
 
 
 def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
@@ -51,15 +53,20 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
                            chunk_steps: int | None = None,
                            constraint_tables=None, barostat=None,
                            mol_tables=None, coulomb: bool = True,
-                           interpret: bool = False, excl: bool = False):
+                           interpret: bool = False, excl: bool = False,
+                           force_kind: str = "martini"):
     """Build (step, first, migrate[, chunk]) sharded functions running
-    the pallas engine per device.  Orthorhombic boxes, uniform brick
-    walls only (the per-device cell grid must be identical across
-    devices -- SPMD); ParallelSimulation gates accordingly."""
+    the pallas engine per device.  Orthorhombic boxes; uniform OR
+    load-balanced (tensor/ORCB walls) bricks -- the static cell tables
+    are brick-NORMALIZED so SPMD holds, and only the traced per-device
+    (center, span) pair differs (pallas_shard.dev_geom).  Voronoi
+    decompositions have no brick lattice and stay on the nlist engine;
+    ParallelSimulation gates accordingly."""
     Lv_host = np.asarray(box_lengths, dtype=np.float64)
     assert Lv_host.ndim == 1, "pallas brick step is orthorhombic-only"
-    assert plan.walls is None and plan.voronoi is None, \
-        "pallas brick step needs uniform bricks"
+    assert plan.voronoi is None, "pallas brick step needs brick walls"
+    assert (plan.walls is None) == (cplan.walls is None), \
+        "BrickPlan and ShardCellPlan must agree on walls"
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
     full_axes = tuple(AXES)
@@ -71,8 +78,14 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         halo_keys = halo_keys + ("excl",)
         assert "excl" in field_keys, "excl=True needs the 'excl' field"
 
-    eval_fn = make_shard_pallas_kernel(cplan, tables, coulomb=coulomb,
-                                       interpret=interpret, excl=excl)
+    if force_kind == "eam":
+        assert not excl and bonded_tables is None
+        rho_fn, force_fn_eam = make_shard_eam_kernels(cplan, tables,
+                                                      interpret=interpret)
+        eval_fn = None
+    else:
+        eval_fn = make_shard_pallas_kernel(cplan, tables, coulomb=coulomb,
+                                           interpret=interpret, excl=excl)
 
     if constraint_tables is not None:
         from ..integrators.constraints import make_constraint_project
@@ -101,7 +114,8 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         s_pool = jnp.concatenate([fields["species"], ghosts["species"]])
         tidx = tmap[s_pool]
         r_pool0 = jnp.concatenate([fields["r"], ghosts["r"]])
-        u0 = brick_frame_frac(r_pool0, Lv, cplan, _dev_idx3())
+        geom = dev_geom(cplan, _dev_idx3(), r0.dtype)
+        u0 = brick_frame_frac(r_pool0, Lv, cplan, _dev_idx3(), geom=geom)
         perm, counts, ov_b = bin_pool_ext(u0, pool_mask, cplan)
         bterms = None
         if bonded_tables is not None:
@@ -123,7 +137,8 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
             ex_pool = jnp.concatenate([fields["excl"], ghosts["excl"]])
         rb = dict(routing=routing, perm=perm, counts=counts,
                   q_pool=q_pool, tidx=tidx, pool_mask=pool_mask,
-                  bterms=bterms, cons=cons, mol=mol, ex_pool=ex_pool)
+                  bterms=bterms, cons=cons, mol=mol, ex_pool=ex_pool,
+                  geom=geom)
         return fields, rb, ov | ov_b
 
     # -- per-step pieces -----------------------------------------------
@@ -167,15 +182,50 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         d = (d - com) * am[:, :, None]
         return jnp.einsum("m,mia,mia->a", gw.astype(dt_), d, fm)
 
+    def _forces_eam(r_local, rb, Lv):
+        """Sharded two-pass pallas EAM (the reference's eam.c:39-44
+        2-pass communication under the mesh): rho pass -> reverse-reduce
+        partial densities home -> embedding on owners -> dF halo refresh
+        -> force pass with the dF slot channel -> reverse force reduce."""
+        from ..potentials.eam import _embedding
+
+        r_pool = halo_refresh_3d(r_local, rb["routing"], plan)
+        u = brick_frame_frac(r_pool, Lv, cplan, _dev_idx3(),
+                             geom=rb["geom"])
+        span_cart = rb["geom"][1].astype(Lv.dtype) * Lv
+        rho_pe_pool, slots, L8 = shard_eam_rho(
+            u, rb["tidx"], rb["perm"], span_cart, cplan, tables, rho_fn)
+        n_l = r_local.shape[0]
+        red = halo_reduce_3d(rho_pe_pool, rb["routing"], plan, n_l)
+        rho_loc = red[:, 0]
+        pe_pair = red[:, 1]
+        fmask_l = rb["pool_mask"][:n_l].astype(jnp.float32)
+        sidx_loc = rb["tidx"][:n_l].astype(jnp.int32)
+        F_emb, dF = _embedding(tables["form"], tables["embed"], sidx_loc,
+                               rho_loc)
+        F_emb = F_emb * fmask_l
+        dF = dF * fmask_l
+        dF_pool = halo_refresh_3d(dF[:, None], rb["routing"], plan)[:, 0]
+        f_pool, virial = shard_eam_force(slots, L8, dF_pool, rb["perm"],
+                                         cplan, force_fn_eam)
+        f_loc = halo_reduce_3d(f_pool, rb["routing"], plan, n_l)
+        wc = span_cart / jnp.asarray(cplan.ncore, Lv.dtype)
+        cell_ok = jnp.all(wc >= jnp.asarray(cplan.rlist, Lv.dtype))
+        return f_loc, pe_pair + F_emb, virial, ~cell_ok
+
     def _forces(r_local, rb, Lv):
         """Pair (pallas) + bonded forces, reverse-reduced to local rows.
         Returns (f (n_loc,3), pe (n_loc,), virial (3,3) device share,
         overflow)."""
+        if force_kind == "eam":
+            return _forces_eam(r_local, rb, Lv)
         r_pool = halo_refresh_3d(r_local, rb["routing"], plan)
-        u = brick_frame_frac(r_pool, Lv, cplan, _dev_idx3())
+        u = brick_frame_frac(r_pool, Lv, cplan, _dev_idx3(),
+                             geom=rb["geom"])
+        span_cart = rb["geom"][1].astype(Lv.dtype) * Lv
         f_pool, virial, pe_pool = shard_pallas_eval(
-            u, rb["q_pool"], rb["tidx"], rb["perm"], rb["counts"], Lv,
-            cplan, tables, eval_fn, ex_pool=rb["ex_pool"])
+            u, rb["q_pool"], rb["tidx"], rb["perm"], rb["counts"],
+            span_cart, cplan, tables, eval_fn, ex_pool=rb["ex_pool"])
         if rb["bterms"] is not None:
             fb, eb, vb, peb = bonded_eval(r_pool, Lv, rb["bterms"],
                                           r_pool.shape[0], jnp.float32)
@@ -186,8 +236,8 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         fp4 = jnp.concatenate([f_pool, pe_pool[:, None]], axis=1)
         red = halo_reduce_3d(fp4, rb["routing"], plan, n_l)
         # the live cell edge must stay >= rlist (NPT shrink guard, same
-        # as brickstep's cell_ok)
-        wc = jnp.asarray(cplan.w_frac, Lv.dtype) * _perp_widths(Lv)
+        # as brickstep's cell_ok); per-DEVICE widths under walls
+        wc = span_cart / jnp.asarray(cplan.ncore, Lv.dtype)
         cell_ok = jnp.all(wc >= jnp.asarray(cplan.rlist, Lv.dtype))
         return red[:, :3], red[:, 3], virial, ~cell_ok
 
@@ -289,8 +339,10 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         pxx = 0.5 * (p[0] + p[1])
         return jnp.cbrt(1.0 + jnp.stack([pxx, pxx, p[2]]) * btt)
 
-    _min_brick_frac = np.asarray([1.0 / plan.shape[a] for a in range(3)],
-                                 dtype=np.float64)
+    # NARROWEST brick span per axis (walls-aware): the NPT shrink guard
+    # must hold for every device
+    from .pallas_shard import walls_span_minmax
+    _min_brick_frac = walls_span_minmax(plan.walls, plan.shape)[0]
 
     def chunk(fields, mask, f_prev, key):
         Lv0 = jnp.asarray(Lv_host, dtype=fields["r"].dtype)

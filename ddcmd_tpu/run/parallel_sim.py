@@ -330,6 +330,21 @@ class ParallelSimulation:
             from ..run.forces import _excl_channels
 
             excl_vals = _excl_channels(bt.exclusions, n)
+            if excl_vals is None:
+                # see Simulation's pallas->nlist exclusion demote: wide
+                # exclusion components + f32 compute-then-subtract is
+                # the r4 catapult mechanism.  The sharded nlist engine
+                # subtracts too, so there is no safe f32 sharded path --
+                # warn loudly (f64 runs are fine: residual ~1e-10 rel)
+                import warnings
+
+                warnings.warn(
+                    "sharded f32 run with an exclusion graph wider than "
+                    "the in-kernel encoding (>12-member component): "
+                    "compute-then-subtract residuals can catapult deep "
+                    "bond compressions (see BASELINE.md r4 forensics); "
+                    "consider dtype=float64 or a smaller exclusion "
+                    "graph", stacklevel=2)
             if excl_vals is not None:
                 if bonded_gid_tab is not None:
                     # bonded terms exist: rebuild their tables in rf_add
@@ -601,25 +616,35 @@ class ParallelSimulation:
 
 def _pick_shard_engine(psim, geom, L, rlist):
     """'pallas' when the decomposition admits one SPMD per-device cell
-    grid (uniform bricks, orthorhombic box, f32, Martini/PAIR force
-    path), else 'nlist'.  DDCMD_SHARD_ENGINE=pallas|nlist forces."""
+    grid (brick walls -- uniform OR load-balanced tensor/ORCB,
+    orthorhombic box, f32, Martini/PAIR force path), else 'nlist'
+    (Voronoi decompositions have no brick lattice).
+    DDCMD_SHARD_ENGINE=pallas|nlist forces."""
     import os
+
+    from ..parallel.pallas_shard import walls_span_minmax
 
     forced = os.environ.get("DDCMD_SHARD_ENGINE", "")
     if forced == "nlist":
         return "nlist"
-    ok = (psim.force_kind == "martini"
+    kind_ok = psim.force_kind == "martini"
+    if psim.force_kind == "eam":
+        from ..ops.pallas_eam import pallas_eam_supported
+
+        kind_ok = pallas_eam_supported(psim.tables)
+    ok = (kind_ok
           and np.asarray(geom).ndim == 1
           and psim.dtype == jnp.float32
-          and psim.plan.walls is None and psim.plan.voronoi is None)
-    why = "force/box/walls gate"
+          and psim.plan.voronoi is None)
+    why = "force/box/voronoi gate"
+    sf_min, _ = walls_span_minmax(psim.plan.walls, psim.shape)
     for a in range(3):
         na = psim.shape[a]
-        span = L[a] / na
-        # open axes need brick >= rlist (1-hop halos span the cutoff);
-        # 2-device axes need brick >= 2 rlist (an atom within rlist of
-        # BOTH faces would have to appear at two ghost images, but the
-        # staged exchange ships it once)
+        span = L[a] * sf_min[a]
+        # open axes need every brick >= rlist (1-hop halos span the
+        # cutoff); 2-device axes need >= 2 rlist (an atom within rlist
+        # of BOTH faces would have to appear at two ghost images, but
+        # the staged exchange ships it once)
         if na > 1 and span < rlist * (2.0 if na == 2 else 1.0):
             ok = False
             why = f"axis {a}: brick {span:.3f} too narrow for rlist {rlist:.3f}"
@@ -633,7 +658,7 @@ ParallelSimulation._pick_shard_engine = _pick_shard_engine
 
 def _use_pallas_shard(psim, geom):
     return (getattr(psim, "shard_engine", "nlist") == "pallas"
-            and psim.plan.walls is None and psim.plan.voronoi is None
+            and psim.plan.voronoi is None
             and np.asarray(geom).ndim == 1)
 
 
@@ -653,8 +678,8 @@ def _make_step_fns(psim, geom, chunk_steps=None):
 
         interp = (jax.default_backend() == "cpu"
                   or bool(os.environ.get("DDCMD_PALLAS_INTERPRET")))
-        kw.pop("force_kind", None)
-        kw["species_lj_type"] = psim._pallas_tmap
+        if psim.force_kind == "martini":
+            kw["species_lj_type"] = psim._pallas_tmap
         return make_brick_step_pallas(
             psim.mesh, psim.plan, psim.cplan, psim._pallas_tables,
             psim.coeffs, coulomb=psim._coulomb, interpret=interp, **kw)
@@ -682,7 +707,8 @@ def _build_step_fns(psim, geom):
         psim.cplan = plan_shard_cells(
             np.asarray(geom, dtype=np.float64), psim.shape,
             sd.rcut_max, sd.neighbor_deltaR, sd.state.n_local,
-            plan_margin=1.08 if psim._npt_deck else 1.0)
+            plan_margin=1.08 if psim._npt_deck else 1.0,
+            walls=psim.plan.walls)
     (psim.step_fn, psim.first_fn, psim.migrate_fn,
      psim.chunk_fn) = _make_step_fns(psim, geom)
     # generation counter: caches keyed on it (NOT id(chunk_fn), which

@@ -62,6 +62,31 @@ class Simulation:
             # masks drop non-periodic image blocks (ops/cellpair.py:
             # pbc_allowed); the pallas kernels are fully periodic
             engine = "cellblock"
+        if (engine == "pallas" and sd.bonded is not None
+                and sd.bonded.exclusions is not None
+                and os.environ.get("DDCMD_INLIST_EXCL", "1") != "0"):
+            from .forces import _excl_channels
+
+            if _excl_channels(sd.bonded.exclusions,
+                              sd.state.n_pad) is None:
+                # an exclusion component wider than the exact-f32
+                # in-kernel encoding (12 members; CHARMM chains exceed
+                # it): compute-then-subtract on the pallas f32 path is a
+                # KNOWN-UNSAFE config -- the f32 residual of the ~1e9 LJ
+                # wall on a deep bond compression is an energy-injecting
+                # catapult (r4 forensics, BASELINE.md).  Demote to the
+                # (N,K)-list engine, which prunes excluded pairs
+                # IN-LIST (nlistGPU.cu discipline).  DDCMD_INLIST_EXCL=0
+                # opts back into subtract mode explicitly.
+                import warnings
+
+                warnings.warn(
+                    "exclusion graph exceeds the in-kernel encoding "
+                    "(>12-member component); demoting pallas -> nlist "
+                    "engine for exclusion safety (set "
+                    "DDCMD_INLIST_EXCL=0 to force compute-then-subtract "
+                    "at your own risk)", stacklevel=2)
+                engine = "nlist"
         if engine == "pallas" and any(p[0] == "EAM" for p in sd.potentials):
             ep = next(p[2] for p in sd.potentials if p[0] == "EAM")
             if not (1 <= ep.n_species <= 4 and ep.form in (

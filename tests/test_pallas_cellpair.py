@@ -825,3 +825,49 @@ def test_inkernel_exclusion_deep_compression(tmp_path):
     # and the two engines agree at the pathological geometry
     scale = max(1.0, np.abs(fn_).max())
     assert np.abs(fp - fn_).max() / scale < 2e-4
+
+
+def test_wide_exclusion_graph_demotes_pallas(tmp_path, monkeypatch):
+    """A >12-member exclusion component must never silently run the
+    pallas f32 path in compute-then-subtract mode (the r4 catapult
+    mechanism): Simulation demotes to the in-list-masking nlist engine
+    with a warning; DDCMD_INLIST_EXCL=0 opts back explicitly."""
+    import warnings
+
+    import jax
+
+    from ddcmd_tpu.models import load, martini_bilayer
+    from ddcmd_tpu.run.simulate import Simulation
+
+    d = str(tmp_path)
+    martini_bilayer(d, nx=2, ny=2, water_nm=1.0)
+    db, base = load(d)
+    sim0 = Simulation(db, base, run_dir=d, engine="cellblock")
+    bt = sim0.sysdef.bonded
+    # widen one component past the encoding: chain 14 extra exclusions
+    import numpy as np
+
+    extra = np.stack([np.arange(14), np.arange(1, 15)], axis=1)
+    bt_wide = np.concatenate([np.asarray(bt.exclusions), extra])
+
+    def fake_build(dbx, basex, dtype):
+        sd = __import__("ddcmd_tpu.core.system",
+                        fromlist=["build_system"]).build_system(
+            dbx, basex, dtype=dtype)
+        sd.bonded.exclusions = bt_wide
+        return sd
+
+    monkeypatch.setattr("ddcmd_tpu.run.simulate.build_system", fake_build)
+    # force the pallas branch of the auto-select (no TPU in CI)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        db2, _ = load(d)
+        sim = Simulation(db2, base, run_dir=d, engine="pallas")
+    # explicit engine= bypasses auto -- the demote must still fire
+    assert sim.engine == "nlist"
+    assert any("12-member" in str(x.message) for x in w)
+
+    monkeypatch.setenv("DDCMD_INLIST_EXCL", "0")
+    db3, _ = load(d)
+    sim2 = Simulation(db3, base, run_dir=d, engine="pallas")
+    assert sim2.engine in ("pallas", "cellblock")  # explicit opt-out
