@@ -78,8 +78,14 @@ def write_bxyz(sim, snapdir: str) -> str:
     return path
 
 
-def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> str:
-    """Write snapshot.<loop>/ with atoms#000000 + restart, update symlink."""
+def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True,
+                     atoms_writer=None) -> str:
+    """Write snapshot.<loop>/ with atoms#000000 + restart, update symlink.
+
+    atoms_writer(snapdir, mode, loop, time_fs): optional override for the
+    particle-record output -- the sharded driver's per-device N-writer
+    path (pio Pio_setNumWriteFiles analog) plugs in here so the restart/
+    pxyz/profile scaffolding stays shared."""
     sd = sim.sysdef
     ss = sim.ss
     loop = int(ss.loop)
@@ -89,11 +95,6 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
     snapdir = os.path.join(run_dir, f"snapshot.{loop:0{ndig}d}")
     os.makedirs(snapdir, exist_ok=True)
 
-    state = ss.state
-    n = state.n_local
-    r = np.asarray(state.r[:n], dtype=np.float64)
-    v = np.asarray(state.v[:n], dtype=np.float64)
-    gid = state.gid64()
     col = sd.collection
     h = np.asarray(ss.box.h, dtype=np.float64)
 
@@ -101,20 +102,28 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True) -> st
         sd.db.get(sd.cfg.system_name, "SYSTEM").get_str("collection", "collection"),
         "COLLECTION")
     mode = colobj.get_str("mode", "VARRECORDASCII") if colobj else "VARRECORDASCII"
-    write_collection(
-        os.path.join(snapdir, "atoms#000000"),
-        gid=gid,
-        species_names=col.species_names,
-        group_names=col.group_names,
-        class_names=col.class_names,
-        r=r, v=v, h=h, loop=loop, time_fs=time_fs,
-        group_list=[g.name for g in sd.groups],
-        species_list=[s.name for s in sd.species],
-        gid_format="hex" if sd.cfg.gidFormat == "hex" else "dec",
-        datatype=mode,
-        nfiles=sd.cfg.nfiles,
-        precision=sd.cfg.checkpointprecision,
-    )
+    if atoms_writer is not None:
+        atoms_writer(snapdir, mode, loop, time_fs)
+    else:
+        state = ss.state
+        n = state.n_local
+        r = np.asarray(state.r[:n], dtype=np.float64)
+        v = np.asarray(state.v[:n], dtype=np.float64)
+        gid = state.gid64()
+        write_collection(
+            os.path.join(snapdir, "atoms#000000"),
+            gid=gid,
+            species_names=col.species_names,
+            group_names=col.group_names,
+            class_names=col.class_names,
+            r=r, v=v, h=h, loop=loop, time_fs=time_fs,
+            group_list=[g.name for g in sd.groups],
+            species_list=[s.name for s in sd.species],
+            gid_format="hex" if sd.cfg.gidFormat == "hex" else "dec",
+            datatype=mode,
+            nfiles=sd.cfg.nfiles,
+            precision=sd.cfg.checkpointprecision,
+        )
 
     hang = h * U.LENGTH_TO_ANG
     hstr = "\n".join("     %22.14g %22.14g %22.14g" % tuple(row) for row in hang)

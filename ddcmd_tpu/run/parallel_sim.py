@@ -778,23 +778,44 @@ class _CheckpointShim:
 
 
 def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
-    """Gather the sharded run to host and write a standard snapshot dir
-    (atoms# + restart + pxyz); restartable by Simulation OR
-    ParallelSimulation (writeRestart analog for the mesh driver)."""
+    """Write a snapshot dir restartable by Simulation OR
+    ParallelSimulation (writeRestart analog for the mesh driver).
+
+    Default path (DDCMD_SHARD_WRITERS=1, ascii modes): per-DEVICE shard
+    writers -- each device's OWNED rows stream to their own atoms#
+    shard straight from that device's addressable block, so O(N) output
+    never materializes the global arrays on one host buffer (pio's
+    N-writer layout, Pio_setNumWriteFiles,
+    /root/reference/src/simulate.c:212).  Binary checkpoint modes and
+    DDCMD_SHARD_WRITERS=0 keep the gather-by-gid single-writer path."""
     from ..core.box import Box
     from ..core.energy import EnergyInfo
     from ..integrators.nglf import StepState
     from ..io.restart import write_checkpoint as _wc
 
     sd = psim.sysdef
-    R, V = _gather_by_gid(psim)
     n = sd.state.n_local
-    state = sd.state.replace(
-        r=sd.state.r.at[:n].set(jnp.asarray(R, sd.state.r.dtype)),
-        v=sd.state.v.at[:n].set(jnp.asarray(V, sd.state.v.dtype)))
     g = np.asarray(psim.Lv, dtype=np.float64)
     box = (Box.orthorhombic(g, dtype=jnp.float64) if g.ndim == 1
            else Box.from_h(g, dtype=jnp.float64))
+
+    colobj = sd.db.find(
+        sd.db.get(sd.cfg.system_name, "SYSTEM").get_str(
+            "collection", "collection"), "COLLECTION")
+    mode = (colobj.get_str("mode", "VARRECORDASCII") if colobj
+            else "VARRECORDASCII")
+    sharded = (os.environ.get("DDCMD_SHARD_WRITERS", "1") != "0"
+               and mode.upper() not in ("FIXRECORDBINARY", "BINARY"))
+
+    if sharded:
+        state = sd.state  # records come from the device shards, not here
+        writer = _make_sharded_atoms_writer(psim, box)
+    else:
+        R, V = _gather_by_gid(psim)
+        state = sd.state.replace(
+            r=sd.state.r.at[:n].set(jnp.asarray(R, sd.state.r.dtype)),
+            v=sd.state.v.at[:n].set(jnp.asarray(V, sd.state.v.dtype)))
+        writer = None
     ss = StepState(state=state, box=box, energy=EnergyInfo.zero(),
                    loop=jnp.asarray(psim.loop, jnp.int32),
                    time=jnp.asarray((psim.loop - sd.cfg.loop) * sd.cfg.dt
@@ -803,7 +824,70 @@ def parallel_write_checkpoint(psim, run_dir: str = ".") -> str:
     # pxyz records the LIVE decomposition (walls/Voronoi centers) so a
     # restart resumes the balanced domains (ddc_writePXYZ analog)
     shim.parallel_plan = psim.plan
-    return _wc(shim, run_dir)
+    return _wc(shim, run_dir, atoms_writer=writer)
+
+
+def _make_sharded_atoms_writer(psim, box):
+    """atoms_writer callback: one atoms# shard per device from its OWNED
+    rows (any record order -- readers key by gid; byte-identical to the
+    gathered writer after a gid sort)."""
+    from ..io.collection import _strip_header, write_collection
+
+    sd = psim.sysdef
+    col = sd.collection
+    col_gid = np.asarray(col.gid, dtype=np.int64)
+    pos = getattr(psim, "_gid_pos", None)
+    if pos is None:
+        pos = {int(g): i for i, g in enumerate(col_gid)}
+        psim._gid_pos = pos
+    sp_arr = np.asarray(col.species_names, dtype="U16")
+    gr_arr = np.asarray(col.group_names, dtype="U16")
+    cl_arr = np.asarray(col.class_names, dtype="U16")
+    h = np.asarray(box.h, dtype=np.float64)
+
+    def writer(snapdir, mode, loop, time_fs):
+        f_sh = {k: sorted(psim.fields[k].addressable_shards,
+                          key=lambda s: s.device.id)
+                for k in ("r", "v", "gid")}
+        m_sh = sorted(psim.mask.addressable_shards,
+                      key=lambda s: s.device.id)
+        n_dev = len(m_sh)
+        total = 0
+        shard0 = os.path.join(snapdir, "atoms#000000")
+        for k in range(n_dev):
+            m = np.asarray(m_sh[k].data)
+            gp = np.asarray(f_sh["gid"][k].data)[m]
+            g64 = (gp[:, 0].astype(np.int64)
+                   | (gp[:, 1].astype(np.int64) << 32))
+            idx = np.fromiter((pos[int(g)] for g in g64), dtype=np.int64,
+                              count=len(g64))
+            rk = np.asarray(f_sh["r"][k].data, dtype=np.float64)[m]
+            vk = np.asarray(f_sh["v"][k].data, dtype=np.float64)[m]
+            path = os.path.join(snapdir, "atoms#%06d" % k)
+            write_collection(
+                path, gid=g64.astype(np.uint64),
+                species_names=list(sp_arr[idx]),
+                group_names=list(gr_arr[idx]),
+                class_names=list(cl_arr[idx]),
+                r=rk, v=vk, h=h, loop=loop, time_fs=time_fs,
+                group_list=[g.name for g in sd.groups],
+                species_list=[s.name for s in sd.species],
+                gid_format="hex" if sd.cfg.gidFormat == "hex" else "dec",
+                datatype=mode)
+            total += len(g64)
+            if k > 0:
+                # continuation shards carry records only (pio layout:
+                # the FILEHEADER lives in shard 0)
+                blob = open(path, "rb").read()
+                open(path, "wb").write(_strip_header(blob))
+        # patch shard 0's header to the global nfiles/nrecord
+        blob = open(shard0, "rb").read()
+        m0 = int(np.asarray(m_sh[0].data).sum())
+        blob = blob.replace(b"nfiles=1;", b"nfiles=%d;" % n_dev, 1)
+        blob = blob.replace(b"nrecord=%d;" % m0, b"nrecord=%d;" % total, 1)
+        open(shard0, "wb").write(blob)
+
+    return writer
 
 
 ParallelSimulation.write_checkpoint = parallel_write_checkpoint
