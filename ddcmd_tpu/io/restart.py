@@ -102,11 +102,11 @@ def write_checkpoint(sim, run_dir: str = ".", update_symlink: bool = True,
         sd.db.get(sd.cfg.system_name, "SYSTEM").get_str("collection", "collection"),
         "COLLECTION")
     mode = colobj.get_str("mode", "VARRECORDASCII") if colobj else "VARRECORDASCII"
+    n = ss.state.n_local
     if atoms_writer is not None:
         atoms_writer(snapdir, mode, loop, time_fs)
     else:
         state = ss.state
-        n = state.n_local
         r = np.asarray(state.r[:n], dtype=np.float64)
         v = np.asarray(state.v[:n], dtype=np.float64)
         gid = state.gid64()

@@ -195,3 +195,64 @@ def test_clamp_walls_minimum_spacing():
     # infeasible request degrades to uniform
     u = clamp_walls([0.0, 0.1, 0.2, 0.3, 1.0], 0.5)
     np.testing.assert_allclose(u, np.linspace(0, 1, 5))
+
+
+def test_sharded_checkpoint_nwriter(tmp_path, monkeypatch):
+    """Per-device N-writer checkpoint (pio Pio_setNumWriteFiles analog):
+    one atoms# shard per device, no global host gather; records sorted
+    by gid match the gathered single-writer output, and the snapshot
+    restarts through Simulation."""
+    import os
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ddcmd_tpu.io.collection import read_collection
+    from ddcmd_tpu.models import load, martini_water
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    martini_water(str(tmp_path), n=800)
+    db, base = load(str(tmp_path))
+    psim = ParallelSimulation(db, base, shape=(2, 2, 2))
+    psim.first_energy()
+    psim.run(psim.chunk_steps, print_fn=lambda s: None)
+
+    # sharded snapshot lands next to the deck so its restart resolves
+    # the parmfile AND the collection shards against one base_dir
+    d_sh = tmp_path
+    d_ga = tmp_path / "gathered"
+    d_ga.mkdir()
+    monkeypatch.setenv("DDCMD_SHARD_WRITERS", "1")
+    psim.write_checkpoint(str(d_sh))
+    monkeypatch.setenv("DDCMD_SHARD_WRITERS", "0")
+    psim.write_checkpoint(str(d_ga))
+
+    import glob
+    shards = sorted(glob.glob(str(d_sh) + "/snapshot.*/atoms#*"))
+    assert len(shards) == 8, shards
+
+    cs = read_collection(os.path.join(os.path.dirname(shards[0]), "atoms#"),
+                         ".")
+    cg_files = sorted(glob.glob(str(d_ga) + "/snapshot.*/atoms#*"))
+    cg = read_collection(os.path.join(os.path.dirname(cg_files[0]),
+                                      "atoms#"), ".")
+    assert cs.n == cg.n
+    os_ = np.argsort(np.asarray(cs.gid))
+    og = np.argsort(np.asarray(cg.gid))
+    assert (np.asarray(cs.gid)[os_] == np.asarray(cg.gid)[og]).all()
+    assert np.abs(cs.r[os_] - cg.r[og]).max() == 0.0   # same formatter
+    assert np.abs(cs.v[os_] - cg.v[og]).max() == 0.0
+    assert [cs.species_names[i] for i in os_] == \
+        [cg.species_names[i] for i in og]
+
+    # restartable by the single-chip driver
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.simulate import Simulation
+
+    snapdir = os.path.dirname(shards[0])
+    db2 = load_db([str(tmp_path / "object.data")],
+                  os.path.join(snapdir, "restart"), str(d_sh))
+    sim = Simulation(db2, str(d_sh), run_dir=str(d_sh), engine="cellblock")
+    sim.first_energy()
+    assert np.isfinite(float(sim.ss.energy.eion))
