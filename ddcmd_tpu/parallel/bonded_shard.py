@@ -95,6 +95,44 @@ def resolve_terms(tables, pool_gid64, pool_mask, local_cap):
     return out
 
 
+def leftover_gid_tables(leftover: dict, gid):
+    """Gid-key the row-indexed families of a bonded_batch LEFTOVER dict
+    (junction terms, CMAP) for per-device resolution -- the same
+    transform bonded_gid_tables applies to a full BondedTerms."""
+    gid = np.asarray(gid, dtype=np.int64)
+    out = dict(leftover)
+    for fam in ("bonds", "angles", "torsions", "impropers", "bpairs",
+                "exclusions", "cmap_atoms"):
+        if fam in out:
+            out[fam + "_gids"] = jnp.asarray(gid[np.asarray(out[fam])])
+            del out[fam]
+    return out
+
+
+def resolve_batched(plan: dict, pool_gid64, pool_mask, local_cap):
+    """Per-device resolution of a bonded_batch plan built with gids:
+    for each residue type, map its (M, A) instance gids to pool rows.
+    An instance is owned iff ALL its atoms resolve and its FIRST atom is
+    a local row (molecule coherence => exactly-once across the mesh).
+    Returns a list aligned with plan["types"] of
+    (rows (M*A,) int32 [missing -> n_pool sentinel], w (M,) f32)."""
+    n_pool = pool_gid64.shape[0]
+    big = jnp.asarray(jnp.iinfo(pool_gid64.dtype).max, pool_gid64.dtype)
+    keyed = jnp.where(pool_mask, pool_gid64, big)
+    order = jnp.argsort(keyed)
+    sg = keyed[order]
+    out = []
+    for tp in plan["types"]:
+        g = tp["gids"].astype(pool_gid64.dtype)          # (M, A)
+        pos = jnp.clip(jnp.searchsorted(sg, g), 0, n_pool - 1)
+        rows = order[pos]
+        found = sg[pos] == g
+        owned = jnp.all(found, axis=-1) & (rows[:, 0] < local_cap)
+        rows = jnp.where(found, rows, n_pool).astype(jnp.int32)
+        out.append((rows.reshape(-1), owned.astype(jnp.float32)))
+    return out
+
+
 def constraint_gid_tables(bt, gid):
     """Host-side: gid-keyed constraint groups for the sharded step.
 
@@ -145,8 +183,18 @@ def molecule_gid_tables(mol, gid):
     """
     if mol is None or mol.is_trivial:
         return None
+    # single-bead molecules contribute an identically-zero correction --
+    # drop them (a solvated bilayer otherwise pads ~45k waters to
+    # max_atoms: ~1 M wasted gather rows per step; see the single-chip
+    # make_molecular_virial_fn fix, r5)
+    amask = np.asarray(mol.atom_mask)
+    nz = amask.sum(axis=1) > 1.0
+    if not nz.any():
+        return None
     gid = np.asarray(gid, dtype=np.int64)
-    rows = np.asarray(mol.atom_rows)
-    mg = np.where(np.asarray(mol.atom_mask) > 0,
-                  gid[np.clip(rows, 0, len(gid) - 1)], -1)
+    rows = np.asarray(mol.atom_rows)[nz]
+    amask = amask[nz]
+    A = int(np.count_nonzero(amask, axis=1).max())
+    mg = np.where(amask[:, :A] > 0,
+                  gid[np.clip(rows[:, :A], 0, len(gid) - 1)], -1)
     return dict(mol_gids=jnp.asarray(mg))

@@ -36,7 +36,8 @@ from jax.sharding import Mesh, PartitionSpec as P  # noqa: F401
 from ..core.groups import velocity_update
 from ..objects import units as U
 from ..potentials.bonded import bonded_eval
-from .bonded_shard import (pack_gid, resolve_constraints, resolve_terms)
+from .bonded_shard import (pack_gid, resolve_batched, resolve_constraints,
+                           resolve_terms)
 from .brick import (AXES, BrickPlan, halo_exchange_3d, halo_reduce_3d,
                     halo_refresh_3d, migrate_3d)
 from .brickstep import FIELD_KEYS, _perp_widths, _volume, _wrap
@@ -118,10 +119,21 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         u0 = brick_frame_frac(r_pool0, Lv, cplan, _dev_idx3(), geom=geom)
         perm, counts, ov_b = bin_pool_ext(u0, pool_mask, cplan)
         bterms = None
+        bat = None
         if bonded_tables is not None:
             g64 = pack_gid(jnp.concatenate([fields["gid"], ghosts["gid"]]))
-            bterms = resolve_terms(bonded_tables, g64, pool_mask,
-                                   fields["r"].shape[0])
+            bplan = bonded_tables.get("__batched__")
+            left = {k: v for k, v in bonded_tables.items()
+                    if k != "__batched__"}
+            if bplan is not None:
+                # residue-template batched terms resolve per TYPE (one
+                # searchsorted per chunk); junction/CMAP leftovers keep
+                # the per-term resolver
+                bat = resolve_batched(bplan, g64, pool_mask,
+                                      fields["r"].shape[0])
+            if any(k.endswith("_gids") for k in left):
+                bterms = resolve_terms(left, g64, pool_mask,
+                                       fields["r"].shape[0])
         cons = None
         if constraint_tables is not None:
             g64l = pack_gid(fields["gid"])
@@ -137,8 +149,8 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
             ex_pool = jnp.concatenate([fields["excl"], ghosts["excl"]])
         rb = dict(routing=routing, perm=perm, counts=counts,
                   q_pool=q_pool, tidx=tidx, pool_mask=pool_mask,
-                  bterms=bterms, cons=cons, mol=mol, ex_pool=ex_pool,
-                  geom=geom)
+                  bterms=bterms, bat=bat, cons=cons, mol=mol,
+                  ex_pool=ex_pool, geom=geom)
         return fields, rb, ov | ov_b
 
     # -- per-step pieces -----------------------------------------------
@@ -226,6 +238,15 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         f_pool, virial, pe_pool = shard_pallas_eval(
             u, rb["q_pool"], rb["tidx"], rb["perm"], rb["counts"],
             span_cart, cplan, tables, eval_fn, ex_pool=rb["ex_pool"])
+        if rb["bat"] is not None:
+            from ..potentials.bonded_batch import batched_bonded_eval
+
+            fb, eb, vb, peb = batched_bonded_eval(
+                r_pool, Lv, bonded_tables["__batched__"],
+                r_pool.shape[0], jnp.float32, resolved=rb["bat"])
+            f_pool = f_pool + fb
+            pe_pool = pe_pool + peb
+            virial = virial + vb
         if rb["bterms"] is not None:
             fb, eb, vb, peb = bonded_eval(r_pool, Lv, rb["bterms"],
                                           r_pool.shape[0], jnp.float32)

@@ -47,7 +47,7 @@ _FAMS = (
 
 
 def build_batched_bonded(terms: dict, residue_instances, n_pad: int,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, gid=None):
     """Split the device term tables into per-residue-type batches plus a
     leftover dict for the generic evaluator.
 
@@ -149,11 +149,17 @@ def build_batched_bonded(terms: dict, residue_instances, n_pad: int,
         flat = rows.reshape(-1)
         start = int(flat[0])
         contiguous = bool((flat == start + np.arange(M * A)).all())
-        plan.append(dict(
+        tp = dict(
             name=type_names[t], fams=fams, M=M, A=A,
             rows=None if contiguous else jnp.asarray(flat, jnp.int32),
             start=start if contiguous else None,
-        ))
+        )
+        if gid is not None:
+            # gid-keyed membership for the sharded resolver
+            # (parallel/bonded_shard.resolve_batched)
+            tp["gids"] = jnp.asarray(
+                np.asarray(gid, np.int64)[rows])         # (M, A)
+        plan.append(tp)
     meta = dict(excl_mode=terms.get("excl_mode"),
                 rcut2=terms.get("rcut2"),
                 bpair_rcut2=terms.get("bpair_rcut2"),
@@ -166,9 +172,18 @@ def _min_image_c(d, Lc):
     return d - Lc * jnp.round(d / Lc)
 
 
-def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
+def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype,
+                        resolved=None):
     """Evaluate the batched types; same contract as bonded_eval:
-    returns (f (n_pad,3), e, virial (3,3), pe (n_pad,))."""
+    returns (f (n_pad,3), e, virial (3,3), pe (n_pad,)).
+
+    resolved: None for the static single-chip path (rows baked into the
+    plan), or a list aligned with plan["types"] of (rows (M*A,) traced
+    pool rows, w (M,) ownership weights) from the sharded resolver
+    (parallel/bonded_shard.resolve_batched) -- instances not owned by
+    this device evaluate against sanitized dummy geometry with zero
+    weight, so each instance's terms land exactly once across the
+    mesh."""
     L = jnp.asarray(box_lengths, dtype)
     meta = plan["meta"]
     f = jnp.zeros((n_pad, 3), dtype=dtype)
@@ -176,12 +191,34 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
     e = jnp.zeros((), dtype=dtype)
     virial = jnp.zeros((3, 3), dtype=dtype)
 
-    for tp in plan["types"]:
+    for itp, tp in enumerate(plan["types"]):
         M, A = tp["M"], tp["A"]
-        if tp["start"] is not None:
+        if resolved is not None:
+            rows_t, w_inst = resolved[itp]
+            blk = r[rows_t]
+        elif tp["start"] is not None:
+            w_inst = None
             blk = jax.lax.dynamic_slice(r, (tp["start"], 0), (M * A, 3))
         else:
+            w_inst = None
             blk = r[tp["rows"]]
+
+        def san(dr, unit, w_inst=w_inst):
+            """Disowned instances gather arbitrary rows; swap in a fixed
+            non-degenerate geometry so 1/r and AD stay finite (the
+            bonded_eval sanitize trick)."""
+            if w_inst is None:
+                return dr
+            u = jnp.asarray(unit, dr.dtype).reshape(3, 1, 1)
+            return jnp.where((w_inst > 0)[None, None, :], dr, u)
+
+        def wmul(x, w_inst=w_inst):
+            if w_inst is None:
+                return x
+            if x.ndim == 3:
+                return x * w_inst[None, None, :]
+            return x * w_inst[None, :]
+
         # (3, A, M): components lead, instances ride the lane dim
         rm = blk.reshape(M, A, 3).transpose(2, 1, 0)
 
@@ -204,12 +241,12 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
             loc = fam["loc"]
             parm = fam["bond_parms"]                     # (T, 2, M)
             dr = gatherA(loc[:, 0]) - gatherA(loc[:, 1])
-            dr = _min_image_c(dr, L[:, None, None])
+            dr = san(_min_image_c(dr, L[:, None, None]), (1.0, 0.0, 0.0))
             b = jnp.sqrt(jnp.sum(dr * dr, axis=0))
             kb, b0 = parm[:, 0], parm[:, 1]
             db = b - b0
-            eb = kb * db * db
-            fi = (-2.0 * kb * db / b)[None] * dr
+            eb = wmul(kb * db * db)
+            fi = wmul(-2.0 * kb * db / b)[None] * dr
             emit(loc, [fi, -fi], [0.5 * eb, 0.5 * eb])
             virial = virial + jnp.einsum("atm,ctm->ac", fi, dr)
             e = e + jnp.sum(eb)
@@ -219,10 +256,10 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
             loc = fam["loc"]
             parm = fam["angle_parms"]                    # (T, 2, M)
             kind = fam["angle_kind"][:, 0, :]            # (T, M) int
-            rij = _min_image_c(gatherA(loc[:, 0]) - gatherA(loc[:, 1]),
-                               L[:, None, None])
-            rkj = _min_image_c(gatherA(loc[:, 2]) - gatherA(loc[:, 1]),
-                               L[:, None, None])
+            rij = san(_min_image_c(gatherA(loc[:, 0]) - gatherA(loc[:, 1]),
+                                   L[:, None, None]), (1.0, 0.0, 0.0))
+            rkj = san(_min_image_c(gatherA(loc[:, 2]) - gatherA(loc[:, 1]),
+                                   L[:, None, None]), (0.0, 1.0, 0.0))
             bij = jnp.sqrt(jnp.sum(rij * rij, axis=0))
             bkj = jnp.sqrt(jnp.sum(rkj * rkj, axis=0))
             uij = rij / bij[None]
@@ -240,10 +277,10 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
             coef_c = -2.0 * kt * aD_c
             e_r = kt * aD_c * aD_c / sin2
             coef_r = -2.0 * kt * aD_c * (1.0 - cosA * t0) / (sin2 * sin2)
-            e_a = jnp.select([kind == 0, kind == 1, kind == 2],
-                             [e_h, e_c, e_r])
-            coef = jnp.select([kind == 0, kind == 1, kind == 2],
-                              [coef_h, coef_c, coef_r])
+            e_a = wmul(jnp.select([kind == 0, kind == 1, kind == 2],
+                                  [e_h, e_c, e_r]))
+            coef = wmul(jnp.select([kind == 0, kind == 1, kind == 2],
+                                   [coef_h, coef_c, coef_r]))
             fi = (coef / bij)[None] * (ukj - uij * cosA[None])
             fk = (coef / bkj)[None] * (uij - ukj * cosA[None])
             zA = jnp.zeros_like(e_a)
@@ -260,9 +297,12 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
             parm = fam["torsion_parms" if key == "torsions"
                        else "improper_parms"]
             rj_ = gatherA(loc[:, 1])
-            d0 = _min_image_c(gatherA(loc[:, 0]) - rj_, L[:, None, None])
-            d2_ = _min_image_c(gatherA(loc[:, 2]) - rj_, L[:, None, None])
-            d3 = _min_image_c(gatherA(loc[:, 3]) - rj_, L[:, None, None])
+            d0 = san(_min_image_c(gatherA(loc[:, 0]) - rj_,
+                                  L[:, None, None]), (1.0, 0.0, 0.0))
+            d2_ = san(_min_image_c(gatherA(loc[:, 2]) - rj_,
+                                   L[:, None, None]), (0.0, 1.0, 0.0))
+            d3 = san(_min_image_c(gatherA(loc[:, 3]) - rj_,
+                                  L[:, None, None]), (0.0, 1.0, 1.0))
 
             def tors_e(d0, d2_, d3, parm=parm, harmonic=harmonic):
                 b1 = -d0
@@ -284,9 +324,9 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
                 return kchi * (1.0 + jnp.cos(nper * phi - delta))
 
             e_t, pull = jax.vjp(
-                lambda a, b, c: jnp.sum(tors_e(a, b, c)), d0, d2_, d3)
+                lambda a, b, c: jnp.sum(wmul(tors_e(a, b, c))), d0, d2_, d3)
             g0, g2, g3 = pull(jnp.ones((), dtype=dtype))
-            e_terms = tors_e(d0, d2_, d3)
+            e_terms = wmul(tors_e(d0, d2_, d3))
             fi, fk, fl = -g0, -g2, -g3
             fj = -(fi + fk + fl)
             zT = jnp.zeros_like(e_terms)
@@ -300,15 +340,15 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
             fam = fams["bpairs"]
             loc = fam["loc"]
             parm = fam["bpair_parms"]                    # (T, 3, M)
-            dr = _min_image_c(gatherA(loc[:, 0]) - gatherA(loc[:, 1]),
-                              L[:, None, None])
+            dr = san(_min_image_c(gatherA(loc[:, 0]) - gatherA(loc[:, 1]),
+                                  L[:, None, None]), (1.0, 0.0, 0.0))
             r2 = jnp.sum(dr * dr, axis=0)
             ir2 = 1.0 / r2
             sg, ep, sh = parm[:, 0], parm[:, 1], parm[:, 2]
             s2 = sg * sg * ir2
             s6 = s2 * s2 * s2
             s12 = s6 * s6
-            within = (r2 < meta["bpair_rcut2"]).astype(dtype)
+            within = wmul((r2 < meta["bpair_rcut2"]).astype(dtype))
             e_p = (4.0 * ep * (s12 - s6) + sh) * within
             dvdr = 24.0 * ep * (s6 - 2.0 * s12) * ir2 * within
             fi = -dvdr[None] * dr
@@ -320,10 +360,10 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
             fam = fams["exclusions"]
             loc = fam["loc"]
             qq = fam["excl_qq"][:, 0, :]                 # (T, M)
-            dr = _min_image_c(gatherA(loc[:, 0]) - gatherA(loc[:, 1]),
-                              L[:, None, None])
+            dr = san(_min_image_c(gatherA(loc[:, 0]) - gatherA(loc[:, 1]),
+                                  L[:, None, None]), (1.0, 0.0, 0.0))
             r2 = jnp.sum(dr * dr, axis=0)
-            w = (r2 < meta["rcut2"]).astype(dtype)
+            w = wmul((r2 < meta["rcut2"]).astype(dtype))
             if meta.get("excl_mode") == "rf_add":
                 krf = meta["excl_krf"]
                 crf = meta["excl_crf"]
@@ -362,7 +402,12 @@ def batched_bonded_eval(r, box_lengths, plan: dict, n_pad: int, dtype):
                            precision=jax.lax.Precision.HIGHEST)
         Ff = Fmol.transpose(2, 1, 0).reshape(M * A, 3)
         PEf = PEmol.transpose(1, 0).reshape(M * A)
-        if tp["start"] is not None:
+        if resolved is not None:
+            # disowned instances carry exactly-zero (weighted)
+            # contributions, so their resolver-sentinel rows add nothing
+            f = f.at[rows_t].add(Ff, mode="drop")
+            pe = pe.at[rows_t].add(PEf, mode="drop")
+        elif tp["start"] is not None:
             f = jax.lax.dynamic_update_slice(
                 f, jax.lax.dynamic_slice(
                     f, (tp["start"], 0), (M * A, 3)) + Ff,

@@ -370,6 +370,23 @@ class ParallelSimulation:
                 field_keys = tuple(field_keys or _FK) + ("excl",)
         self._excl_vals = excl_vals
 
+        # residue-template batched bonded terms under the pallas shard
+        # engine (the r5 single-chip bonded win, sharded): intra-residue
+        # terms resolve per TYPE (one searchsorted per chunk) and
+        # evaluate lane-dense; junction/CMAP leftovers keep the per-term
+        # resolver.  DDCMD_BONDED_BATCH=0 opts out.
+        if (self.shard_engine == "pallas" and bonded_gid_tab is not None
+                and sd.residue_instances
+                and os.environ.get("DDCMD_BONDED_BATCH", "1") != "0"):
+            from ..parallel.bonded_shard import leftover_gid_tables
+            from ..potentials.bonded_batch import build_batched_bonded
+
+            bplan, left = build_batched_bonded(
+                dtab, sd.residue_instances, n, dtype, gid=gid64)
+            if bplan is not None:
+                bonded_gid_tab = dict(leftover_gid_tables(left, gid64),
+                                      **{"__batched__": bplan})
+
         self._step_kwargs = dict(
             dt=sd.cfg.dt, box_lengths=geom, species_lj_type=tmap, n_global=n,
             bonded_tables=bonded_gid_tab,

@@ -446,3 +446,27 @@ def test_pallas_shard_eam_matches_single_device(tmp_path, monkeypatch):
     psim.run(psim.chunk_steps, print_fn=lambda s: None)
     assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
     assert int(np.asarray(psim.mask).sum()) == sim.sysdef.state.n_local
+
+
+def test_sharded_batched_bonded_matches_per_term(tmp_path, monkeypatch):
+    """The sharded residue-template batched bonded path (resolve_batched
+    + weighted batched_bonded_eval) == the per-term resolver on the real
+    bilayer deck over the 8-device mesh."""
+    from ddcmd_tpu.models import load, martini_bilayer
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    d = str(tmp_path)
+    martini_bilayer(d, nx=8, ny=8, water_nm=1.2)
+
+    es = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("DDCMD_BONDED_BATCH", mode)
+        db, base = load(d)
+        psim = ParallelSimulation(db, base, shape=(2, 2, 2))
+        assert psim.shard_engine == "pallas"
+        if mode == "1":
+            assert "__batched__" in psim._step_kwargs["bonded_tables"]
+        es[mode] = psim.first_energy()
+        psim.run(psim.chunk_steps, print_fn=lambda s: None)
+        assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
+    assert es["1"] == pytest.approx(es["0"], rel=2e-6, abs=1e-2)
