@@ -135,7 +135,7 @@ collection COLLECTION {{ mode=VARRECORDASCII; size={n}; files=atoms#; }}
 """
 
 
-def make_solvated_fixture(tmp_path, L=20.0, nve=False, dt_fs=0.5):
+def make_solvated_fixture(tmp_path, L=20.0, nve=False, dt_fs=0.5, max_w=24):
     import shutil
 
     for f in ("c36ish_prot.rtf", "c36ish_prot.prm"):
@@ -158,7 +158,7 @@ def make_solvated_fixture(tmp_path, L=20.0, nve=False, dt_fs=0.5):
                 d = d - L * np.round(d / L)
                 if np.min(np.linalg.norm(d, axis=1)) < 3.4:
                     continue
-                if n_w >= 24:
+                if n_w >= max_w:
                     break
                 atoms.append((f"OH2xTIP3", c))
                 atoms.append((f"H1xTIP3", c + hoff[0]))
