@@ -194,11 +194,23 @@ def build_neighbor_list(r, fmask, box_lengths, grid: CellGrid, row_mask=None,
                           & jnp.asarray(free)[None, None, :], axis=-1)
         pbc_ok = ~jnp.repeat(crossed, grid.cell_capacity, axis=1)
 
-    # distances (min image; orthorhombic lengths or triclinic h)
+    # distances (min image; orthorhombic lengths or triclinic h).
+    # Orthorhombic boxes compute PER COMPONENT: a materialized
+    # (N, C, 3) intermediate stores with minor-dim tiling T(8,128) on
+    # TPU -- the 3-wide lane pads 42x, which at all-atom C ~ 10^4 is a
+    # multi-GB allocation (observed OOM on the c36 fixture, r5)
     r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=r.dtype)], axis=0)
-    dr = r[:, None, :] - r_ext[cand]
-    dr = min_image_geom(dr, box_lengths)
-    d2 = jnp.sum(dr * dr, axis=-1)
+    if np.ndim(box_lengths) == 1:
+        L = jnp.asarray(box_lengths, r.dtype)
+        d2 = jnp.zeros(cand.shape, r.dtype)
+        for c in range(3):
+            dc = r[:, c][:, None] - r_ext[:, c][cand]
+            dc = dc - L[c] * jnp.round(dc / L[c])
+            d2 = d2 + dc * dc
+    else:
+        dr = r[:, None, :] - r_ext[cand]
+        dr = min_image_geom(dr, box_lengths)
+        d2 = jnp.sum(dr * dr, axis=-1)
 
     i_idx = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
     valid = (cand != sentinel) & (cand != i_idx) & (d2 < grid.rlist ** 2) \

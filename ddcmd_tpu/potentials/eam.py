@@ -633,9 +633,24 @@ def eam_eval(r, sidx, fmask, nbr_idx, box_lengths, tables):
 
     r_ext = jnp.concatenate([r, jnp.zeros((1, 3), dtype=dt)], axis=0)
     s_ext = jnp.concatenate([sidx, jnp.zeros((1,), dtype=sidx.dtype)], axis=0)
-    dr = r[:, None, :] - r_ext[nbr_idx]
-    dr = min_image_geom(dr, box_lengths)
-    r2 = jnp.sum(dr * dr, axis=-1)
+    # per-component displacements on orthorhombic boxes: a materialized
+    # (N,K,3) lane-pads 3 -> 128 on TPU (42x; see martini_nonbond, r5)
+    import numpy as _np
+
+    ortho = _np.ndim(box_lengths) == 1
+    if ortho:
+        L = jnp.asarray(box_lengths, dt)
+        d_c = []
+        r2 = jnp.zeros(nbr_idx.shape, dt)
+        for c in range(3):
+            dc = r[:, c][:, None] - r_ext[:, c][nbr_idx]
+            dc = dc - L[c] * jnp.round(dc / L[c])
+            d_c.append(dc)
+            r2 = r2 + dc * dc
+    else:
+        dr = r[:, None, :] - r_ext[nbr_idx]
+        dr = min_image_geom(dr, box_lengths)
+        r2 = jnp.sum(dr * dr, axis=-1)
 
     valid = (nbr_idx != sentinel) & (r2 < tables["rcut2"]) & (r2 > 0) \
         & (fmask[:, None] > 0)
@@ -669,10 +684,17 @@ def eam_eval(r, sidx, fmask, nbr_idx, box_lengths, tables):
         _, dpT = _pair_eval(form, tables["pair"], pair_idx_T, r2s, ir, ir2,
                             True)
     dF_ext = jnp.concatenate([dF, jnp.zeros((1,), dtype=dt)])
-    coef = (de + dp * dF[:, None] + dpT * dF_ext[nbr_idx]) * w
-    fij = -coef[:, :, None] * dr
-    f = jnp.sum(fij, axis=1)
-    virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)
+    coef = -(de + dp * dF[:, None] + dpT * dF_ext[nbr_idx]) * w
+    if ortho:
+        f = jnp.stack([jnp.sum(coef * d_c[c], axis=1)
+                       for c in range(3)], axis=1)
+        virial = 0.5 * jnp.asarray(
+            [[jnp.sum(coef * d_c[a] * d_c[b]) for b in range(3)]
+             for a in range(3)])
+    else:
+        fij = coef[:, :, None] * dr
+        f = jnp.sum(fij, axis=1)
+        virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)
 
     pe = pe_pair + F_i
     e = jnp.sum(pe)

@@ -156,9 +156,25 @@ def martini_nonbond(r, q, tidx, fmask, nbr_idx, box_lengths, tables,
     q_ext = jnp.concatenate([q, jnp.zeros((1,), dtype=dt)], axis=0)
     t_ext = jnp.concatenate([tidx, jnp.zeros((1,), dtype=tidx.dtype)], axis=0)
 
-    dr = r[:, None, :] - r_ext[nbr_idx]                       # (N,K,3)
-    dr = min_image_geom(dr, box_lengths)
-    r2 = jnp.sum(dr * dr, axis=-1)                            # (N,K)
+    # orthorhombic boxes keep displacements PER COMPONENT ((N,K) each):
+    # a materialized (N,K,3) tile-pads its minor dim 3 -> 128 on TPU
+    # (42x memory -- the c36 OOM, r5); triclinic keeps the vector path
+    import numpy as _np
+
+    ortho = _np.ndim(box_lengths) == 1
+    if ortho:
+        L = jnp.asarray(box_lengths, dt)
+        d_c = []
+        r2 = jnp.zeros(nbr_idx.shape, dt)
+        for c in range(3):
+            dc = r[:, c][:, None] - r_ext[:, c][nbr_idx]
+            dc = dc - L[c] * jnp.round(dc / L[c])
+            d_c.append(dc)
+            r2 = r2 + dc * dc
+    else:
+        dr = r[:, None, :] - r_ext[nbr_idx]                   # (N,K,3)
+        dr = min_image_geom(dr, box_lengths)
+        r2 = jnp.sum(dr * dr, axis=-1)                        # (N,K)
 
     tj = t_ext[nbr_idx]
     pair_t = tidx[:, None] * tables["sigma"].shape[0] + tj
@@ -187,8 +203,18 @@ def martini_nonbond(r, q, tidx, fmask, nbr_idx, box_lengths, tables,
     dvdr = dvdr + kqq * (2.0 * tables["krf"] - ir2 * ir)
 
     w = valid.astype(dt)
-    fij = -(dvdr * w)[:, :, None] * dr                        # force on i from j
-    f = jnp.sum(fij, axis=1)                                  # (N,3)
+    coef = -(dvdr * w)                                        # (N,K)
+    if ortho:
+        f = jnp.stack([jnp.sum(coef * d_c[c], axis=1)
+                       for c in range(3)], axis=1)            # (N,3)
+        virial = 0.5 * jnp.asarray(
+            [[jnp.sum(coef * d_c[a] * d_c[b]) for b in range(3)]
+             for a in range(3)])
+    else:
+        fij = coef[:, :, None] * dr                           # force on i
+        f = jnp.sum(fij, axis=1)                              # (N,3)
+        # virial_ab = 0.5 sum_pairs f_ij,a dr_ij,b (both sides counted)
+        virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)
 
     # per-particle potential energy: half of each pair + own self term
     e_self_i = -0.5 * q * q * fmask * tables["keR"] * tables["crf"]  # bioMartini.c:1035
@@ -196,9 +222,6 @@ def martini_nonbond(r, q, tidx, fmask, nbr_idx, box_lengths, tables,
 
     e_lj = 0.5 * jnp.sum(e_lj_pair * w)
     e_ele = 0.5 * jnp.sum(e_ele_pair * w) + jnp.sum(e_self_i)
-
-    # virial_ab = 0.5 sum_pairs f_ij,a dr_ij,b (both sides counted)
-    virial = 0.5 * jnp.einsum("nka,nkb->ab", fij, dr)
 
     e_pot = e_lj + e_ele
     return f, e_pot, virial, pe, (e_lj, e_ele)

@@ -256,3 +256,46 @@ def test_sharded_checkpoint_nwriter(tmp_path, monkeypatch):
     sim = Simulation(db2, str(d_sh), run_dir=str(d_sh), engine="cellblock")
     sim.first_energy()
     assert np.isfinite(float(sim.ss.energy.eion))
+
+
+def test_pxyz_decomposition_restart(tmp_path, monkeypatch):
+    """A load-balanced run's checkpoint carries its walls in pxyz, and a
+    ParallelSimulation restarted from that checkpoint RESUMES the saved
+    decomposition instead of recomputing it (readPXYZ.c analog)."""
+    import os
+
+    import numpy as np
+
+    from ddcmd_tpu.models import load, martini_water
+    from ddcmd_tpu.run.cli import load_db
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    martini_water(str(tmp_path), n=800)
+    deck = (tmp_path / "object.data").read_text()
+    deck = deck.replace("ddc DDC { updateRate=20; }",
+                        "ddc DDC { updateRate=20; loadBalance=bal; }\n"
+                        "bal LOADBALANCE { type=ZRAMP; rate=0; }")
+    (tmp_path / "object.data").write_text(deck)
+
+    db, base = load(str(tmp_path))
+    psim = ParallelSimulation(db, base, shape=(2, 2, 2))
+    assert psim.plan.walls is not None
+    walls0 = [np.asarray(w, dtype=np.float64) for w in psim.plan.walls]
+    psim.first_energy()
+    psim.run(psim.chunk_steps, print_fn=lambda s: None)
+    snapdir = psim.write_checkpoint(str(tmp_path))
+
+    db2 = load_db([str(tmp_path / "object.data")],
+                  os.path.join(snapdir, "restart"), str(tmp_path))
+    ps2 = ParallelSimulation(db2, str(tmp_path), shape=(2, 2, 2))
+    assert ps2.plan.walls is not None
+    for a in range(3):
+        assert np.allclose(np.asarray(ps2.plan.walls[a], dtype=np.float64),
+                           walls0[a], atol=1e-9), a
+    # and with the restore disabled, fresh walls are recomputed from the
+    # (now-evolved) particle distribution -- generally different
+    monkeypatch.setenv("DDCMD_PXYZ_RESTART", "0")
+    db3 = load_db([str(tmp_path / "object.data")],
+                  os.path.join(snapdir, "restart"), str(tmp_path))
+    ps3 = ParallelSimulation(db3, str(tmp_path), shape=(2, 2, 2))
+    assert ps3.plan.walls is not None
