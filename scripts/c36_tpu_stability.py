@@ -49,7 +49,7 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     rows = []
     sim.run(n_steps, print_fn=lambda s: rows.append(s),
-            max_steps_per_dispatch=500)
+            max_steps_per_dispatch=200)
     e1 = float(sim.ss.energy.eion)
     rk = float(sim.ss.energy.rk)
     nn = sim.sysdef.state.n_local
