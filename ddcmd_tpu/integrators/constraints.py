@@ -346,6 +346,114 @@ def build_constraint_fn_batched(cons_atoms, cons_pairs, cons_dist,
     return constraint_fn
 
 
+def build_constraint_templates(cons_atoms, cons_pairs, cons_dist,
+                               residue_instances, gid):
+    """Sharded analog of build_constraint_fn_batched's host analysis:
+    per-residue-TYPE constraint templates keyed by instance GIDS.
+
+    Returns (plan, project) or None when not template-regular.  plan is
+    resolve_batched-compatible: {"types": [{gids (M, A), M, A, li, lj,
+    d2 (K, M)}]}.  project(vblk_list, rblk_list, rmblk_list, w_list,
+    dt, mode, Lv) applies the closed-form single-bond RATTLE per type on
+    lane-dense (M,) math -- the caller gathers/scatters the pool rows
+    (parallel/brickstep_pallas)."""
+    if cons_pairs.shape[1] != 1 or not residue_instances:
+        return None
+    G = cons_atoms.shape[0]
+    ca = np.asarray(cons_atoms)
+    cp = np.asarray(cons_pairs)
+    row_i = ca[np.arange(G), cp[:, 0, 0]]
+    row_j = ca[np.arange(G), cp[:, 0, 1]]
+    dist = np.asarray(cons_dist)[:, 0]
+    gid = np.asarray(gid, np.int64)
+
+    n_rows = len(gid)
+    inst_of = np.full(n_rows, -1, np.int64)
+    local_of = np.full(n_rows, -1, np.int64)
+    type_names: list[str] = []
+    type_id: dict[str, int] = {}
+    inst_type = []
+    inst_rows: dict[int, list] = {}
+    for i, (name, rows) in enumerate(residue_instances):
+        rows = np.asarray(rows, np.int64)
+        inst_of[rows] = i
+        local_of[rows] = np.arange(len(rows))
+        if name not in type_id:
+            type_id[name] = len(type_names)
+            type_names.append(name)
+            inst_rows[type_id[name]] = []
+        inst_type.append(type_id[name])
+        inst_rows[type_id[name]].append(rows)
+    inst_type = np.asarray(inst_type)
+
+    inst = inst_of[row_i]
+    if (inst < 0).any() or (inst_of[row_j] != inst).any():
+        return None
+    types = []
+    for t in range(len(type_names)):
+        sel = inst_type[inst] == t
+        gids_t = np.nonzero(sel)[0]
+        if len(gids_t) == 0:
+            continue
+        order = np.argsort(inst[gids_t], kind="stable")
+        gids_t = gids_t[order]
+        uinst, counts = np.unique(inst[gids_t], return_counts=True)
+        M = int(np.sum(inst_type == t))
+        if len(uinst) != M or counts.min() != counts.max():
+            return None
+        K = int(counts[0])
+        li = local_of[row_i[gids_t]].reshape(M, K)
+        lj = local_of[row_j[gids_t]].reshape(M, K)
+        if not ((li == li[0]).all() and (lj == lj[0]).all()):
+            return None
+        rows = np.stack(inst_rows[t])
+        types.append(dict(
+            M=M, A=rows.shape[1], li=li[0], lj=lj[0],
+            d2=jnp.asarray(dist[gids_t].reshape(M, K).T ** 2, jnp.float32),
+            gids=jnp.asarray(gid[rows])))
+    if not types:
+        return None
+
+    def project(rb3, vb3, rm2, w, d2, li, lj, dt, mode_front, Lv):
+        """One type: rb3/vb3 (3, A, M), rm2 (A, M), w (M,) ownership.
+        Returns updated vb3.  Static K-loop of the Muller closed form."""
+        for k in range(len(li)):
+            i = int(li[k])
+            j = int(lj[k])
+            a = rb3[:, i] - rb3[:, j]
+            if Lv is not None:
+                a = a - Lv[:, None] * jnp.round(a / Lv[:, None])
+            # disowned instances gather arbitrary (possibly coincident)
+            # rows: swap in unit geometry so 1/A stays finite
+            a = jnp.where((w > 0)[None, :], a,
+                          jnp.asarray([1.0, 0.0, 0.0],
+                                      a.dtype)[:, None])
+            vab = vb3[:, i] - vb3[:, j]
+            rmI = rm2[i]
+            rmJ = rm2[j]
+            mu = jnp.maximum(rmI + rmJ, 1e-30)
+            Aq = jnp.sum(a * a, axis=0)
+            if mode_front:
+                b = dt * vab
+                p = a + b
+                Bp = jnp.sum(a * p, axis=0)
+                Cp = jnp.sum(p * p, axis=0) - d2[k]
+                disc = jnp.maximum(Bp * Bp - Aq * Cp, 0.0)
+                sq = jnp.sqrt(disc)
+                den = Bp + jnp.where(Bp >= 0, sq, -sq)
+                den = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+                lam = (-Cp / den) / (dt * mu)
+            else:
+                lam = -jnp.sum(a * vab, axis=0) / (Aq * mu)
+            lam = lam * w
+            dv = lam[None, :] * a
+            vb3 = vb3.at[:, i].add(rmI[None, :] * dv)
+            vb3 = vb3.at[:, j].add(-rmJ[None, :] * dv)
+        return vb3
+
+    return dict(types=types), project
+
+
 def constraint_residual(state, cons_atoms, cons_pairs, cons_dist, dt=None):
     """Max |(|r_ab| - d)/d| over all constraints (diagnostic/tests)."""
     r = np.asarray(state.r)

@@ -71,7 +71,11 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
     tmap = jnp.asarray(species_lj_type)
     half = 0.5 * dt
     full_axes = tuple(AXES)
-    halo_keys = ("r", "q", "species") + (("gid",) if bonded_tables else ())
+    halo_keys = ("r", "q", "species") + (
+        ("gid",) if (bonded_tables is not None
+                     or (constraint_tables is not None
+                         and constraint_tables.get("templates") is not None))
+        else ())
     if excl:
         # in-kernel exclusion channels (run/forces._excl_channels) ride
         # a migrating (n, 2) field and the halo exchange -- ghosts carry
@@ -88,6 +92,7 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         eval_fn = make_shard_pallas_kernel(cplan, tables, coulomb=coulomb,
                                            interpret=interpret, excl=excl)
 
+    cons_templates = None
     if constraint_tables is not None:
         from ..integrators.constraints import make_constraint_project
 
@@ -95,6 +100,9 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         project_all = make_constraint_project(
             constraint_tables["cons_pairs"], constraint_tables["cons_dist"],
             jnp.float32, cons_gids.shape[1], box_lengths=Lv_host)
+        # template-batched single-bond RATTLE (r5): per-type lane math
+        # replaces the per-group extended-buffer projection
+        cons_templates = constraint_tables.get("templates")
 
     if mol_tables is not None:
         mol_gids = jnp.asarray(mol_tables["mol_gids"])
@@ -120,8 +128,10 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         perm, counts, ov_b = bin_pool_ext(u0, pool_mask, cplan)
         bterms = None
         bat = None
-        if bonded_tables is not None:
+        g64 = None
+        if "gid" in halo_keys:
             g64 = pack_gid(jnp.concatenate([fields["gid"], ghosts["gid"]]))
+        if bonded_tables is not None:
             bplan = bonded_tables.get("__batched__")
             left = {k: v for k, v in bonded_tables.items()
                     if k != "__batched__"}
@@ -135,10 +145,19 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
                 bterms = resolve_terms(left, g64, pool_mask,
                                        fields["r"].shape[0])
         cons = None
+        cons_bat = None
         if constraint_tables is not None:
-            g64l = pack_gid(fields["gid"])
-            cons = resolve_constraints(cons_gids, g64l, mask,
-                                       fields["r"].shape[0])
+            if cons_templates is not None:
+                # per-TYPE instance resolution against the POOL gids
+                # (owned instances are wholly local by molecule
+                # coherence; disowned rows weight to exact no-ops)
+                cons_bat = resolve_batched(cons_templates[0], g64,
+                                           pool_mask,
+                                           fields["r"].shape[0])
+            else:
+                g64l = pack_gid(fields["gid"])
+                cons = resolve_constraints(cons_gids, g64l, mask,
+                                           fields["r"].shape[0])
         mol = None
         if mol_tables is not None:
             g64l = pack_gid(fields["gid"])
@@ -149,11 +168,34 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
             ex_pool = jnp.concatenate([fields["excl"], ghosts["excl"]])
         rb = dict(routing=routing, perm=perm, counts=counts,
                   q_pool=q_pool, tidx=tidx, pool_mask=pool_mask,
-                  bterms=bterms, bat=bat, cons=cons, mol=mol,
-                  ex_pool=ex_pool, geom=geom)
+                  bterms=bterms, bat=bat, cons=cons, cons_bat=cons_bat,
+                  mol=mol, ex_pool=ex_pool, geom=geom)
         return fields, rb, ov | ov_b
 
     # -- per-step pieces -----------------------------------------------
+
+    def _apply_constraints_batched(fields, mask, v, mode_front, Lv,
+                                   cons_bat):
+        """Template-batched single-bond RATTLE on lane-dense (M,) math
+        (integrators.constraints.build_constraint_templates); disowned
+        instances write back their original velocities (exact no-op)."""
+        plan_t, project = cons_templates
+        dtc = v.dtype
+        rm = jnp.where(mask, 1.0 / jnp.maximum(fields["mass"], 1e-30),
+                       0.0).astype(dtc)
+        r_loc = fields["r"].astype(dtc)
+        n_l = v.shape[0]
+        for tp, (rows, w) in zip(plan_t["types"], cons_bat):
+            M, A = tp["M"], tp["A"]
+            rcl = jnp.clip(rows, 0, n_l - 1)
+            rb3 = r_loc[rcl].reshape(M, A, 3).transpose(2, 1, 0)
+            vb3 = v[rcl].reshape(M, A, 3).transpose(2, 1, 0)
+            rm2 = rm[rcl].reshape(M, A).T
+            vb3 = project(rb3, vb3, rm2, w, tp["d2"], tp["li"], tp["lj"],
+                          dt, mode_front, Lv)
+            vout = vb3.transpose(2, 1, 0).reshape(M * A, 3)
+            v = v.at[rows].set(vout, mode="drop")
+        return v
 
     def _apply_constraints(fields, mask, v, mode_front, Lv, cons):
         atoms, gw = cons
@@ -279,7 +321,10 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
 
         v = velocity_update("front", fields["v"], f_prev, fields["mass"],
                             fields["group"], coeffs, half, k1, mask)
-        if rb["cons"] is not None:
+        if rb["cons_bat"] is not None:
+            v = _apply_constraints_batched(fields, mask, v, True, Lv,
+                                           rb["cons_bat"])
+        elif rb["cons"] is not None:
             v = _apply_constraints(fields, mask, v, True, Lv, rb["cons"])
         r = fields["r"] + dt * v                       # unwrapped in-chunk
         fields = dict(fields, r=r, v=v)
@@ -290,7 +335,10 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
 
         v = velocity_update("back", fields["v"], f, fields["mass"],
                             fields["group"], coeffs, half, k2, mask)
-        if rb["cons"] is not None:
+        if rb["cons_bat"] is not None:
+            v = _apply_constraints_batched(fields, mask, v, False, Lv,
+                                           rb["cons_bat"])
+        elif rb["cons"] is not None:
             v = _apply_constraints(fields, mask, v, False, Lv, rb["cons"])
         fields = dict(fields, v=v)
 

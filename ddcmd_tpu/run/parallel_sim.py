@@ -387,6 +387,19 @@ class ParallelSimulation:
                 bonded_gid_tab = dict(leftover_gid_tables(left, gid64),
                                       **{"__batched__": bplan})
 
+        # template-batched single-bond RATTLE under the pallas shard
+        # engine (same per-type lane math as the single-chip r5 path)
+        if (self.shard_engine == "pallas" and cons_tab is not None
+                and sd.residue_instances
+                and os.environ.get("DDCMD_CONS_BATCH", "1") != "0"):
+            from ..integrators.constraints import build_constraint_templates
+
+            tmpl = build_constraint_templates(
+                bt.cons_atoms, bt.cons_pairs, bt.cons_dist,
+                sd.residue_instances, gid64)
+            if tmpl is not None:
+                cons_tab = dict(cons_tab, templates=tmpl)
+
         self._step_kwargs = dict(
             dt=sd.cfg.dt, box_lengths=geom, species_lj_type=tmap, n_global=n,
             bonded_tables=bonded_gid_tab,

@@ -470,3 +470,54 @@ def test_sharded_batched_bonded_matches_per_term(tmp_path, monkeypatch):
         psim.run(psim.chunk_steps, print_fn=lambda s: None)
         assert np.isfinite(np.asarray(psim.f)[np.asarray(psim.mask)]).all()
     assert es["1"] == pytest.approx(es["0"], rel=2e-6, abs=1e-2)
+
+
+def test_sharded_batched_constraints_match_generic(tmp_path, monkeypatch):
+    """Template-batched sharded RATTLE == the generic per-group
+    projection over the 8-device mesh, and the chunk's post-drift
+    constraint residual stays satisfied."""
+    from ddcmd_tpu.integrators.constraints import constraint_residual
+    from ddcmd_tpu.models import load, martini_bilayer
+    from ddcmd_tpu.run.parallel_sim import ParallelSimulation
+
+    d = str(tmp_path)
+    martini_bilayer(d, nx=8, ny=8, water_nm=1.2)
+
+    res = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("DDCMD_CONS_BATCH", mode)
+        db, base = load(d)
+        psim = ParallelSimulation(db, base, shape=(2, 2, 2))
+        assert psim.shard_engine == "pallas"
+        if mode == "1":
+            assert "templates" in psim._step_kwargs["constraint_tables"]
+        else:
+            assert "templates" not in (
+                psim._step_kwargs["constraint_tables"] or {})
+        psim.first_energy()
+        psim.run(psim.chunk_steps, print_fn=lambda s: None)
+        # gather by gid for comparison + residual
+        m = np.asarray(psim.mask)
+        gp = np.asarray(psim.fields["gid"])[m]
+        g64 = gp[:, 0].astype(np.int64) | (gp[:, 1].astype(np.int64) << 32)
+        order = np.argsort(g64)
+        res[mode] = (np.asarray(psim.fields["r"])[m][order],
+                     np.asarray(psim.fields["v"])[m][order], psim)
+
+    r1, v1, ps1 = res["1"]
+    r0, v0, ps0 = res["0"]
+    # identical RNG stream + identical projections: same trajectory to
+    # f32 op-order noise over one chunk
+    assert np.abs(r1 - r0).max() < 5e-4
+    assert np.abs(v1 - v0).max() < 5e-3
+
+    class _St:
+        pass
+    st = _St()
+    sd = ps1.sysdef
+    st.r = jnp.asarray(r1)
+    # r1 rows are gid-sorted == collection order for this deck
+    resid = constraint_residual(
+        st, np.asarray(sd.bonded.cons_atoms),
+        np.asarray(sd.bonded.cons_pairs), np.asarray(sd.bonded.cons_dist))
+    assert resid < 5e-3, resid
