@@ -414,7 +414,20 @@ def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
     c = (c_on_g[group_ids] * dt / state_mass)[:, None]
     vcm = vcm_g[group_ids]
     d = jnp.sqrt(noise_g[group_ids] * dt / state_mass)[:, None]
-    g = jax.random.normal(key, state_v.shape, dtype=state_v.dtype)
+    import os as _os
+
+    if _os.environ.get("DDCMD_RBG_NOISE", "0") == "1":
+        # hardware-RNG thermostat noise (jax 'rbg' impl): ~an order of
+        # magnitude cheaper than threefry on TPU.  Still deterministic
+        # per key (replay/restart-safe); Langevin noise only needs
+        # marginal-Gaussian quality, not threefry's split guarantees.
+        kd = jax.random.key_data(key) if jnp.issubdtype(
+            key.dtype, jax.dtypes.prng_key) else key
+        rkey = jax.random.wrap_key_data(
+            jnp.concatenate([kd.reshape(-1), kd.reshape(-1)]), impl="rbg")
+        g = jax.random.normal(rkey, state_v.shape, dtype=state_v.dtype)
+    else:
+        g = jax.random.normal(key, state_v.shape, dtype=state_v.dtype)
     # QUENCH (kind 4): zero components moving against the force before
     # the kick (quench.c:17-26)
     is_quench = (kind_g[group_ids] == 4)
