@@ -417,10 +417,10 @@ def velocity_update(mode: str, state_v, state_f, state_mass, group_ids,
     import os as _os
 
     if _os.environ.get("DDCMD_RBG_NOISE", "0") == "1":
-        # hardware-RNG thermostat noise (jax 'rbg' impl): ~an order of
-        # magnitude cheaper than threefry on TPU.  Still deterministic
-        # per key (replay/restart-safe); Langevin noise only needs
-        # marginal-Gaussian quality, not threefry's split guarantees.
+        # hardware-RNG thermostat noise (jax 'rbg' impl) -- a measured
+        # NEGATIVE on the bilayer (r5 A/B: 47.2 vs 52.0 steps/s; the
+        # per-call key re-wrap + rbg lowering lose to the fused threefry
+        # on this backend).  Kept as an A/B switch only; default OFF.
         kd = jax.random.key_data(key) if jnp.issubdtype(
             key.dtype, jax.dtypes.prng_key) else key
         rkey = jax.random.wrap_key_data(
