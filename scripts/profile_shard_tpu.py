@@ -45,12 +45,22 @@ def main():
     from ddcmd_tpu.run.cli import load_db
     from ddcmd_tpu.run.parallel_sim import ParallelSimulation
 
-    db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
-                 os.path.join(REFERENCE_WATERBOX, "snapshot.mem", "restart"),
-                 REFERENCE_WATERBOX)
+    if os.environ.get("BENCH_WORKLOAD", "waterbox") == "bilayer":
+        # bilayer from an equilibrated checkpoint dir (BENCH_RESTART_DIR,
+        # as bench.py) -- the r5 sharded-vs-unsharded gap attribution
+        from ddcmd_tpu.models import load as load_model
+
+        d = os.environ["BENCH_RESTART_DIR"]
+        db, base = load_model(d, restart=os.path.join(d, "restart"))
+    else:
+        db = load_db([os.path.join(REFERENCE_WATERBOX, "object.data")],
+                     os.path.join(REFERENCE_WATERBOX, "snapshot.mem",
+                                  "restart"),
+                     REFERENCE_WATERBOX)
+        base = REFERENCE_WATERBOX
     shape = tuple(int(x) for x in
                   os.environ.get("SHARD_SHAPE", "1,1,1").split(","))
-    psim = ParallelSimulation(db, REFERENCE_WATERBOX, shape=shape)
+    psim = ParallelSimulation(db, base, shape=shape)
     print(f"engine={psim.shard_engine} chunk={psim.chunk_steps} "
           f"ncore={psim.cplan.ncore} cap={psim.cplan.cap} "
           f"local_cap={psim.plan.local_cap} ghost_cap={psim.plan.ghost_cap}",
