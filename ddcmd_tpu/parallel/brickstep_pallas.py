@@ -150,10 +150,21 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
             if cons_templates is not None:
                 # per-TYPE instance resolution against the POOL gids
                 # (owned instances are wholly local by molecule
-                # coherence; disowned rows weight to exact no-ops)
-                cons_bat = resolve_batched(cons_templates[0], g64,
-                                           pool_mask,
-                                           fields["r"].shape[0])
+                # coherence; disowned rows weight to exact no-ops).
+                # Inverse masses are static within a chunk: gather them
+                # HERE, not in every projection (2x/step)
+                n_l = fields["r"].shape[0]
+                rmask = jnp.where(
+                    mask, 1.0 / jnp.maximum(fields["mass"], 1e-30),
+                    0.0).astype(jnp.float32)
+                cons_bat = []
+                for tp, (rows, w) in zip(
+                        cons_templates[0]["types"],
+                        resolve_batched(cons_templates[0], g64, pool_mask,
+                                        n_l)):
+                    rcl = jnp.clip(rows, 0, n_l - 1)
+                    rm2 = rmask[rcl].reshape(tp["M"], tp["A"]).T
+                    cons_bat.append((rows, w, rm2))
             else:
                 g64l = pack_gid(fields["gid"])
                 cons = resolve_constraints(cons_gids, g64l, mask,
@@ -161,8 +172,16 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         mol = None
         if mol_tables is not None:
             g64l = pack_gid(fields["gid"])
-            mol = resolve_constraints(mol_gids, g64l, mask,
-                                      fields["r"].shape[0])
+            atoms, gw = resolve_constraints(mol_gids, g64l, mask,
+                                            fields["r"].shape[0])
+            # masses and validity are static within a chunk: gather once
+            dt_ = fields["r"].dtype
+            m_ext = jnp.concatenate([fields["mass"].astype(dt_),
+                                     jnp.zeros((1,), dt_)])
+            am = (atoms < fields["r"].shape[0]).astype(dt_)
+            mm = m_ext[atoms] * am
+            Msum = jnp.maximum(mm.sum(1, keepdims=True), 1e-30)
+            mol = (atoms, gw, mm, am, Msum)
         ex_pool = None
         if excl:
             ex_pool = jnp.concatenate([fields["excl"], ghosts["excl"]])
@@ -181,16 +200,13 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         instances write back their original velocities (exact no-op)."""
         plan_t, project = cons_templates
         dtc = v.dtype
-        rm = jnp.where(mask, 1.0 / jnp.maximum(fields["mass"], 1e-30),
-                       0.0).astype(dtc)
         r_loc = fields["r"].astype(dtc)
         n_l = v.shape[0]
-        for tp, (rows, w) in zip(plan_t["types"], cons_bat):
+        for tp, (rows, w, rm2) in zip(plan_t["types"], cons_bat):
             M, A = tp["M"], tp["A"]
             rcl = jnp.clip(rows, 0, n_l - 1)
             rb3 = r_loc[rcl].reshape(M, A, 3).transpose(2, 1, 0)
             vb3 = v[rcl].reshape(M, A, 3).transpose(2, 1, 0)
-            rm2 = rm[rcl].reshape(M, A).T
             vb3 = project(rb3, vb3, rm2, w, tp["d2"], tp["li"], tp["lj"],
                           dt, mode_front, Lv)
             vout = vb3.transpose(2, 1, 0).reshape(M * A, 3)
@@ -218,21 +234,15 @@ def make_brick_step_pallas(mesh: Mesh, plan: BrickPlan, cplan: ShardCellPlan,
         (molecularPressure.c:22-67; see brickstep._mol_corr)."""
         from ..nbr.celllist import min_image_geom
 
-        atoms, gw = mol
+        atoms, gw, mm, am, Msum = mol
         dt_ = f.dtype
-        n_l = f.shape[0]
         r_ext = jnp.concatenate([fields["r"].astype(dt_),
                                  jnp.zeros((1, 3), dt_)])
         f_ext = jnp.concatenate([f, jnp.zeros((1, 3), dt_)])
-        m_ext = jnp.concatenate([fields["mass"].astype(dt_),
-                                 jnp.zeros((1,), dt_)])
-        rm, fm, mm = r_ext[atoms], f_ext[atoms], m_ext[atoms]
-        am = (atoms < n_l).astype(dt_)
-        mm = mm * am
-        M = jnp.maximum(mm.sum(1, keepdims=True), 1e-30)
+        rm, fm = r_ext[atoms], f_ext[atoms]
         d = rm - rm[:, :1]
         d = min_image_geom(d, Lv)
-        com = (mm[:, :, None] * d).sum(1, keepdims=True) / M[:, :, None]
+        com = (mm[:, :, None] * d).sum(1, keepdims=True) / Msum[:, :, None]
         d = (d - com) * am[:, :, None]
         return jnp.einsum("m,mia,mia->a", gw.astype(dt_), d, fm)
 
