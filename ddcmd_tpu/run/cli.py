@@ -48,12 +48,13 @@ def main(argv=None):
                    help="force the CPU backend (the axon sitecustomize "
                         "ignores JAX_PLATFORMS env, so this is the only "
                         "reliable off-TPU switch)")
-    p.add_argument("--run-dir", default=".")
+    p.add_argument("--run-dir", default=".")  # created if absent (below)
     args = p.parse_args(argv)
 
     decks = args.object or ["object.data"]
     base_dir = os.path.dirname(os.path.abspath(decks[0]))
     db = load_db(decks, args.restart, base_dir)
+    os.makedirs(args.run_dir, exist_ok=True)
 
     import jax
     import jax.numpy as jnp
