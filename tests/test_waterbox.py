@@ -225,3 +225,40 @@ def test_single_constraint_closed_form_matches_general():
             p = dmi + 0.02 * (vI - vJ)
             np.testing.assert_allclose(np.linalg.norm(p, axis=1), dist,
                                        rtol=1e-9)
+
+
+def test_fixed_rebuild_matches_adaptive(tmp_path, monkeypatch):
+    """DDCMD_FIXED_REBUILD=1 (fixed-cadence rebuilds, no in-scan conds)
+    reproduces the adaptive superchunk's trajectory: rebuild timing is
+    physics-neutral while both lists are skin-valid (same pairs within
+    rcut), and the noise stream is keyed by global step index."""
+    import numpy as np
+
+    import jax
+
+    from ddcmd_tpu.models import load, martini_water
+    from ddcmd_tpu.run.simulate import Simulation
+
+    martini_water(str(tmp_path), n=400)
+    es = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("DDCMD_FIXED_REBUILD", mode)
+        db, base = load(str(tmp_path))
+        sim = Simulation(db, base, run_dir=str(tmp_path),
+                         engine="cellblock")
+        sim.first_energy()
+        sim.key = jax.random.PRNGKey(12)
+        rows = []
+        sim.run(40, print_fn=lambda s: rows.append(s),
+                max_steps_per_dispatch=40)
+        es[mode] = (float(sim.ss.energy.eion), float(sim.ss.energy.rk),
+                    np.asarray(sim.ss.state.r))
+    e0, rk0, r_a = es["0"]
+    e1, rk1, r_f = es["1"]
+    assert e1 == pytest.approx(e0, rel=1e-4, abs=1e-2)
+    assert rk1 == pytest.approx(rk0, rel=1e-3, abs=1e-2)
+    # positions agree modulo the wrap convention (compare via min-image)
+    L = np.asarray(sim.ss.box.lengths, dtype=np.float64)
+    d = r_f - r_a
+    d = d - L * np.round(d / L)
+    assert np.abs(d).max() < 1e-3
