@@ -497,9 +497,11 @@ class Simulation:
             same budget as the adaptive mode) is max-reduced and
             returned as max_disp2' = (max|dr| + 2 max|dh|)^2; the host's
             existing staleness guard then halves the cadence
-            (_forced_spr) and the rollback ladder redoes overflowed
-            chunks -- wrong physics never escapes a dispatch, it just
-            costs a redo instead of an in-chunk freeze."""
+            (_forced_spr) and REDOES the chunk from the intact pre-chunk
+            state with the SAME noise substream (_redo_sub), and the
+            rollback ladder redoes overflowed chunks -- wrong physics
+            never escapes a dispatch, it just costs a redo instead of an
+            in-chunk freeze."""
             spr = steps_per_rebuild
 
             def block(carry, j):
@@ -909,7 +911,17 @@ class Simulation:
                 spr = k
                 n_rebuilds = 1
             k = n_rebuilds * spr
-            self.key, sub = jax.random.split(self.key)
+            if getattr(self, "_redo_sub", None) is not None:
+                # stale-chunk redo (fixed-cadence mode): reuse the SAME
+                # noise substream so the redo at halved cadence replays
+                # the identical thermostat noise per global step index
+                # (fold_in(sub, j*spr+i) enumerates 0..k-1 for any spr)
+                # -- the redo is deterministic and reproduces the
+                # adaptive-mode trajectory instead of forking it
+                sub = self._redo_sub
+                self._redo_sub = None
+            else:
+                self.key, sub = jax.random.split(self.key)
             if self._time_dependent_groups:
                 self.coeffs = self.sysdef.group_table.coefficients(
                     float(self.ss.time), 0.5 * cfg.dt, dtype=self.dtype,
@@ -1064,9 +1076,16 @@ class Simulation:
                         "(reference kill switch, masters.c:470-475)")
                 continue
             retries = 0
-            self.ss = ss_new
-            done += k
-            # verlet-skin staleness: 2*max|dr| must stay under deltaR
+            # verlet-skin staleness: 2*max|dr| (+ box-motion term, folded
+            # into max_disp2 by the fixed-cadence chunk) must stay under
+            # deltaR for every step that REUSED a list.  Adaptive chunks
+            # rebuild in-scan and report 0 here; the fixed-cadence chunk
+            # CHECKS instead of triggering, so a stale chunk is REDONE
+            # from the intact pre-chunk self.ss at halved cadence (same
+            # noise substream via _redo_sub) -- stale-list physics is
+            # never accepted, it just costs a redo instead of an in-chunk
+            # freeze.  spr==1 rebuilds before every step and cannot be
+            # stale, so the ladder terminates.
             if 2.0 * math.sqrt(float(max_disp2)) >= self.sysdef.neighbor_deltaR \
                     and spr > 1:
                 import warnings
@@ -1074,8 +1093,13 @@ class Simulation:
                 warnings.warn(
                     f"neighbor list went stale (2*max_disp="
                     f"{2 * math.sqrt(float(max_disp2)):.3f} nm >= deltaR="
-                    f"{self.sysdef.neighbor_deltaR}); halving rebuild cadence")
+                    f"{self.sysdef.neighbor_deltaR}); halving rebuild cadence "
+                    "and redoing the chunk")
                 self._forced_spr = max(1, spr // 2)
+                self._redo_sub = sub
+                continue
+            self.ss = ss_new
+            done += k
             with PROFILE.phase("printinfo"):
                 self._emit_prints(scal, k, print_fn)
             if self.printinfo.print_graphs:
